@@ -12,8 +12,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is a nanosecond parquet timestamp, which Spark's reader
+      // rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a Long of
+      // epoch-nanos; Dsl.nanosToTs converts where timestamp semantics are
+      // needed.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
@@ -61,4 +69,8 @@ object Dsl {
 
   def ts(s: String): Column =
     lit(java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s))
+
+  /** events.ts arrives as epoch-nanos Long (see Tables.apply) — convert
+    * to a microsecond timestamp for date_trunc/window arithmetic. */
+  def nanosToTs(c: Column): Column = timestamp_micros((c / 1000L).cast(LongType))
 }

@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query modules. Each GraftQuery carries its Spark implementation
     * plus (when SQL-expressible) the DuckDB oracle SQL. */
   private def modules: Seq[QueryModule] = Seq(
-    TpchQueries)
+    TpchQueries, AggQueries, JoinQueries, WindowQueries, SetOpQueries,
+    SubqueryQueries, ScalarQueries)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,348 @@
+package graft.queries
+
+import graft.{Dsl, GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Aggregate inventory from the reference's `AggregateType` enum
+  * (citus `src/include/distributed/multi_logical_optimizer.h:65-101`) and
+  * its two-phase worker/coordinator split
+  * (`multi_logical_optimizer.c:1427,1643,2394`). Spark's HashAggregate
+  * partial→final mode is that mechanism natively; these queries pin the
+  * semantics of each aggregate class (avg decomposition, count→sum,
+  * distinct, bool/bit, array_agg, any_value, having/distinct-on/rollup).
+  */
+object AggQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** avg/sum/min/max/count — the core two-phase split set. */
+  private val basic = GraftQuery(
+    "agg_basic_stats",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(money(col("o_totalprice"))).as("sum_price"),
+          davg(money(col("o_totalprice"))).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+      MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Exact count(DISTINCT) — citus pulls distinct cols to the coordinator
+    * unless grouped by the dist col (multi_logical_optimizer.c:1710-1755);
+    * Spark expands to a two-stage distinct aggregate natively. */
+  private val countDist = GraftQuery(
+    "agg_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+      COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** HLL path: citus `count_distinct_error_rate>0` →
+    * hll_add_agg/hll_union_agg (multi_logical_optimizer.c:1756-1806).
+    * Spark: approx_count_distinct (HLL++). Approximate → rows-only check. */
+  private val approxDist = GraftQuery(
+    "agg_approx_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** bool_and/bool_or/every + bit_and/bit_or (enum :76-80, bool_agg.sql). */
+  private val boolBit = GraftQuery(
+    "agg_bool_bit",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_and(col("l_discount") > 0.05).as("all_discounted"),
+          bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+          every(col("l_extendedprice") > 0).as("every_priced"),
+          bit_and(col("l_linenumber")).as("band_linenum"),
+          bit_or(col("l_linenumber")).as("bor_linenum"),
+          bit_xor(col("l_linenumber").cast(LongType)).as("bxor_linenum"))
+        .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+      BOOL_AND(l_quantity > 0) AS all_positive,
+      BOOL_AND(l_discount > 0.05) AS all_discounted,
+      BOOL_OR(l_tax > 0.07) AS any_high_tax,
+      BOOL_AND(l_extendedprice > 0) AS every_priced,
+      BIT_AND(l_linenumber) AS band_linenum,
+      BIT_OR(l_linenumber) AS bor_linenum,
+      BIT_XOR(CAST(l_linenumber AS BIGINT)) AS bxor_linenum
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** array_agg → collect_list (unordered in citus too, which rejects
+    * ORDER BY inside: DeferErrorIfUnsupportedArrayAggregate). Sorted and
+    * joined to a string for a deterministic cross-engine compare. */
+  private val arrayAgg = GraftQuery(
+    "agg_array_agg",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          size(collect_set(col("n_name"))).as("n_distinct"))
+        .orderBy(col("n_regionkey")),
+    Some("""SELECT n_regionkey,
+      array_to_string(list_sort(list(n_name)), ',') AS nations,
+      len(list_distinct(list(n_name))) AS n_distinct
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** any_value (enum :85, sql/udfs/any_value/) — deterministic here since
+    * n_name is functionally dependent on the grouping key. */
+  private val anyVal = GraftQuery(
+    "agg_any_value",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          any_value(col("n_name")).as("nation_name"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey")),
+    Some("""SELECT c_nationkey, ANY_VALUE(n_name) AS nation_name,
+      COUNT(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  /** max_by/min_by (PG's newer aggregates; arg_max/arg_min in DuckDB).
+    * Keyed by the unique o_orderkey so the argmax is deterministic. */
+  private val argMinMax = GraftQuery(
+    "agg_max_by",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"),
+          min_by(col("o_orderpriority"), col("o_orderkey")).as("earliest_priority"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      ARG_MAX(o_orderpriority, o_orderkey) AS latest_priority,
+      ARG_MIN(o_orderpriority, o_orderkey) AS earliest_priority,
+      MAX(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** HAVING pushdown (ProcessHavingClauseForWorkerQuery :2650). */
+  private val having = GraftQuery(
+    "agg_having",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(money(col("l_quantity"))).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 15000)
+        .orderBy(col("l_suppkey")),
+    Some("""SELECT l_suppkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_suppkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 15000
+      ORDER BY l_suppkey"""))
+
+  /** SELECT DISTINCT (ProcessDistinctClauseForWorkerQuery :2726). */
+  private val distinctQ = GraftQuery(
+    "agg_select_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** DISTINCT ON rewrite — PG's DISTINCT ON has no Spark equivalent; the
+    * engine rewrites it to row_number()=1 (SURVEY §2.4). Latest order per
+    * customer, ties broken by o_orderkey. */
+  private val distinctOn = GraftQuery(
+    "agg_distinct_on",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey"""))
+
+  /** Aggregate FILTER clause (aggfilter pass-through :1700-1706). */
+  private val aggFilter = GraftQuery(
+    "agg_filter_clause",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("value") > 5, 1)).as("n_high"),
+          dsum(when(col("value") > 5, money(col("value")))
+            .otherwise(lit(null))).as("sum_high"),
+          countDistinct(when(col("value") > 5, col("user_id"))).as("users_high"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      COUNT(*) FILTER (WHERE value > 5) AS n_high,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE value > 5) AS DOUBLE) AS sum_high,
+      COUNT(DISTINCT user_id) FILTER (WHERE value > 5) AS users_high
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** ROLLUP — the reference ERRORS on distributed grouping sets
+    * (multi_logical_planner.c:915-921); Spark does them natively, so the
+    * engine exceeds the reference here. Group keys coalesced to 'ALL'
+    * (no native NULLs in these columns) for a stable cross-engine sort. */
+  private val rollupQ = GraftQuery(
+    "agg_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(money(col("l_quantity"))).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy(col("returnflag"), col("linestatus")),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""))
+
+  /** CUBE (same exceeds-reference note as rollup). */
+  private val cubeQ = GraftQuery(
+    "agg_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** GROUPING SETS via SQL (Spark-native; reference errors on it). */
+  private val groupingSets = GraftQuery(
+    "agg_grouping_sets",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority"""))
+
+  /** stddev/variance with exact decimal moments: both engines compute
+    * sqrt((n·Σx² − (Σx)²) / (n(n−1))) from bit-identical decimal sums, so
+    * the doubles match exactly (streaming stddev would not). */
+  private val stddevVar = GraftQuery(
+    "agg_stddev_variance",
+    (s, dir) => {
+      val x = money(col("o_totalprice"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(x * x).cast(DoubleType).as("sxx"))
+        .select(
+          col("o_orderstatus"),
+          col("n"),
+          ((col("sxx") * col("n") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1)))).as("variance"),
+          sqrt((col("sxx") * col("n") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1)))).as("stddev"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""WITH m AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n,
+        (sxx * n - sx * sx) / (n * (n - 1)) AS variance,
+        sqrt((sxx * n - sx * sx) / (n * (n - 1))) AS stddev
+      FROM m ORDER BY o_orderstatus"""))
+
+  /** Exact percentile (PG percentile_cont ≙ Spark `percentile`): linear
+    * interpolation over integer-valued quantities is exact in double. */
+  private val percentileExact = GraftQuery(
+    "agg_percentile_exact",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** tdigest_percentile analogue: Spark percentile_approx (GK sketch).
+    * Approximate → rows-only. */
+  private val percentileApprox = GraftQuery(
+    "agg_percentile_approx",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  override val queries: Seq[GraftQuery] = Seq(
+    basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
+    having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
+    stddevVar, percentileExact, percentileApprox)
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{Dsl, GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Set operations + sort/limit corpus. Reference: UNION pushdown needs
+  * distribution-column alignment (`relation_restriction_equivalence.c:
+  * 284-303`), INTERSECT/EXCEPT always go through recursive planning
+  * (`sql/set_operations.sql`); Spark runs all of them distributed.
+  * ORDER BY + LIMIT maps to TakeOrderedAndProject — exactly the
+  * reference's worker-partial-top-k + coordinator merge
+  * (`WorkerLimitCount`, multi_logical_optimizer.c:5039).
+  */
+object SetOpQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def custSample(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer")
+    (c.filter(col("c_acctbal") > 5000).select(col("c_custkey"), col("c_nationkey")),
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_nationkey")))
+  }
+
+  private val unionAll = GraftQuery(
+    "setop_union_all",
+    (s, dir) => {
+      val (a, b) = custSample(s, dir)
+      a.union(b)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS n FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+        UNION ALL
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_mktsegment = 'BUILDING')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  private val unionDistinct = GraftQuery(
+    "setop_union_distinct",
+    (s, dir) => {
+      val (a, b) = custSample(s, dir)
+      a.union(b).distinct()
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS n FROM (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+        UNION
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_mktsegment = 'BUILDING')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  private val intersectQ = GraftQuery(
+    "setop_intersect",
+    (s, dir) => {
+      val (a, b) = custSample(s, dir)
+      a.intersect(b).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
+
+  private val exceptQ = GraftQuery(
+    "setop_except",
+    (s, dir) => {
+      val (a, b) = custSample(s, dir)
+      a.except(b).orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
+
+  /** EXCEPT ALL / INTERSECT ALL (bag semantics — Spark exceptAll). */
+  private val exceptAll = GraftQuery(
+    "setop_except_all",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_partkey"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      a.exceptAll(b)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .filter(col("l_partkey") < 50)
+        .orderBy(col("l_partkey"))
+    },
+    Some("""SELECT l_partkey, COUNT(*) AS n FROM (
+        SELECT l_partkey FROM lineitem
+        EXCEPT ALL
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+      WHERE l_partkey < 50
+      GROUP BY l_partkey ORDER BY l_partkey"""))
+
+  /** Global top-k: TakeOrderedAndProject (partial top-k per partition). */
+  private val topK = GraftQuery(
+    "sort_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+    Some("""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""))
+
+  /** LIMIT + OFFSET pagination with a deterministic sort. */
+  private val limitOffset = GraftQuery(
+    "sort_limit_offset",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(50)
+        .limit(20),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 50"""))
+
+  /** Multi-key mixed-direction sort with NULLS placement: PG defaults to
+    * NULLS LAST on ASC, Spark to NULLS FIRST — pinned explicitly
+    * (SURVEY §7.4 risk 2). */
+  private val nullsOrder = GraftQuery(
+    "sort_nulls_order",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"))
+        .filter(col("c_custkey") <= 200)
+        .orderBy(col("bal").asc_nulls_last, col("c_custkey")),
+    Some("""SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey <= 200
+      ORDER BY bal ASC NULLS LAST, c_custkey"""))
+
+  override val queries: Seq[GraftQuery] = Seq(
+    unionAll, unionDistinct, intersectQ, exceptQ, exceptAll,
+    topK, limitOffset, nullsOrder)
+}

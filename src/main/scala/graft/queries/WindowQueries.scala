@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{Dsl, GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Window function corpus (reference: `sql/window_functions.sql`,
+  * `multi_subquery_window_functions.sql`). Citus only pushes windows
+  * whose PARTITION BY contains the distribution column
+  * (`SafeToPushdownWindowFunction`, query_pushdown_planning.c:428-472);
+  * Spark shuffles by the partition spec automatically, with no
+  * restriction. All ORDER BYs carry unique tiebreaks so rank/lag values
+  * are deterministic across engines.
+  */
+object WindowQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** rank / dense_rank / row_number / ntile. */
+  private val ranking = GraftQuery(
+    "window_ranking",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+    Some("""SELECT * FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+          DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 5 ORDER BY o_orderstatus, rn"""))
+
+  /** Running aggregate over ROWS frame (exact decimal running sum). */
+  private val runningSum = GraftQuery(
+    "window_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(money(col("o_totalprice"))).over(w).cast(DoubleType)
+            .as("running_total"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_total,
+      COUNT(*) OVER w AS running_n
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** lag / lead / first_value / last_value with explicit frames. */
+  private val lagLead = GraftQuery(
+    "window_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          last(col("o_orderkey")).over(wf).as("last_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      LAG(o_totalprice, 1) OVER w AS prev_price,
+      LEAD(o_totalprice, 1) OVER w AS next_price,
+      FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+      LAST_VALUE(o_orderkey) OVER wf AS last_key
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** RANGE frame over a numeric ordering column. */
+  private val rangeFrame = GraftQuery(
+    "window_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+        .rangeBetween(-1000, 0)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(money(col("l_quantity"))).over(w).cast(DoubleType)
+            .as("qty_in_range"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS qty_in_range
+      FROM lineitem WHERE l_suppkey < 10
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
+
+  /** Aggregate-as-window + ratio to partition total. */
+  private val shareOfTotal = GraftQuery(
+    "window_share_of_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(money(col("o_totalprice"))).as("grp"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("grp").cast(DoubleType).as("group_total"),
+          (col("grp").cast(DoubleType) /
+            sum(col("grp")).over(w).cast(DoubleType)).as("share"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    Some("""WITH g AS (
+        SELECT o_orderstatus, o_orderpriority,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS grp
+        FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grp AS DOUBLE) AS group_total,
+        CAST(grp AS DOUBLE) /
+          CAST(SUM(grp) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share
+      FROM g ORDER BY o_orderstatus, o_orderpriority"""))
+
+  override val queries: Seq[GraftQuery] = Seq(
+    ranking, runningSum, lagLead, rangeFrame, shareOfTotal)
+}
