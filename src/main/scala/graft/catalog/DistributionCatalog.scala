@@ -1,0 +1,131 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+import scala.collection.concurrent.TrieMap
+
+/** The engine's data-model API — the Spark-native analogue of the
+  * reference's distributed-table catalog:
+  *
+  *   - `pg_dist_partition` (logicalrelid, partmethod, partkey,
+  *     colocationid, repmodel — citus
+  *     `src/include/distributed/pg_dist_partition.h:22-59`) becomes
+  *     [[DistributionSpec]] rows in this catalog;
+  *   - `create_distributed_table(rel, dist_col, shard_count,
+  *     colocate_with)` (`commands/create_distributed_table.c:201`)
+  *     becomes [[createDistributedTable]]: a bucketed Parquet table —
+  *     bucket ≙ shard, bucket count ≙ `citus.shard_count` (default 32,
+  *     `shared_library_init.c:2518`);
+  *   - colocation groups (`colocation_utils.c:598`) become "same bucket
+  *     count + same key type": Spark's EnsureRequirements then plans
+  *     joins between colocated tables WITHOUT a shuffle exchange — the
+  *     LOCAL_PARTITION_JOIN rule (`multi_join_order.h:35`) for free;
+  *   - `create_reference_table` becomes a broadcast-hinted table: every
+  *     join against it is a BroadcastHashJoin on every "shard" — the
+  *     REFERENCE_JOIN rule (`multi_join_order.h:33`).
+  *
+  * At 100 TB: bucketed layout means the recurring fact-to-fact joins
+  * (orders ⋈ lineitem on orderkey) never re-shuffle — the dominant cost
+  * of repartition joins disappears for every colocated query, exactly
+  * the reason citus colocates shards. Bucket counts should be sized so
+  * a bucket's largest table slice fits an executor's memory
+  * (e.g. 100 TB / 32768 buckets ≈ 3 GB).
+  */
+object DistributionCatalog {
+
+  sealed trait PartMethod
+  case object Hash extends PartMethod      // DISTRIBUTE_BY_HASH 'h'
+  case object Reference extends PartMethod // DISTRIBUTE_BY_NONE 'n'
+
+  final case class DistributionSpec(
+      table: String,
+      method: PartMethod,
+      distColumn: Option[String],
+      bucketCount: Int,
+      colocationId: Int)
+
+  private val specs = TrieMap.empty[String, DistributionSpec]
+  private val nextColocation = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** Default bucket count ≙ citus.shard_count default of 32. */
+  val DefaultBuckets = 32
+
+  /** Write `df` as a hash-distributed (bucketed, sorted) Parquet table.
+    * `colocateWith` joins an existing colocation group (bucket counts
+    * must match — same rule citus enforces); otherwise a new group is
+    * created. */
+  def createDistributedTable(spark: SparkSession, df: DataFrame,
+      name: String, distColumn: String,
+      buckets: Int = DefaultBuckets,
+      colocateWith: Option[String] = None): DistributionSpec = {
+    val coloc = colocateWith match {
+      case Some(other) =>
+        val o = specs.getOrElse(other,
+          throw new IllegalArgumentException(s"no such table: $other"))
+        require(o.bucketCount == buckets,
+          s"cannot colocate: $other has ${o.bucketCount} buckets, want $buckets")
+        o.colocationId
+      case None => nextColocation.getAndIncrement()
+    }
+    df.write.mode("overwrite")
+      .bucketBy(buckets, distColumn)
+      .sortBy(distColumn)
+      .option("path", warehousePath(spark, name))
+      .format("parquet")
+      .saveAsTable(name)
+    val spec = DistributionSpec(name, Hash, Some(distColumn), buckets, coloc)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** Reference table: stored once, broadcast to every join site. */
+  def createReferenceTable(spark: SparkSession, df: DataFrame,
+      name: String): DistributionSpec = {
+    df.write.mode("overwrite")
+      .option("path", warehousePath(spark, name))
+      .format("parquet").saveAsTable(name)
+    val spec = DistributionSpec(name, Reference, None, 1, 0)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** Read a catalog table; reference tables come back broadcast-hinted
+    * so every join applies the REFERENCE_JOIN strategy. */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val df = spark.table(name)
+    specs.get(name) match {
+      case Some(s) if s.method == Reference => broadcast(df)
+      case _ => df
+    }
+  }
+
+  /** True when two tables are in the same colocation group — a join on
+    * their distribution columns needs no exchange. */
+  def colocated(a: String, b: String): Boolean =
+    (specs.get(a), specs.get(b)) match {
+      case (Some(x), Some(y)) =>
+        x.method == Hash && y.method == Hash && x.colocationId == y.colocationId
+      case _ => false
+    }
+
+  def spec(name: String): Option[DistributionSpec] = specs.get(name)
+
+  /** The `pg_dist_partition` view of this catalog. */
+  def listTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    specs.values.toSeq
+      .map(s => (s.table,
+        s.method match { case Hash => "h"; case Reference => "n" },
+        s.distColumn.getOrElse(""), s.bucketCount, s.colocationId))
+      .toDF("logicalrelid", "partmethod", "partkey", "bucketcount",
+        "colocationid")
+  }
+
+  def reset(): Unit = specs.clear()
+
+  private def warehousePath(spark: SparkSession, name: String): String =
+    new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      name).getAbsolutePath
+}

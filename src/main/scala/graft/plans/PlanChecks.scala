@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Plan-shape assertions — the engine's analogue of the reference's
+  * EXPLAIN-diff regression tests (citus `sql/multi_explain.sql`,
+  * join-order tests): correctness of the *physical strategy*, not just
+  * the rows. Used by specs to pin that colocated joins run without a
+  * shuffle and reference joins broadcast.
+  */
+object PlanChecks {
+
+  /** The final physical plan (descending into AQE's current plan). */
+  def executedPlan(df: DataFrame): SparkPlan = {
+    // Force execution so AQE settles on the final plan.
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    Seq(p) ++ p.children.flatMap(collectAll) ++
+      p.subqueries.flatMap(collectAll)
+
+  def countShuffles(df: DataFrame): Int =
+    collectAll(executedPlan(df)).count(_.isInstanceOf[ShuffleExchangeLike])
+
+  def hasBroadcastHashJoin(df: DataFrame): Boolean =
+    collectAll(executedPlan(df)).exists(_.isInstanceOf[BroadcastHashJoinExec])
+
+  def hasSortMergeJoin(df: DataFrame): Boolean =
+    collectAll(executedPlan(df)).exists(_.isInstanceOf[SortMergeJoinExec])
+
+  /** Scan-level pushdown check: every parquet scan's pushed filters. */
+  def pushedFilters(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    collectAll(executedPlan(df)).collect {
+      case f: FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+  }
+}

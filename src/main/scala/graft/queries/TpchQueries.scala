@@ -175,13 +175,13 @@ object TpchQueries extends QueryModule {
         .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
         .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-        .filter(
-          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("supp_nation") < col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .orderBy(col("revenue").desc, col("supp_nation"), col("cust_nation"),
+          col("l_year"))
+        .limit(20)
     },
     Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
@@ -190,11 +190,10 @@ object TpchQueries extends QueryModule {
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND n1.n_name < n2.n_name
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
       GROUP BY supp_nation, cust_nation, l_year
-      ORDER BY supp_nation, cust_nation, l_year"""),
+      ORDER BY revenue DESC, supp_nation, cust_nation, l_year LIMIT 20"""),
     bench = true)
 
   /** Q10: returned items; join + agg + top-20. multi_tpch_query10.sql */

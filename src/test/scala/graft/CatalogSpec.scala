@@ -1,0 +1,91 @@
+package graft
+
+import graft.catalog.DistributionCatalog
+import graft.plans.PlanChecks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-model layer: colocated bucket joins must not shuffle (the
+  * LOCAL_PARTITION_JOIN guarantee), reference joins must broadcast
+  * (REFERENCE_JOIN) — plan-shape tests in the spirit of the reference's
+  * EXPLAIN-diff suite. */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val setup: Unit = {
+    DistributionCatalog.reset()
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    val lineitem = Tables(spark, TestSpark.sf, "lineitem")
+    val nation = Tables(spark, TestSpark.sf, "nation")
+    DistributionCatalog.createDistributedTable(
+      spark, orders, "d_orders", "o_orderkey", buckets = 8)
+    DistributionCatalog.createDistributedTable(
+      spark, lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "d_lineitem", "o_orderkey", buckets = 8,
+      colocateWith = Some("d_orders"))
+    DistributionCatalog.createReferenceTable(spark, nation, "d_nation")
+  }
+
+  test("colocated join on the distribution column plans without shuffle") {
+    setup
+    assert(DistributionCatalog.colocated("d_orders", "d_lineitem"))
+    val joined = DistributionCatalog.table(spark, "d_orders")
+      .join(DistributionCatalog.table(spark, "d_lineitem"), "o_orderkey")
+      .select(col("o_orderkey"), col("l_quantity"), col("o_totalprice"))
+    assert(PlanChecks.countShuffles(joined) === 0,
+      "bucket join must not introduce a ShuffleExchange")
+    assert(joined.count() > 0)
+  }
+
+  test("non-distribution-key join does shuffle (dual partition join)") {
+    setup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = DistributionCatalog.table(spark, "d_orders")
+        .join(DistributionCatalog.table(spark, "d_lineitem")
+            .withColumnRenamed("o_orderkey", "lk"),
+          col("o_custkey") === col("lk"))
+      assert(PlanChecks.countShuffles(j) > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("reference table join is a broadcast hash join, no shuffle of the fact") {
+    setup
+    val j = DistributionCatalog.table(spark, "d_orders")
+      .join(DistributionCatalog.table(spark, "d_nation"),
+        col("o_custkey") % 25 === col("n_nationkey"))
+    assert(PlanChecks.hasBroadcastHashJoin(j))
+  }
+
+  test("colocation bookkeeping mirrors pg_dist_partition") {
+    setup
+    val rows = DistributionCatalog.listTables(spark)
+      .orderBy("logicalrelid").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("d_lineitem", "d_nation", "d_orders"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("d_orders").getString(1) === "h")
+    assert(byName("d_nation").getString(1) === "n")
+    assert(byName("d_orders").getInt(4) === byName("d_lineitem").getInt(4))
+  }
+
+  test("refusing colocation with mismatched bucket counts") {
+    setup
+    val ex = intercept[IllegalArgumentException] {
+      DistributionCatalog.createDistributedTable(
+        spark, Tables(spark, TestSpark.sf, "customer"),
+        "d_customer_bad", "c_custkey", buckets = 4,
+        colocateWith = Some("d_orders"))
+    }
+    assert(ex.getMessage.contains("cannot colocate"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    val pushed = PlanChecks.pushedFilters(li)
+    assert(pushed.exists(_.contains("l_quantity")),
+      s"expected l_quantity in PushedFilters, got: $pushed")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the randomized dedup/similarity operators —
+  * recall against exact ground truth, which the SQL oracle can't
+  * express. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Exact shingle-jaccard ground truth for doc pairs. */
+  private def trueJaccard(limit: Int) = {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < limit)
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
+          size(array_union(col("a_sh"), col("b_sh")))).as("j"))
+  }
+
+  test("minhash LSH recalls every pair with shingle-jaccard >= 0.8") {
+    val truth = trueJaccard(120).filter(col("j") >= 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(
+      Tables(spark, TestSpark.sf, "documents").filter(col("doc_id") < 120),
+      "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- cands
+    assert(missed.isEmpty,
+      s"LSH missed ${missed.size} of ${truth.size} true near-dup pairs")
+  }
+
+  test("minhash candidate set is far smaller than the full pair space") {
+    val n = 120L
+    val cands = Dedup.minhashCandidates(
+      Tables(spark, TestSpark.sf, "documents").filter(col("doc_id") < 120),
+      "doc_id", "text").count()
+    assert(cands < n * (n - 1) / 2 / 4,
+      "LSH banding should prune most of the O(n^2) pair space")
+  }
+
+  test("simhash of identical token streams is identical; hamming 0") {
+    import spark.implicits._
+    val df = Seq("a b c d e f", "a b c d e f", "totally different words here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val sigs = df.select(col("id"),
+      Dedup.simhash64(split(col("text"), " ")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(Integer.bitCount((sigs(0L) ^ sigs(2L)).toInt) +
+      Integer.bitCount(((sigs(0L) ^ sigs(2L)) >>> 32).toInt) > 0)
+  }
+
+  test("brute-force cosine top-k: neighbors sorted, self excluded, k rows") {
+    val top = Similarity.bruteForceTopK(
+      Tables(spark, TestSpark.sf, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("sign-LSH buckets partition the corpus (bucket counts sum to n)") {
+    val e = Tables(spark, TestSpark.sf, "embeddings")
+    val total = e.count()
+    val sum = e.select(Similarity.signLshBucket(col("embedding"), 12)
+        .as("b"))
+      .groupBy("b").count().agg(org.apache.spark.sql.functions.sum("count"))
+      .collect()(0).getLong(0)
+    assert(sum === total)
+  }
+}
