@@ -71,6 +71,10 @@ object Dsl {
     lit(java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s))
 
   /** events.ts arrives as epoch-nanos Long (see Tables.apply) — convert
-    * to a microsecond timestamp for date_trunc/window arithmetic. */
-  def nanosToTs(c: Column): Column = timestamp_micros((c / 1000L).cast(LongType))
+    * to a microsecond timestamp for date_trunc/window arithmetic.
+    * NB: long `/` in Spark SQL returns DOUBLE, and epoch-nanos exceed
+    * 2^53, so naive division rounds the last microsecond — divide in
+    * DECIMAL (exact) and truncate instead. */
+  def nanosToTs(c: Column): Column =
+    timestamp_micros((c.cast(DecimalType(25, 0)) / 1000).cast(LongType))
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{Dsl, GraftQuery, QueryModule, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Dsl._
+
+/** Event-stream analytics in batch form — the same plans StreamingOps
+  * runs incrementally (StreamingSpec proves stream≡batch), here driven
+  * through the DuckDB oracle. events.ts arrives as epoch-nanos
+  * (Tables.apply) and is truncated before output so micro-vs-nano
+  * precision can't skew the compare.
+  */
+object EventQueries extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("ts", nanosToTs(col("ts")))
+
+  /** Tumbling window aggregation (streaming: tumblingCounts). */
+  private val tumbling = GraftQuery(
+    "events_tumbling_window",
+    (s, dir) =>
+      StreamingOps.tumblingCounts(ev(s, dir))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** Session windows by 30-min inactivity gap (streaming:
+    * sessionCounts); oracle reconstructs sessions with lag+cumsum. */
+  private val sessions = GraftQuery(
+    "events_session_window",
+    (s, dir) =>
+      StreamingOps.sessionCounts(ev(s, dir))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events),
+      numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM marked)
+      SELECT user_id,
+        CAST(date_trunc('microseconds', MIN(ts)) AS TIMESTAMP)
+          AS session_start,
+        COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, sess
+      ORDER BY user_id, session_start"""))
+
+  /** Per-user session summaries via the stateful path
+    * (flatMapGroupsWithState in batch mode — same state machine the
+    * stream runs). */
+  private val sessionize = GraftQuery(
+    "events_sessionize_stateful",
+    (s, dir) => {
+      import s.implicits._
+      val events = ev(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[StreamingOps.Event]
+      StreamingOps.sessionizeStateful(events, gapMinutes = 30)
+        .toDF()
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+        FROM events)
+      SELECT user_id, SUM(new_session) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM marked GROUP BY user_id ORDER BY user_id"""))
+
+  /** Event funnel: users who clicked then purchased within 1 hour
+    * (self-join on user with a time-range predicate — the as-of family). */
+  private val funnel = GraftQuery(
+    "events_funnel_click_purchase",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"))
+      clicks.join(buys, col("cu") === col("bu") &&
+          col("buy_ts") > col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT c.user_id AS user_id, COUNT(*) AS n_conversions
+      FROM (SELECT user_id, ts FROM events WHERE event_type='click') c
+      JOIN (SELECT user_id, ts FROM events WHERE event_type='purchase') p
+        ON c.user_id = p.user_id AND p.ts > c.ts
+        AND p.ts <= c.ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id ORDER BY user_id"""))
+
+  /** As-of join: each click matched to the latest purchase at-or-before
+    * it (union + conditional last_value — one shuffle by user, no range
+    * join explosion; DuckDB's native ASOF JOIN is the oracle). */
+  private val asof = GraftQuery(
+    "events_asof_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      // tag: purchases sort before clicks at identical ts (match ties)
+      val tagged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_purchase_ts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT c.event_id, c.user_id,
+        CAST(date_trunc('microseconds', p.ts) AS TIMESTAMP)
+          AS last_purchase_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.event_id"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(tumbling, sessions, sessionize, funnel, asof)
+}
