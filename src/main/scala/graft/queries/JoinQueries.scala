@@ -46,10 +46,10 @@ object JoinQueries extends QueryModule {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_lines"),
-          dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+          revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("o_orderstatus")),
     Some("""SELECT o_orderstatus, COUNT(*) AS n_lines,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * CAST(round((1-l_discount)*100,0) AS BIGINT)) AS DOUBLE)/10000 AS revenue
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     bench = true)
