@@ -70,9 +70,15 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per-token xxhash64, bit-position vote weighted ±1,
-    * sign of each vote is the signature bit. Pure expression tree —
-    * stays inside whole-stage codegen. */
-  def simhash64(tokensCol: Column): Column = {
+    * sign of each vote is the signature bit. Delegates to the native
+    * single-pass Catalyst expression (graft.functions.SimHash64Expr). */
+  def simhash64(tokensCol: Column): Column =
+    graft.functions.SimHash64Expr.simhash64(tokensCol)
+
+  /** Composed-builtin reference implementation of simhash64 (64
+    * aggregate folds, one per bit) — kept as the differential-testing
+    * oracle for the native expression; ~64× more array passes. */
+  def simhash64Composed(tokensCol: Column): Column = {
     val hashes = transform(tokensCol, t => xxhash64(t))
     // For each bit position, sum(+1 if bit set else -1) > 0 → bit set.
     val bits = (0 until 64).map { i =>

@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.catalog.DistributionCatalog
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Session extensions wiring the engine's planner knowledge into
+  * Catalyst (SURVEY §4's "custom Catalyst work actually required" #4):
+  *
+  *   - [[BroadcastReferenceTables]]: any scan of a catalog table marked
+  *     as a reference table gets a BROADCAST hint — the REFERENCE_JOIN
+  *     rule (citus `multi_join_order.h:33`) applied automatically, so
+  *     queries don't need explicit broadcast() calls;
+  *   - SQL function `simhash64(array<string>)` → the native single-pass
+  *     expression.
+  *
+  * Install with:
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    // Post-hoc resolution (not optimizer): the hint must exist BEFORE the
+    // optimizer's EliminateResolvedHint folds hints into Join nodes.
+    e.injectPostHocResolutionRule(_ => BroadcastReferenceTables)
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName,
+        "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash64Expr(exprs.head)))
+  }
+}
+
+/** Optimizer rule: wrap reference-table scans in a broadcast hint
+  * (idempotent — already-hinted scans are skipped). */
+object BroadcastReferenceTables extends Rule[LogicalPlan] {
+
+  private def isReferenceScan(p: LogicalPlan): Boolean = p match {
+    case r: LogicalRelation =>
+      r.catalogTable.exists(ct =>
+        DistributionCatalog.spec(ct.identifier.table)
+          .exists(_.method == DistributionCatalog.Reference))
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val alreadyHinted = plan.collect {
+      case ResolvedHint(child, _) => child
+    }.toSet
+    plan.transformUp {
+      case r if isReferenceScan(r) && !alreadyHinted.contains(r) =>
+        ResolvedHint(r, HintInfo(strategy = Some(BROADCAST)))
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal PostgreSQL-dialect front end (SURVEY §7 M6): rewrites the PG
+  * constructs the reference's test corpus uses that Spark SQL doesn't
+  * parse, then hands the query to Spark. Deliberately textual and small —
+  * the scalar/aggregate semantics underneath are Spark's (the reference
+  * likewise delegates all scalar execution to PostgreSQL,
+  * `combine_query_planner.c:1-10`).
+  *
+  * Handled:
+  *   - `expr::type` casts → `CAST(expr AS type)` (with PG→Spark type
+  *     name mapping, e.g. int4/int8/float8/numeric/text)
+  *   - `SELECT DISTINCT ON (k, ...) cols ... ORDER BY k, tiebreak` →
+  *     row_number() window rewrite (PG keeps the first row per key)
+  *   - PG type names in explicit CASTs
+  */
+object PgDialect {
+
+  private val typeMap = Map(
+    "int2" -> "SMALLINT", "int4" -> "INT", "int8" -> "BIGINT",
+    "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    "numeric" -> "DECIMAL(38,18)", "text" -> "STRING",
+    "varchar" -> "STRING", "bpchar" -> "STRING",
+    "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN")
+
+  private def mapType(t: String): String =
+    typeMap.getOrElse(t.trim.toLowerCase, t.trim)
+
+  /** `expr::type` → CAST(expr AS type). Handles chained casts
+    * left-to-right; operand = literal, quoted literal, identifier,
+    * or parenthesized expression. */
+  def rewriteCasts(sql: String): String = {
+    val castRe =
+      """(('[^']*')|("[^"]*")|(\([^()]*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
+    var out = sql
+    var changed = true
+    while (changed) {
+      val next = castRe.replaceAllIn(out, m => {
+        val operand = m.group(1)
+        val tpe = mapType(m.group(8))
+        java.util.regex.Matcher.quoteReplacement(s"CAST($operand AS $tpe)")
+      })
+      changed = next != out
+      out = next
+    }
+    out
+  }
+
+  /** `SELECT DISTINCT ON (keys) select-list FROM rest` →
+    * row_number() OVER (PARTITION BY keys ORDER BY order-clause) = 1.
+    * The ORDER BY of the original query (which PG requires to lead with
+    * the DISTINCT ON keys) becomes the window order. */
+  def rewriteDistinctOn(sql: String): String = {
+    val re = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
+    sql match {
+      case re(keys, selectList, rest) =>
+        val (fromPart, orderPart) = {
+          val m = """(?is)(.*)\bORDER\s+BY\b(.*)""".r
+          rest match {
+            case m(f, o) => (f.trim, o.trim)
+            case _ => (rest.trim, keys.trim)
+          }
+        }
+        s"""SELECT $selectList FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY $keys ORDER BY $orderPart) AS __rn
+           |  FROM $fromPart) WHERE __rn = 1""".stripMargin
+      case _ => sql
+    }
+  }
+
+  def translate(sql: String): String =
+    rewriteCasts(rewriteDistinctOn(sql))
+
+  /** Translate a PG-dialect query and run it on Spark. */
+  def sql(spark: SparkSession, pgSql: String): DataFrame =
+    spark.sql(translate(pgSql))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sql.PgDialect
+import graft.sources.Ingest
+import graft.catalog.DistributionCatalog
+import graft.plans.{GraftExtensions, PlanChecks}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expression (differential vs composed), PG dialect rewrites,
+  * ingest round-trip, and the reference-table auto-broadcast rule. */
+class ExtensionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native simhash64 equals the composed-builtin implementation") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val both = docs.select(col("doc_id"),
+      Dedup.simhash64(col("toks")).as("native"),
+      Dedup.simhash64Composed(col("toks")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("pg :: casts rewrite to CAST..AS with type mapping") {
+    assert(PgDialect.rewriteCasts("SELECT '5'::int8, x::float8 FROM t")
+      === "SELECT CAST('5' AS BIGINT), CAST(x AS DOUBLE) FROM t")
+    assert(PgDialect.rewriteCasts("SELECT (a+b)::numeric(12,2) FROM t")
+      === "SELECT CAST((a+b) AS numeric(12,2)) FROM t")
+  }
+
+  test("DISTINCT ON rewrites to a row_number filter and runs") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val df = PgDialect.sql(spark,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey::int8
+        FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""")
+    val n = df.count()
+    val custs = Tables(spark, TestSpark.sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(n === custs)
+  }
+
+  test("bulk load -> distributed table -> insertSelect append") {
+    DistributionCatalog.reset()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    // stage some CSV input (COPY-style source)
+    Tables(spark, TestSpark.sf, "customer")
+      .write.mode("overwrite").option("header", "true")
+      .csv(s"$tmp/customer_csv")
+    Ingest.bulkLoad(spark, s"$tmp/customer_csv", "csv",
+      "ing_customer", "c_custkey", buckets = 4,
+      options = Map("header" -> "true", "inferSchema" -> "true"))
+    val n0 = spark.table("ing_customer").count()
+    assert(n0 === Tables(spark, TestSpark.sf, "customer").count())
+    // INSERT ... SELECT doubles the rows, layout preserved
+    Ingest.insertSelect(spark,
+      spark.table("ing_customer").withColumn("c_custkey",
+        col("c_custkey") + 1000000), "ing_customer")
+    assert(spark.table("ing_customer").count() === n0 * 2)
+    val spec = DistributionCatalog.spec("ing_customer").get
+    assert(spec.bucketCount === 4 &&
+      spec.distColumn.contains("c_custkey"))
+  }
+
+  test("reference tables auto-broadcast via the optimizer rule") {
+    // getOrCreate reuses the default session (ignoring withExtensions),
+    // so detach it first; the SparkContext is still shared.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val extSpark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        spark.conf.get("spark.sql.warehouse.dir"))
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      DistributionCatalog.reset()
+      DistributionCatalog.createDistributedTable(extSpark,
+        Tables(extSpark, TestSpark.sf, "orders"), "ext_orders", "o_orderkey",
+        buckets = 4)
+      DistributionCatalog.createReferenceTable(extSpark,
+        Tables(extSpark, TestSpark.sf, "nation"), "ext_nation")
+      // no explicit broadcast() and threshold is -1: only the rule can
+      // make this a BroadcastHashJoin
+      val j = extSpark.table("ext_orders")
+        .join(extSpark.table("ext_nation"),
+          col("o_custkey") % 25 === col("n_nationkey"))
+      assert(PlanChecks.hasBroadcastHashJoin(j))
+      // SQL function registration
+      val sig = extSpark.sql(
+        "SELECT simhash64(array('a','b','c')) AS s").collect()(0).getLong(0)
+      assert(sig !== 0L)
+    } finally {
+      // do NOT stop extSpark — it shares the one SparkContext
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+      DistributionCatalog.reset()
+    }
+  }
+}
