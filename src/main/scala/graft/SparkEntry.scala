@@ -10,7 +10,7 @@ object SparkEntry {
     * plus (when SQL-expressible) the DuckDB oracle SQL. */
   private def modules: Seq[QueryModule] = Seq(
     TpchQueries, AggQueries, JoinQueries, WindowQueries, SetOpQueries,
-    SubqueryQueries, ScalarQueries, TextQueries, SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries, JsonQueries)
+    SubqueryQueries, ScalarQueries, TextQueries, SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries, JsonQueries, PgExtraQueries)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PG surface extras exercised by the reference's regression corpus
+  * beyond the core inventory: string_agg, median, percent_rank /
+  * cume_dist, and the common PG string helpers (ilike, initcap,
+  * split_part, left/right, repeat, starts_with).
+  */
+object PgExtraQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** PG string_agg (ordered) ≙ sorted collect_list joined. */
+  private val stringAgg = GraftQuery(
+    "agg_string_agg",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 30)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("s_name"))), ";")
+            .as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey")),
+    Some("""SELECT s_nationkey,
+      string_agg(s_name, ';' ORDER BY s_name) AS suppliers, COUNT(*) AS n
+      FROM supplier WHERE s_suppkey <= 30
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** median (percentile_cont 0.5) over integer-valued quantities —
+    * interpolation on ints is exact in double. */
+  private val medianAgg = GraftQuery(
+    "agg_median",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          median(col("l_quantity")).as("med_qty"),
+          median(col("l_linenumber")).as("med_line"))
+        .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+      median(l_quantity) AS med_qty,
+      median(CAST(l_linenumber AS DOUBLE)) AS med_line
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** percent_rank / cume_dist (rank arithmetic — deterministic). */
+  private val pctRank = GraftQuery(
+    "window_percent_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+      FROM customer WHERE c_custkey <= 300
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** PG string helper battery. */
+  private val pgStrings = GraftQuery(
+    "scalar_pg_string_extras",
+    (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          col("p_name").ilike("%PART%").as("ilike_part"),
+          initcap(lower(col("p_type"))).as("type_title"),
+          split_part(col("p_brand"), lit("#"), lit(2)).as("brand_num"),
+          substring(col("p_name"), 1, 4).as("left4"),
+          col("p_name").startsWith("part").as("starts_part"),
+          repeat(lit("*"), col("p_size") % 5).as("stars"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      p_name ILIKE '%PART%' AS ilike_part,
+      -- DuckDB 1.0 lacks initcap; single-word types so title-case by hand
+      upper(substring(p_type, 1, 1)) || lower(substring(p_type, 2))
+        AS type_title,
+      split_part(p_brand, '#', 2) AS brand_num,
+      substring(p_name, 1, 4) AS left4,
+      starts_with(p_name, 'part') AS starts_part,
+      repeat('*', p_size % 5) AS stars,
+      concat_ws('/', p_brand, p_type) AS brand_type
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(stringAgg, medianAgg, pctRank, pgStrings)
+}

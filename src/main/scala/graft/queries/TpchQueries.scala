@@ -286,18 +286,19 @@ object TpchQueries extends QueryModule {
   private val q18 = GraftQuery(
     "q18_large_volume_customer",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val big = li.groupBy(col("l_orderkey"))
+      // Single lineitem pass: the per-order quantity aggregate both
+      // filters (HAVING > 150) and provides sum_qty — no second scan or
+      // re-aggregation (the reference would run this as one worker
+      // query per shard too).
+      val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_quantity"))).as("qc"))
-        .filter(col("qc") > 15000).select(col("l_orderkey").as("big_okey"))
-      val ord = t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .filter(col("qc") > 15000)
       t(s, dir, "customer")
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(moneySum(col("l_quantity")).as("sum_qty"))
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          (col("qc").cast("double") / 100).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
     },
