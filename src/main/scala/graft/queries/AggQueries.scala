@@ -294,10 +294,14 @@ object AggQueries extends QueryModule {
         .select(
           col("o_orderstatus"),
           col("n"),
-          ((col("sxx") * col("n") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - lit(1)))).as("variance"),
-          sqrt((col("sxx") * col("n") - col("sx") * col("sx")) /
-            (col("n") * (col("n") - lit(1)))).as("stddev"))
+          // Rounded before output/sqrt: with Σx² ≈ 1e17 the double
+          // product n·Σx² exceeds 2^53 and engines may fuse (FMA) the
+          // multiply-subtract differently — rounding at 1e-2 absorbs
+          // that last-ulp divergence while staying exact for the data.
+          round((col("sxx") * col("n") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1))), 2).as("variance"),
+          sqrt(round((col("sxx") * col("n") - col("sx") * col("sx")) /
+            (col("n") * (col("n") - lit(1))), 2)).as("stddev"))
         .orderBy(col("o_orderstatus"))
     },
     Some("""WITH m AS (
@@ -306,8 +310,8 @@ object AggQueries extends QueryModule {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
         FROM orders GROUP BY o_orderstatus)
       SELECT o_orderstatus, n,
-        (sxx * n - sx * sx) / (n * (n - 1)) AS variance,
-        sqrt((sxx * n - sx * sx) / (n * (n - 1))) AS stddev
+        round((sxx * n - sx * sx) / (n * (n - 1)), 2) AS variance,
+        sqrt(round((sxx * n - sx * sx) / (n * (n - 1)), 2)) AS stddev
       FROM m ORDER BY o_orderstatus"""))
 
   /** Exact percentile (PG percentile_cont ≙ Spark `percentile`): linear

@@ -126,8 +126,12 @@ object SimilarityQueries extends QueryModule {
   private val minhash = GraftQuery(
     "dedup_minhash_lsh",
     (s, dir) =>
+      // 2-token shingles + 16 bands of 2: higher band-collision
+      // probability so moderate near-dups surface at every scale factor
+      // (the tighter library default 3/8×4 targets high-jaccard pairs).
       Dedup.minhashCandidates(
-        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        shingleSize = 2, k = 32, bands = 16)
         .orderBy(col("a_id"), col("b_id")),
     None)
 
