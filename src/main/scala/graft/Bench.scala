@@ -14,6 +14,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // measured wins at sf0.1 (see BenchTune): kryo for broadcast/cache
+      // serde, a broadcast threshold that keeps every dim table on the
+      // hash side, and raw in-memory columns (cache is already compact).
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -8,24 +8,28 @@ object BenchTune {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val variants: Seq[(String, Map[String, String])] = Seq(
-      "p8_split16m_noaqe" -> Map(
-        "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.files.maxPartitionBytes" -> "16m"),
-      "p4_split16m_noaqe" -> Map(
-        "spark.sql.shuffle.partitions" -> "4",
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.files.maxPartitionBytes" -> "16m"),
-      "p8_shj" -> Map(
-        "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.join.preferSortMergeJoin" -> "false",
-        "spark.sql.files.maxPartitionBytes" -> "16m"),
-      "p8_compress_off" -> Map(
-        "spark.sql.shuffle.partitions" -> "8",
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.shuffle.compress" -> "false",
-        "spark.sql.files.maxPartitionBytes" -> "16m"))
+      "bench_current" -> Map(
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true"),
+      "kryo" -> Map(
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer"),
+      "bcast64m" -> Map(
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "64m"),
+      "cache_uncompressed" -> Map(
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.inMemoryColumnarStorage.compressed" -> "false"),
+      "all3" -> Map(
+        "spark.sql.shuffle.partitions" -> "32",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.autoBroadcastJoinThreshold" -> "64m",
+        "spark.sql.inMemoryColumnarStorage.compressed" -> "false"))
 
     val names = SparkEntry.benchQueries
     variants.foreach { case (label, conf) =>
@@ -37,6 +41,7 @@ object BenchTune {
       val spark = b.getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       val qmap = SparkEntry.queries
+      Tables.pinForBench(spark, sfDir)
       // warm twice (JIT + codegen + footer caches)
       (1 to 2).foreach(_ => names.foreach(n =>
         qmap(n)(spark, sfDir).write.format("noop")
@@ -50,6 +55,7 @@ object BenchTune {
       val total = (System.nanoTime() - t0) / 1e9
       println(f"TUNE $label%-18s total=$total%6.3f  " +
         per.map { case (n, t) => f"${n.take(8)}=$t%5.3f" }.mkString(" "))
+      Tables.unpin()
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -30,6 +30,10 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     })
 
+  /** Drop pinned handles (required before stopping a SparkSession —
+    * cached plans are bound to their session). */
+  def unpin(): Unit = pinned.clear()
+
   /** Cache + materialize the star-schema tables for benchmarking. */
   def pinForBench(spark: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
