@@ -72,6 +72,9 @@ object DistributionCatalog {
       .bucketBy(buckets, distColumn)
       .sortBy(distColumn)
       .option("path", warehousePath(spark, name))
+      // zstd ≙ the reference columnar store's default compression
+      // (columnar/README.md:93-101)
+      .option("compression", "zstd")
       .format("parquet")
       .saveAsTable(name)
     val spec = DistributionSpec(name, Hash, Some(distColumn), buckets, coloc)
@@ -120,6 +123,41 @@ object DistributionCatalog {
         s.distColumn.getOrElse(""), s.bucketCount, s.colocationId))
       .toDF("logicalrelid", "partmethod", "partkey", "bucketcount",
         "colocationid")
+  }
+
+  /** Time-partitioned table (the reference's `create_time_partitions`
+    * UDF family, `sql/udfs/create_time_partitions/` — range-partition
+    * management) ≙ date-partitioned Parquet directories: partition
+    * pruning on the truncated column replaces shard-interval pruning. */
+  def createTimePartitionedTable(spark: SparkSession, df: DataFrame,
+      name: String, tsColumn: String, granularity: String): DistributionSpec = {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val partCol = s"__${granularity}_part"
+    df.withColumn(partCol,
+        date_trunc(granularity, col(tsColumn)).cast("date"))
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .option("path", warehousePath(spark, name))
+      .option("compression", "zstd")
+      .format("parquet")
+      .saveAsTable(name)
+    val spec = DistributionSpec(name, Hash, Some(partCol), 0, 0)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** The FIXTURES.md layout in one call — the exact distribution the
+    * reference's regression schema declares (multi_create_table.sql:
+    * lineitem+orders hash-distributed on the order key and COLOCATED;
+    * customer/part/nation/region/supplier reference tables). */
+  def setupTpchLayout(spark: SparkSession, loadTable: String => DataFrame,
+      buckets: Int = DefaultBuckets): Unit = {
+    createDistributedTable(spark, loadTable("lineitem"), "g_lineitem",
+      "l_orderkey", buckets)
+    createDistributedTable(spark, loadTable("orders"),
+      "g_orders", "o_orderkey", buckets, colocateWith = Some("g_lineitem"))
+    Seq("customer", "part", "nation", "region", "supplier").foreach(n =>
+      createReferenceTable(spark, loadTable(n), s"g_$n"))
   }
 
   def reset(): Unit = specs.clear()

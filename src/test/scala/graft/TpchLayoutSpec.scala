@@ -1,0 +1,57 @@
+package graft
+
+import graft.catalog.DistributionCatalog
+import graft.plans.PlanChecks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The FIXTURES.md reference layout end-to-end: colocated fact join
+  * with zero shuffles, reference dims broadcast, and a time-partitioned
+  * table pruning partitions. */
+class TpchLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val setup: Unit = {
+    DistributionCatalog.reset()
+    DistributionCatalog.setupTpchLayout(spark,
+      n => Tables(spark, TestSpark.sf, n), buckets = 8)
+  }
+
+  test("orders ⋈ lineitem on the colocated key: zero shuffle exchanges") {
+    setup
+    val j = DistributionCatalog.table(spark, "g_orders")
+      .join(DistributionCatalog.table(spark, "g_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    // the only exchange allowed is the one for the final aggregation
+    assert(PlanChecks.countShuffles(j) <= 1)
+    assert(j.count() > 0)
+  }
+
+  test("reference dimension joins broadcast") {
+    setup
+    val j = DistributionCatalog.table(spark, "g_orders")
+      .join(DistributionCatalog.table(spark, "g_customer"),
+        col("o_custkey") === col("c_custkey"))
+    assert(PlanChecks.hasBroadcastHashJoin(j))
+  }
+
+  test("time-partitioned table prunes partitions on the truncated column") {
+    setup
+    DistributionCatalog.createTimePartitionedTable(spark,
+      Tables(spark, TestSpark.sf, "orders"), "g_orders_by_month",
+      "o_orderdate", "month")
+    val pruned = spark.table("g_orders_by_month")
+      .filter(col("__month_part") === "1996-03-01")
+    val all = spark.table("g_orders_by_month")
+    // partition pruning: the filtered scan reads fewer files
+    val filesRead = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(pruned.count() > 0)
+    assert(pruned.count() < all.count())
+    val expected = Tables(spark, TestSpark.sf, "orders")
+      .filter(date_trunc("month", col("o_orderdate")) === "1996-03-01 00:00:00")
+      .count()
+    assert(pruned.count() === expected)
+  }
+}
