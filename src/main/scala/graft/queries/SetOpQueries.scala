@@ -140,7 +140,29 @@ object SetOpQueries extends QueryModule {
       FROM customer WHERE c_custkey <= 200
       ORDER BY bal ASC NULLS LAST, c_custkey"""))
 
+  /** Custom whole-operator plan: top-3 per group via bounded heaps
+    * (graft.plans.TopKPerGroup — partial heap per partition, one
+    * shuffle of survivors, merge) instead of the sort-everything
+    * window; oracle is the equivalent row_number window. */
+  private val topKPerGroup = GraftQuery(
+    "sort_topk_per_group",
+    (s, dir) =>
+      graft.plans.TopKPerGroup(
+        t(s, dir, "orders"),
+        groupCols = Seq(col("o_orderstatus")),
+        orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+          col("o_orderkey")),
+    Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     unionAll, unionDistinct, intersectQ, exceptQ, exceptAll,
-    topK, limitOffset, nullsOrder)
+    topK, limitOffset, nullsOrder, topKPerGroup)
 }
