@@ -34,7 +34,10 @@ object Tables {
     * cached plans are bound to their session). */
   def unpin(): Unit = pinned.clear()
 
-  /** Cache + materialize the star-schema tables for benchmarking. */
+  /** Cache + materialize the star-schema tables for benchmarking.
+    * Deliberately NOT re-partitioned: at sub-GB scale the scheduling
+    * cost of 32 small partitions outweighs parallel scan gains
+    * (measured 2× slower); the parquet's natural splits win. */
   def pinForBench(spark: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { n =>
