@@ -145,6 +145,51 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("a_id"), col("b_id")),
     None)
 
+  /** Embedding-cosine near-duplicate pairs, blocked by sign-LSH bucket
+    * (within-bucket pairwise only — the 100 TB shape; a global pairwise
+    * cosine would be O(n²)). Exact fold math → full oracle. */
+  private val cosineNearDup = GraftQuery(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.signLshBucket(col("embedding"), 8).as("bucket"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("bucket"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+        col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          Similarity.cosine(col("a_v"), col("b_v")).as("cos"))
+        .filter(col("cos") > 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH e AS (
+        SELECT vec_id, embedding,
+          list_reduce(list_transform(embedding[1:8],
+            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+            (a, v) -> a * 2 + v) AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)
+        / (sqrt(list_reduce(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q))
+           * sqrt(list_reduce(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q)))
+        AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)
+        / (sqrt(list_reduce(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q))
+           * sqrt(list_reduce(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q)))
+        > 0.2
+      ORDER BY a_id, b_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    cosineTopK, lshBuckets, ivfAssign, embStats, minhash, simhash)
+    cosineTopK, lshBuckets, ivfAssign, embStats, minhash, simhash,
+    cosineNearDup)
 }
