@@ -96,6 +96,48 @@ object PgExtraQueries extends QueryModule {
       concat_ws('/', p_brand, p_type) AS brand_type
       FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""))
 
+  /** corr / covar_samp from exact decimal moments (same discipline as
+    * agg_stddev_variance: both engines derive identical doubles from
+    * bit-identical exact sums; rounded to absorb FMA divergence). */
+  private val corrCovar = GraftQuery(
+    "agg_corr_covar",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val x = col("l_quantity").cast(DecimalType(12, 2))
+      val y = col("l_extendedprice").cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((col("sxy") * col("n") - col("sx") * col("sy")) /
+            (col("n") * (col("n") - lit(1))), 4).as("covar_samp"),
+          round((col("sxy") * col("n") - col("sx") * col("sy")) /
+            (sqrt(col("sxx") * col("n") - col("sx") * col("sx")) *
+             sqrt(col("syy") * col("n") - col("sy") * col("sy"))), 8)
+            .as("corr"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round((sxy * n - sx * sy) / (n * (n - 1)), 4) AS covar_samp,
+        round((sxy * n - sx * sy) /
+          (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 8) AS corr
+      FROM m ORDER BY l_returnflag"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(stringAgg, medianAgg, pctRank, pgStrings)
+    Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar)
 }

@@ -44,14 +44,14 @@ object SubqueryQueries extends QueryModule {
       WHERE c_acctbal > (
         SELECT COALESCE(
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-            / COUNT(*) / 8.0, 1e9)
+            / COUNT(*) / 15.0, 1e9)
         FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey"""),
     Some("""SELECT c_custkey, c_acctbal FROM customer
       WHERE c_acctbal > (
         SELECT COALESCE(
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-            / COUNT(*) / 8.0, 1e9)
+            / COUNT(*) / 15.0, 1e9)
         FROM orders WHERE o_custkey = c_custkey)
       ORDER BY c_custkey"""))
 
