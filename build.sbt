@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout (one bare JSON line). sbt's
+// default LoggedOutput prefixes forked stdout with "[info] ", which broke
+// the round-1 bench parse (BENCH_r01.json parsed:null) — pass the child's
+// stdout through verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

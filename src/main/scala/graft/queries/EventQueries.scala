@@ -74,7 +74,7 @@ object EventQueries extends QueryModule {
           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
         FROM events)
-      SELECT user_id, SUM(new_session) AS n_sessions,
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
         COUNT(*) AS n_events
       FROM marked GROUP BY user_id ORDER BY user_id"""))
 

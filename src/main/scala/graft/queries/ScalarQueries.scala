@@ -106,8 +106,8 @@ object ScalarQueries extends QueryModule {
         .orderBy(col("p_partkey")),
     Some("""SELECT p_partkey,
       ABS(p_size - 25) AS abs_off,
-      CEIL(p_retailprice) AS ceil_price,
-      FLOOR(p_retailprice) AS floor_price,
+      CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+      CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
       p_partkey % 7 AS mod7,
       CAST(SIGN(p_size - 25) AS INT) AS sign_off,
       GREATEST(p_size, 10) AS size_floor10,
@@ -184,7 +184,7 @@ object ScalarQueries extends QueryModule {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type, COUNT(*) AS n,
-      SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))

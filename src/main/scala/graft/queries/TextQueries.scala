@@ -41,10 +41,10 @@ object TextQueries extends QueryModule {
             .otherwise(0L)).as("n_chars_consistent"))
         .orderBy(col("lang")),
     Some("""SELECT lang, COUNT(*) AS n_docs,
-      SUM(len(string_split(text, ' '))) AS total_tokens,
-      SUM(len(list_distinct(string_split(text, ' ')))) AS total_distinct,
-      SUM(length(text)) AS total_chars,
-      SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
         AS n_chars_consistent
       FROM documents GROUP BY lang ORDER BY lang"""))
 

@@ -247,9 +247,12 @@ object TpchQueries extends QueryModule {
             .otherwise(0L)).as("low_line_count"))
         .orderBy(col("l_linestatus"))
     },
+    // NB: DuckDB SUM(INTEGER) yields HUGEINT (int128) which pandas
+    // surfaces as float64 — cast to BIGINT so the driver's value hash
+    // matches Spark's LongType sums bit-for-bit.
     Some("""SELECT l_linestatus,
-      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM orders, lineitem
       WHERE o_orderkey = l_orderkey
         AND l_shipdate >= TIMESTAMP '1996-01-01'

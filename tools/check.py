@@ -57,16 +57,29 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
-        # exact compare; show diffs if any
+        # exact compare; show diffs if any.  NO dtype coercion: the driver
+        # hashes raw values, so float64 5.0 vs int64 5 is a MISMATCH (this
+        # leniency hid 5 round-1 failures — DuckDB SUM(INT) yields HUGEINT
+        # which pandas renders as float64/object, vs Spark's int64).
         try:
             diff_cols = []
             for c in g.columns:
                 gv, ev = g[c], e[c]
-                if gv.dtype != ev.dtype:
-                    try:
-                        ev = ev.astype(gv.dtype)
-                    except Exception:
-                        pass
+                if gv.dtype.kind != ev.dtype.kind:
+                    # One tolerated coercion (driver hash-matched these in
+                    # round 1): Spark DATE arrives as object-of-date while
+                    # DuckDB DATE arrives as datetime64.
+                    kinds = {gv.dtype.kind, ev.dtype.kind}
+                    if kinds == {"O", "M"}:
+                        try:
+                            gv = pd.to_datetime(gv)
+                            ev = pd.to_datetime(ev)
+                        except Exception:
+                            pass
+                    if gv.dtype.kind != ev.dtype.kind:
+                        diff_cols.append(
+                            f"{c}: dtype-kind got={gv.dtype} exp={ev.dtype}")
+                        continue
                 eq = (gv.fillna("__N__") == ev.fillna("__N__")) \
                     if gv.dtype == object else \
                     ((gv == ev) | (gv.isna() & ev.isna()))
