@@ -34,10 +34,19 @@ object Tables {
     * cached plans are bound to their session). */
   def unpin(): Unit = pinned.clear()
 
+  private[graft] def pin(key: (String, String), df: DataFrame): Unit =
+    pinned.put(key, df)
+
   /** Cache + materialize the star-schema tables for benchmarking.
-    * Deliberately NOT re-partitioned: at sub-GB scale the scheduling
-    * cost of 32 small partitions outweighs parallel scan gains
-    * (measured 2× slower); the parquet's natural splits win. */
+    * The sf0.1 parquet is one file per table, so the natural scan is ONE
+    * cache partition. Two measured negative results (local[32], sf0.1):
+    * repartitioning the cache to 32 is 2× worse (round 1), and even the
+    * micro-profile sweet spot of 8 (isolated q1 agg: 1→438 ms, 8→176 ms)
+    * makes the REAL bench set slower (parts=1 → 6.7 s/set vs parts=8 →
+    * 7.4 s/set): the queries are join/shuffle-bound, and extra input
+    * partitions only add task-scheduling overhead to every downstream
+    * stage. Natural partitioning wins; on a real cluster the splits come
+    * from the file layout instead. */
   def pinForBench(spark: SparkSession, dir: String): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { n =>
