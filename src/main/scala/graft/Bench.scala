@@ -8,10 +8,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Size shuffle partitions to the data, not the core count: target
+    // ~64 MB of (compressed-parquet-equivalent) input per partition.
+    // At sf0.1 that is 1-2 partitions — the QProfile sweep measured
+    // shuffle=1 at 4.94 s/set vs shuffle=32 at 5.47-5.88 (per-task
+    // scheduling dominates tiny shuffles); at cluster scale the same
+    // rule grows into the thousands, which is the point. Clamped to
+    // 4×cores here because local[] can't use more anyway.
+    val inputBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(0L)
+    val shufParts = math.max(1L,
+      math.min(cpus.toLong * 4, inputBytes / (64L << 20))).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // measured wins at sf0.1 (see BenchTune): kryo for broadcast/cache
@@ -28,9 +40,10 @@ object Bench {
     val names = SparkEntry.benchQueries
     val qmap = SparkEntry.queries
     // Pin the working set in memory (buffer-pool analogue) and warm up
-    // twice (JIT + codegen caches); not timed.
+    // (JIT/C2 + codegen caches — steady state needs ~4 passes in a
+    // fresh JVM; the 2-pass timed total was ~1s slower); not timed.
     Tables.pinForBench(spark, sfDir)
-    (1 to 2).foreach { _ =>
+    (1 to 4).foreach { _ =>
       names.foreach { n =>
         try qmap(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** One-off micro-profile (not part of the driver contract): the REAL
   * bench queries, timed within one JVM across {cache partition count} ×
-  * {serializer} to explain the Bench regression that QProfile's
-  * simplified q1 didn't show. */
+  * {shuffle partitions} × {AQE}, to find the bench session config. Runs
+  * each variant twice (interleaved) and reports both — JIT/GC drift at
+  * this scale is ~15%, so only consistent orderings count. */
 object QProfile {
-  def timeSet(spark: SparkSession, sfDir: String, parts: Int): Double = {
+  private var cachedParts = -1
+
+  def repin(spark: SparkSession, sfDir: String, parts: Int): Unit = {
+    if (parts == cachedParts) return
     Tables.unpin()
     spark.catalog.clearCache()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -19,6 +23,14 @@ object QProfile {
       df.count()
       Tables.pin((sfDir, n), df)
     }
+    cachedParts = parts
+  }
+
+  def timeSet(spark: SparkSession, sfDir: String,
+              parts: Int, shuffle: Int, aqe: Boolean): Double = {
+    repin(spark, sfDir, parts)
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
     val names = SparkEntry.benchQueries
     val qmap = SparkEntry.queries
     (1 to 2).foreach(_ => names.foreach { n =>
@@ -33,22 +45,28 @@ object QProfile {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val kryo = sys.env.getOrElse("GRAFT_KRYO", "1") == "1"
-    val b = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (kryo) b.config("spark.serializer",
-      "org.apache.spark.serializer.KryoSerializer")
-    val spark = b.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq(1, 8, 1, 8).foreach { p =>
-      val s = timeSet(spark, sfDir, p)
-      println(f"PROF kryo=$kryo parts=$p%-2d total=${s}%6.3f s/set")
+    // (parts, shuffle, aqe) — variants sorted by cache-parts so repins
+    // are amortized; two interleaved passes for drift detection.
+    val variants = Seq(
+      (1, 32, true), (1, 8, true), (1, 8, false), (1, 4, false),
+      (1, 1, false), (4, 8, false), (4, 8, true), (8, 8, false))
+    (1 to 2).foreach { pass =>
+      variants.foreach { case (p, sh, aqe) =>
+        val s = timeSet(spark, sfDir, p, sh, aqe)
+        println(f"PROF pass=$pass parts=$p%-2d shuffle=$sh%-2d aqe=$aqe%-5s total=$s%6.3f s/set")
+      }
     }
     spark.stop()
   }

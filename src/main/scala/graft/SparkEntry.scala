@@ -9,8 +9,10 @@ object SparkEntry {
   /** All query modules. Each GraftQuery carries its Spark implementation
     * plus (when SQL-expressible) the DuckDB oracle SQL. */
   private def modules: Seq[QueryModule] = Seq(
-    TpchQueries, AggQueries, JoinQueries, WindowQueries, SetOpQueries,
-    SubqueryQueries, ScalarQueries, TextQueries, SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries, JsonQueries, PgExtraQueries)
+    TpchQueries, TpchDeepQueries, AggQueries, JoinQueries, WindowQueries,
+    SetOpQueries, SubqueryQueries, ScalarQueries, TextQueries,
+    SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries,
+    JsonQueries, PgExtraQueries)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = modules.flatMap(_.queries)
