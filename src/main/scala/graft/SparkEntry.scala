@@ -12,7 +12,7 @@ object SparkEntry {
     TpchQueries, TpchDeepQueries, AggQueries, JoinQueries, WindowQueries,
     SetOpQueries, SubqueryQueries, ScalarQueries, TextQueries,
     SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries,
-    JsonQueries, PgExtraQueries)
+    JsonQueries, PgExtraQueries, DmlQueries)
 
   lazy val all: Seq[GraftQuery] = {
     val qs = modules.flatMap(_.queries)

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Post-hoc resolution (not optimizer): the hint must exist BEFORE the
     // optimizer's EliminateResolvedHint folds hints into Join nodes.
     e.injectPostHocResolutionRule(_ => BroadcastReferenceTables)
+    // LIMIT approximation (citus.limit_clause_row_fetch_count) — opt-in
+    // via spark.graft.limitApproxRowFetchCount.
+    e.injectOptimizerRule(_ => ApproximateLimit)
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName,

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{Dsl, GraftQuery, QueryModule, Tables}
+import graft.sources.Dml
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Dsl._
+
+/** Multi-shard DML as queries: each runs the [[graft.sources.Dml]]
+  * transform and surfaces the resulting relation, which the DuckDB
+  * oracle reproduces with the equivalent SELECT (a MERGE is a full
+  * outer join + per-row CASE; an UPDATE is a CASE projection; a DELETE
+  * is a negated filter that keeps NULLs). */
+object DmlQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** MERGE: price adjustments for large parts (matched → update) plus
+    * backfill rows for new keys (not matched → insert). */
+  private val dmlMerge = GraftQuery(
+    "dml_merge",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val src = t(s, dir, "part").filter(col("p_size") >= 40)
+        .select(col("p_partkey").as("k"),
+          (col("p_retailprice") + lit(1.0)).as("new_price"))
+        .unionAll(t(s, dir, "part").filter(col("p_size") <= 2)
+          .select((col("p_partkey") + 1000000L).as("k"),
+            lit(0.5).as("new_price")))
+      Dml.merge(part, src, "p_partkey", "k", Dml.MergeClauses(
+        matchedUpdate = Map("p_retailprice" -> col("s.new_price")),
+        notMatchedInsert = Some(Map(
+          "p_partkey" -> col("s.k"),
+          "p_name" -> lit("backfill"),
+          "p_retailprice" -> col("s.new_price")))))
+    },
+    Some("""WITH src AS (
+        SELECT p_partkey AS k, p_retailprice + 1.0 AS new_price
+        FROM part WHERE p_size >= 40
+        UNION ALL
+        SELECT p_partkey + 1000000 AS k, 0.5 AS new_price
+        FROM part WHERE p_size <= 2)
+      SELECT
+        CASE WHEN t.p_partkey IS NULL THEN s.k ELSE t.p_partkey END AS p_partkey,
+        CASE WHEN t.p_partkey IS NULL THEN 'backfill' ELSE t.p_name END AS p_name,
+        CASE WHEN s.k IS NOT NULL THEN s.new_price
+             ELSE t.p_retailprice END AS p_retailprice
+      FROM part t FULL OUTER JOIN src s ON t.p_partkey = s.k"""))
+
+  /** UPDATE lineitem SET l_discount = 0, l_quantity = l_quantity - 1
+    * WHERE l_quantity > 45 — assignments read the pre-update row. */
+  private val dmlUpdate = GraftQuery(
+    "dml_update_where",
+    (s, dir) =>
+      Dml.updateWhere(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_discount")),
+        col("l_quantity") > 45,
+        Map("l_discount" -> lit(0.0),
+          "l_quantity" -> (col("l_quantity") - lit(1.0)))),
+    Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity > 45 THEN l_quantity - 1.0 ELSE l_quantity END AS l_quantity,
+        CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END AS l_discount
+      FROM lineitem"""))
+
+  /** DELETE FROM orders WHERE finished AND older than 1996. */
+  private val dmlDelete = GraftQuery(
+    "dml_delete_where",
+    (s, dir) =>
+      Dml.deleteWhere(t(s, dir, "orders"),
+          col("o_orderstatus") === "F" &&
+            col("o_orderdate") < ts("1996-01-01"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate")),
+    Some("""SELECT o_orderkey, o_orderstatus, o_orderdate
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F'
+        AND o_orderdate < TIMESTAMP '1996-01-01')"""))
+
+  override val queries: Seq[GraftQuery] = Seq(dmlMerge, dmlUpdate, dmlDelete)
+}

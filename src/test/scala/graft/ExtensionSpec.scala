@@ -96,6 +96,26 @@ class ExtensionSpec extends AnyFunSuite {
       val sig = extSpark.sql(
         "SELECT simhash64(array('a','b','c')) AS s").collect()(0).getLong(0)
       assert(sig !== 0L)
+
+      // LIMIT approximation rule: with the GUC-analogue conf set, each
+      // partition feeds at most N rows into the aggregate.
+      import graft.plans.ApproximateLimit
+      val grouped = Tables(extSpark, TestSpark.sf, "lineitem")
+        .groupBy(col("l_partkey")).count().limit(5)
+      def aggInputLimited(plan: org.apache.spark.sql.DataFrame): Boolean =
+        plan.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if a.child.isInstanceOf[
+                org.apache.spark.sql.catalyst.plans.logical.LocalLimit] => a
+        }.nonEmpty
+      assert(!aggInputLimited(grouped)) // off by default
+      extSpark.conf.set(ApproximateLimit.ConfKey, "100")
+      try {
+        val approx = Tables(extSpark, TestSpark.sf, "lineitem")
+          .groupBy(col("l_partkey")).count().limit(5)
+        assert(aggInputLimited(approx))
+        assert(approx.collect().length === 5)
+      } finally extSpark.conf.set(ApproximateLimit.ConfKey, "0")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
       SparkSession.clearActiveSession()
