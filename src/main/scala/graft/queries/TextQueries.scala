@@ -187,6 +187,82 @@ object TextQueries extends QueryModule {
           / len(list_distinct(list_concat(a.t, b.t))) > 0.85
       ORDER BY a_id, b_id"""))
 
+  /** Text normalization for training corpora: URL/email templating,
+    * whitespace collapse, case folding. The corpus is synthetic, so the
+    * URL/email is appended deterministically first — the point is the
+    * transform chain, which both engines' RE2-compatible regexes agree
+    * on. Pure map stage: no shuffle at any corpus size. */
+  private val normalize = GraftQuery(
+    "text_normalize",
+    (s, dir) => {
+      val aug = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast(StringType),
+        lit("@example.com  or  https://example.com/d/"),
+        col("doc_id").cast(StringType))
+      val norm = lower(trim(regexp_replace(regexp_replace(regexp_replace(
+        aug,
+        "https?://\\S+", "<url>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+        "\\s+", " ")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"),
+          (length(aug) - length(norm)).cast(LongType).as("chars_removed"))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          text || ' Contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com  or  https://example.com/d/'
+            || CAST(doc_id AS VARCHAR) AS a
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+        lower(trim(regexp_replace(regexp_replace(regexp_replace(a,
+          'https?://\S+', '<url>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+          '\s+', ' ', 'g'))) AS norm_text,
+        length(a) - length(lower(trim(regexp_replace(regexp_replace(
+          regexp_replace(a,
+          'https?://\S+', '<url>', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+          '\s+', ' ', 'g')))) AS chars_removed
+      FROM aug ORDER BY doc_id"""))
+
+  /** PII masking: digit runs (phone/account-number-shaped) replaced by a
+    * sentinel — the redaction pass a training pipeline runs before any
+    * other text op. Deterministic synthetic PII appended per row. */
+  private val piiMask = GraftQuery(
+    "text_pii_mask",
+    (s, dir) => {
+      val aug = concat(substring(col("text"), 1, 40),
+        lit(" call 555-"), (col("doc_id") + 1000L).cast(StringType),
+        lit(" acct "), (col("doc_id") * 7919L + 100000L).cast(StringType))
+      val masked = regexp_replace(aug, "\\d{3,}", "<num>")
+      t(s, dir, "documents")
+        .select(col("doc_id"), masked.as("masked"),
+          (length(aug) - length(regexp_replace(aug, "\\d", "")))
+            .cast(LongType).as("n_digits_before"),
+          (length(masked) - length(regexp_replace(masked, "\\d", "")))
+            .cast(LongType).as("n_digits_after"))
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          substring(text, 1, 40) || ' call 555-'
+            || CAST(doc_id + 1000 AS VARCHAR)
+            || ' acct ' || CAST(doc_id * 7919 + 100000 AS VARCHAR) AS a
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+        regexp_replace(a, '\d{3,}', '<num>', 'g') AS masked,
+        length(a) - length(regexp_replace(a, '\d', '', 'g'))
+          AS n_digits_before,
+        length(regexp_replace(a, '\d{3,}', '<num>', 'g'))
+          - length(regexp_replace(regexp_replace(a, '\d{3,}', '<num>', 'g'),
+              '\d', '', 'g')) AS n_digits_after
+      FROM aug ORDER BY doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard)
+    tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
+    normalize, piiMask)
 }

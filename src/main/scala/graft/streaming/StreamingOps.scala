@@ -44,6 +44,36 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Exactly-once event dedup: duplicates (at-least-once sources,
+    * replays) are dropped by key as long as they arrive within the
+    * watermark; state holds one entry per key and is evicted past it —
+    * the streaming face of the dedup suite, with bounded state. In
+    * batch, plain dropDuplicates is the same relation. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Stream-stream interval join: purchases attributed to a click by
+    * the same user within the hour before. Both sides carry watermarks;
+    * the time-bound join condition lets Spark evict buffered rows —
+    * without it, stream-stream join state grows forever. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset path for state machines the built-in
     * windows can't express. Emits one summary per user on timeout/end. */

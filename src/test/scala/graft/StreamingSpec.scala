@@ -73,6 +73,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch replays within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = sampleEvents.splitAt(200)
+      stream.addData(a ++ a.take(50)) // in-batch duplicates
+      q.processAllAvailable()
+      stream.addData(b ++ a.slice(150, 200)) // cross-batch replays
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batch = StreamingOps.dedupEvents(
+        (sampleEvents ++ sampleEvents.take(50)).toDF()).count()
+      assert(streamed === batch)
+      assert(batch === 300L)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = sampleEvents.filter(_.event_type == "click")
+    val buys = sampleEvents.filter(_.event_type == "buy")
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = clicks.splitAt(40)
+      val (p1, p2) = buys.splitAt(60)
+      cs.addData(c1); ps.addData(p1); q.processAllAvailable()
+      cs.addData(c2); ps.addData(p2); q.processAllAvailable()
+      val streamed = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      val batch = StreamingOps.clickPurchaseJoin(
+          clicks.toDF(), buys.toDF()).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session window counts match the lag/cumsum reconstruction") {
     import spark.implicits._
     val ss = StreamingOps.sessionCounts(sampleEvents.toDF())
