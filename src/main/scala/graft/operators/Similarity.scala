@@ -24,7 +24,15 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine via composed higher-order folds — three interpreted array
+    * walks; kept as the differential reference for the native path. */
+  def cosineComposed(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine via the native single-pass codegen'd expression (same fold
+    * order ⇒ bit-identical to cosineComposed; ExtensionSpec pins it). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.cosineSim(a, b)
 
   /** Brute-force top-k cosine neighbors of one query vector. */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,

@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash64Expr(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimExpr].getName,
+        "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimExpr(exprs(0), exprs(1))))
   }
 }
 

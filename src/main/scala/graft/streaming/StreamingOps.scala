@@ -24,6 +24,13 @@ object StreamingOps {
   final case class SessionSummary(user_id: Long, n_sessions: Long,
       n_events: Long)
 
+  /** One change-stream record (op ∈ I/U/D), as the reference's CDC
+    * decoder emits per shard-WAL change (cdc/cdc_decoder.c). */
+  final case class Change(key: Long, op: String, payload: Double,
+      ts: java.sql.Timestamp)
+
+  final case class KeyState(key: Long, payload: Double, deleted: Boolean)
+
   /** Tumbling 1-hour counts per event type; `withWatermark` only binds
     * on a streaming source (no-op columns-wise in batch). */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -43,6 +50,35 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
+
+  /** CDC apply — consume a change stream (insert/update/delete per key)
+    * and materialize the latest per-key table state, the consumer side
+    * of the reference's CDC decoder. State is one record per live key,
+    * partitioned by key in the state store; each micro-batch emits the
+    * keys it touched (update mode). The batch form of the same relation
+    * is the row_number()=1 snapshot query. */
+  def cdcMaterialize(changes: Dataset[Change]): Dataset[KeyState] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[Change, KeyState](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          val latest = (state.getOption.iterator ++ rows)
+            .maxBy(_.ts.getTime)
+          state.update(latest)
+          KeyState(key, latest.payload, latest.op == "D")
+      }
+  }
+
+  /** Batch snapshot of a change set: latest change per key wins. */
+  def cdcSnapshot(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("payload"),
+        (col("op") === "D").as("deleted"))
+  }
 
   /** Exactly-once event dedup: duplicates (at-least-once sources,
     * replays) are dropped by key as long as they arrive within the

@@ -24,6 +24,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("native cosine_sim is bit-identical to the composed HOF folds") {
+    import graft.operators.Similarity
+    val vecs = Tables(spark, TestSpark.sf, "embeddings")
+    val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val pairs = a.join(b, col("a_id") < col("b_id")).limit(500)
+      .select(
+        Similarity.cosine(col("a_v"), col("b_v")).as("native"),
+        Similarity.cosineComposed(col("a_v"), col("b_v")).as("composed"))
+    // exact equality: same fold order, same double ops
+    assert(pairs.filter(col("native") =!= col("composed")).count() === 0)
+    assert(pairs.count() === 500)
+  }
+
   test("pg :: casts rewrite to CAST..AS with type mapping") {
     assert(PgDialect.rewriteCasts("SELECT '5'::int8, x::float8 FROM t")
       === "SELECT CAST('5' AS BIGINT), CAST(x AS DOUBLE) FROM t")

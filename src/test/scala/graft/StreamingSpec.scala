@@ -121,6 +121,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC materialization: streamed change log equals batch snapshot") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.Change
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // interleaved inserts/updates/deletes over 40 keys, unique ts per key
+    val changes = (0 until 400).map { i =>
+      Change(key = i % 40,
+        op = Seq("I", "U", "D", "U", "U")((i / 40 + i % 40) % 5),
+        payload = i * 1.5,
+        ts = new java.sql.Timestamp(base + i * 1000L))
+    }
+    val stream = MemoryStream[Change]
+    val q = StreamingOps.cdcMaterialize(stream.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      val (a, b) = changes.splitAt(170)
+      stream.addData(a); q.processAllAvailable()
+      stream.addData(b); q.processAllAvailable()
+      // last emission per key = materialized state
+      val streamed = spark.table("cdc_out")
+        .groupBy("key")
+        .agg(max(struct(col("payload"), col("deleted"))).as("s"))
+        .select(col("key"), col("s.payload"), col("s.deleted"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .toSet
+      val batch = StreamingOps.cdcSnapshot(changes.toDF())
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(batch.size === 40)
+      assert(batch.exists(_._3)) // some keys end deleted
+    } finally q.stop()
+  }
+
   test("session window counts match the lag/cumsum reconstruction") {
     import spark.implicits._
     val ss = StreamingOps.sessionCounts(sampleEvents.toDF())
