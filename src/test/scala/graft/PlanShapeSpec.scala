@@ -49,4 +49,42 @@ class PlanShapeSpec extends AnyFunSuite {
       f.contains("l_quantity") || f.contains("l_shipdate")),
       s"expected pushed filters, got $pushed")
   }
+
+  test("q21: EXISTS/NOT EXISTS plan as semi + anti joins, no subquery re-execution") {
+    val df = SparkEntry.queries("q21_waiting_orders")(spark, TestSpark.sf)
+    val s = PlanChecks.executedPlan(df).toString
+    assert(s.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(s.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
+  test("q17: correlated per-part average decorrelates to one grouped pass") {
+    // the avg subquery must appear as an Aggregate joined back, not a
+    // per-row re-scan: exactly one pass builds the per-part averages
+    val df = SparkEntry.queries("q17_small_quantity_revenue")(spark, TestSpark.sf)
+    val aggs = collectAll(PlanChecks.executedPlan(df))
+      .collect { case h: HashAggregateExec => h }
+    // partial+final for the avg, partial+final for the outer sum = 4
+    assert(aggs.size <= 6, s"unexpected aggregate explosion: ${aggs.size}")
+    assert(aggs.nonEmpty)
+  }
+
+  test("dml_merge: bucketed target merges with exchange only on the source side") {
+    import graft.catalog.DistributionCatalog
+    import graft.sources.Dml
+    import org.apache.spark.sql.functions._
+    DistributionCatalog.createDistributedTable(spark,
+      Tables(spark, TestSpark.sf, "orders"), "psm_orders", "o_orderkey",
+      buckets = 4)
+    val src = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("k"), lit("X").as("st"))
+    val merged = Dml.merge(spark.table("psm_orders"), src, "o_orderkey", "k",
+      Dml.MergeClauses(matchedUpdate = Map("o_orderstatus" -> col("s.st"))))
+    val shuffles = collectAll(PlanChecks.executedPlan(merged)).count {
+      p => p.getClass.getSimpleName.contains("ShuffleExchange")
+    }
+    // target side reads bucketed (no exchange); source side may shuffle
+    assert(shuffles <= 1,
+      s"expected at most one exchange (source side), got $shuffles")
+  }
 }
