@@ -20,7 +20,7 @@ object Bench {
       .getOrElse(0L)
     val shufParts = math.max(1L,
       math.min(cpus.toLong * 4, inputBytes / (64L << 20))).toString
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shufParts)
@@ -34,7 +34,13 @@ object Bench {
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // extra conf overrides for tuning runs: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchQueries

