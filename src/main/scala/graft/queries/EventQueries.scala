@@ -30,6 +30,20 @@ object EventQueries extends QueryModule {
       COUNT(*) AS n_events
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** Sliding 1-hour/15-minute windows (streaming: slidingCounts);
+    * oracle expands each event into its 4 covering epoch-aligned
+    * windows — the same alignment Spark's window() uses. */
+  private val sliding = GraftQuery(
+    "events_sliding_window",
+    (s, dir) =>
+      StreamingOps.slidingCounts(ev(s, dir))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+          - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+        event_type, COUNT(*) AS n_events
+      FROM events, range(4) t(k)
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   /** Session windows by 30-min inactivity gap (streaming:
     * sessionCounts); oracle reconstructs sessions with lag+cumsum. */
   private val sessions = GraftQuery(
@@ -132,5 +146,5 @@ object EventQueries extends QueryModule {
       ORDER BY c.event_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(tumbling, sessions, sessionize, funnel, asof)
+    Seq(tumbling, sliding, sessions, sessionize, funnel, asof)
 }

@@ -41,6 +41,17 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Sliding (hopping) 1-hour windows every 15 minutes — each event
+    * lands in 4 overlapping windows; state is per (window, type) key. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Native session windows (30-minute gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

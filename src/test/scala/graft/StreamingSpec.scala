@@ -73,6 +73,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding window counts: incremental result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = sampleEvents.splitAt(140)
+      Seq(a, b).foreach { batch =>
+        stream.addData(batch); q.processAllAvailable()
+      }
+      val streamed = spark.table("sliding_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batchRes = StreamingOps.slidingCounts(sampleEvents.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batchRes)
+      // every event lands in exactly 4 overlapping windows
+      assert(batchRes.toSeq.map(_._3).sum === 4L * sampleEvents.size)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops cross-batch replays within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
