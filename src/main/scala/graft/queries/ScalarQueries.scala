@@ -216,6 +216,31 @@ object ScalarQueries extends QueryModule {
         AS first3_sorted
       FROM documents ORDER BY doc_id"""))
 
+  /** Regex functions (PG ~, substring(from), regexp_replace): extract,
+    * match test, global replace, and a derived match count — same RE2
+    * subset in both engines. */
+  private val regexes = GraftQuery(
+    "scalar_regex_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          col("p_name").rlike("bolt|rod").as("is_hardware"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+          (length(col("p_name")) -
+            length(regexp_replace(col("p_name"), "[aeiou]", "")))
+            .cast(LongType).as("n_vowels"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      regexp_matches(p_name, 'bolt|rod') AS is_hardware,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+      CAST(length(p_name)
+        - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT)
+        AS n_vowels
+      FROM part ORDER BY p_partkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    strings, dates, maths, conditionals, casts, jsonExtract, arrays)
+    strings, dates, maths, conditionals, casts, jsonExtract, arrays, regexes)
 }
