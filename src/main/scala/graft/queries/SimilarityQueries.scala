@@ -98,6 +98,63 @@ object SimilarityQueries extends QueryModule {
       SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_member
       FROM assigned GROUP BY cell ORDER BY cell"""))
 
+  /** IVF probe search: assign all vectors (and the query) to coarse
+    * cells, then rank ONLY the query's cell — the full ANN search path.
+    * At 100 TB: vectors live hash-partitioned by cell, the probe reads
+    * one cell's partitions, and the top-k is TakeOrderedAndProject
+    * within them; brute force (sim_cosine_topk) is the recall oracle. */
+  private val ivfTopK = GraftQuery(
+    "sim_ivf_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cells = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(Similarity.dot(col("embedding"), col("c_vec")).as("score"),
+            (-col("c_id")).as("negidx")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg((-max(col("sc")).getField("negidx")).as("cell"))
+      val withCell = e.join(cells, "vec_id")
+      val q = withCell.filter(col("vec_id") === 0)
+        .select(col("cell").as("q_cell"), col("embedding").as("q_vec"))
+      withCell.crossJoin(broadcast(q))
+        .filter(col("cell") === col("q_cell") && col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(5)
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        WHERE vec_id < 4),
+      scored AS (
+        SELECT vec_id, c_id,
+          list_reduce(list_transform(list_zip(embedding, c_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+          AS score
+        FROM embeddings, cents),
+      cells AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+          FROM scored) WHERE rn = 1),
+      wc AS (
+        SELECT e.vec_id, e.embedding, c.cell
+        FROM embeddings e, cells c WHERE e.vec_id = c.vec_id),
+      q AS (SELECT cell AS q_cell, embedding AS q_vec FROM wc
+        WHERE vec_id = 0)
+      SELECT vec_id,
+        list_reduce(list_transform(list_zip(embedding, q_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+        / (sqrt(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b))
+           * sqrt(list_reduce(list_transform(q_vec,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)))
+        AS cos
+      FROM wc, q WHERE cell = q_cell AND vec_id <> 0
+      ORDER BY cos DESC, vec_id LIMIT 5"""))
+
   /** Embedding column stats (norms — exact sequential fold both sides). */
   private val embStats = GraftQuery(
     "sim_embedding_stats",
@@ -190,6 +247,6 @@ object SimilarityQueries extends QueryModule {
       ORDER BY a_id, b_id"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    cosineTopK, lshBuckets, ivfAssign, embStats, minhash, simhash,
+    cosineTopK, lshBuckets, ivfAssign, ivfTopK, embStats, minhash, simhash,
     cosineNearDup)
 }
