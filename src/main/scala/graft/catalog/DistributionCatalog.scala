@@ -160,6 +160,42 @@ object DistributionCatalog {
       createReferenceTable(spark, loadTable(n), s"g_$n"))
   }
 
+  /** `alter_distributed_table(rel, distribution_column, shard_count,
+    * colocate_with)` (`commands/alter_table.c:219` — recreates the table
+    * with the new distribution and moves the data): rewrite the bucketed
+    * layout with a new distribution column and/or bucket count. Data is
+    * re-read from the existing table and re-bucketed in one shuffle-write
+    * stage — the Spark analogue of citus's shard-move data copy. */
+  def alterDistributedTable(spark: SparkSession, name: String,
+      distColumn: Option[String] = None, buckets: Option[Int] = None,
+      colocateWith: Option[String] = None): DistributionSpec = {
+    val old = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(old.method == Hash, s"$name is not hash-distributed")
+    val newCol = distColumn.orElse(old.distColumn).get
+    val newBuckets = buckets.getOrElse(old.bucketCount)
+    // materialize before the overwrite drops the old files
+    val data = spark.table(name).localCheckpoint(eager = true)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    specs.remove(name)
+    createDistributedTable(spark, data, name, newCol, newBuckets,
+      colocateWith)
+  }
+
+  /** `undistribute_table(rel)` (`commands/alter_table.c:180`): convert a
+    * distributed table back to a plain (non-bucketed) local table and
+    * drop it from the distribution catalog. */
+  def undistributeTable(spark: SparkSession, name: String): Unit = {
+    require(specs.contains(name), s"not a distributed table: $name")
+    val data = spark.table(name).localCheckpoint(eager = true)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    specs.remove(name)
+    data.write.mode("overwrite")
+      .option("path", warehousePath(spark, name))
+      .option("compression", "zstd")
+      .format("parquet").saveAsTable(name)
+  }
+
   def reset(): Unit = specs.clear()
 
   private def warehousePath(spark: SparkSession, name: String): String =

@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LIMIT approximation (citus.limit_clause_row_fetch_count) — opt-in
     // via spark.graft.limitApproxRowFetchCount.
     e.injectOptimizerRule(_ => ApproximateLimit)
+    // count(DISTINCT) → HLL (citus.count_distinct_error_rate) — opt-in
+    // via spark.graft.countDistinctErrorRate.
+    e.injectOptimizerRule(_ => ApproxCountDistinct)
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName,

@@ -88,4 +88,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(pushed.exists(_.contains("l_quantity")),
       s"expected l_quantity in PushedFilters, got: $pushed")
   }
+
+  test("alter_distributed_table rewrites distribution; undistribute drops it") {
+    setup
+    val cust = Tables(spark, TestSpark.sf, "customer")
+    DistributionCatalog.createDistributedTable(
+      spark, cust, "d_alter_cust", "c_custkey", buckets = 4)
+    val n = spark.table("d_alter_cust").count()
+
+    // re-distribute on a different column with a different bucket count
+    val spec = DistributionCatalog.alterDistributedTable(
+      spark, "d_alter_cust", distColumn = Some("c_nationkey"),
+      buckets = Some(8))
+    assert(spec.distColumn.contains("c_nationkey") && spec.bucketCount === 8)
+    assert(spark.table("d_alter_cust").count() === n, "data survives rewrite")
+    // now colocatable with the 8-bucket fact tables on the same key type
+    DistributionCatalog.createDistributedTable(spark,
+      Tables(spark, TestSpark.sf, "orders")
+        .withColumn("c_nationkey", col("o_custkey") % 25),
+      "d_alter_ord", "c_nationkey", buckets = 8,
+      colocateWith = Some("d_alter_cust"))
+    assert(DistributionCatalog.colocated("d_alter_cust", "d_alter_ord"))
+
+    // undistribute: rows intact, catalog entry gone
+    DistributionCatalog.undistributeTable(spark, "d_alter_cust")
+    assert(DistributionCatalog.spec("d_alter_cust").isEmpty)
+    assert(spark.table("d_alter_cust").count() === n)
+  }
 }

@@ -130,6 +130,31 @@ class ExtensionSpec extends AnyFunSuite {
         assert(aggInputLimited(approx))
         assert(approx.collect().length === 5)
       } finally extSpark.conf.set(ApproximateLimit.ConfKey, "0")
+
+      // count(DISTINCT) error-rate rule: conf >0 replans the exact
+      // distinct count as a HyperLogLog++ sketch.
+      import graft.plans.ApproxCountDistinct
+      def hllPlanned(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if a.aggregateExpressions.exists(_.exists {
+                case _: org.apache.spark.sql.catalyst.expressions.aggregate
+                  .HyperLogLogPlusPlus => true
+                case _ => false
+              }) => a
+        }.nonEmpty
+      val li = Tables(extSpark, TestSpark.sf, "lineitem")
+      val exactDf = li.agg(countDistinct(col("l_partkey")).as("n"))
+      assert(!hllPlanned(exactDf)) // off by default
+      val exact = exactDf.collect()(0).getLong(0)
+      extSpark.conf.set(ApproxCountDistinct.ConfKey, "0.02")
+      try {
+        val approxDf = li.agg(countDistinct(col("l_partkey")).as("n"))
+        assert(hllPlanned(approxDf))
+        val est = approxDf.collect()(0).getLong(0)
+        assert(math.abs(est - exact).toDouble / exact < 0.05,
+          s"HLL estimate $est vs exact $exact")
+      } finally extSpark.conf.set(ApproxCountDistinct.ConfKey, "0")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
       SparkSession.clearActiveSession()
