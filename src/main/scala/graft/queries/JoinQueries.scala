@@ -167,7 +167,30 @@ object JoinQueries extends QueryModule {
         ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
       GROUP BY a.s_nationkey ORDER BY a_nation"""))
 
+  /** Salted skew join (operators/SkewJoin): the hot-key mitigation for
+    * when one join key's rows exceed a reducer (the 100 TB hot-tenant
+    * problem; AQE skew-split is the automatic path, salting the manual
+    * one). Salting MUST NOT change semantics — the oracle is the plain
+    * unsalted join, so the gate proves spread-over-n-reducers ≡ direct
+    * join. */
+  private val skewSalted = GraftQuery(
+    "join_skew_salted",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.operators.SkewJoin.saltedEquiJoin(li, sup, "l_suppkey", 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(money(col("l_quantity"))).as("total_qty"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     broadcastRef, shuffleJoin, leftOuter, fullOuter, semiJoin, antiJoin,
-    crossJ, thetaJoin)
+    crossJ, thetaJoin, skewSalted)
 }

@@ -353,7 +353,80 @@ object TextQueries extends QueryModule {
               '\d', '', 'g')) AS n_digits_after
       FROM aug ORDER BY doc_id"""))
 
+  /** End-to-end training-data pipeline funnel: normalize → quality gate
+    * (length + type-token ratio) → exact near-dup removal (min doc_id
+    * per normalized-prefix key) → language gate (stopword score), with
+    * per-stage doc/token accounting — the report a corpus-curation run
+    * produces. Scale shape: the gates are pure map stages fused into one
+    * codegen span over the scan; dedup is ONE shuffle on the dedup key
+    * with `min_by` partial aggregation (no window, no pairwise); the
+    * stage totals are partial+final count/sum aggregates. At 100 TB this
+    * is a single pass over the corpus plus one key shuffle of the
+    * quality survivors. */
+  private val pipelineFunnel = GraftQuery(
+    "text_pipeline_funnel",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"),
+        length(col("text")).as("len"),
+        size(tokens).as("n_tok"),
+        (size(array_distinct(tokens)).cast(DoubleType) / size(tokens))
+          .as("ttr"),
+        size(filter(tokens, w =>
+          w.isin(Seq("the", "a", "of", "value", "table").map(lit(_)): _*)))
+          .as("s_en"))
+      val quality = base.filter(
+        col("len").between(100, 20000) && col("ttr") >= 0.25)
+      val deduped = quality
+        .groupBy(substring(col("norm"), 1, 30).as("dedup_key"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          min_by(col("n_tok"), col("doc_id")).as("n_tok"),
+          min_by(col("s_en"), col("doc_id")).as("s_en"))
+      val langKept = deduped.filter(col("s_en") >= 5)
+      def stage(no: Int, name: String, df: DataFrame,
+          tok: Column): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(tok), lit(0L)).cast(LongType).as("total_tokens"))
+          .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+            col("n_docs"), col("total_tokens"))
+      stage(1, "raw", base, col("n_tok"))
+        .unionAll(stage(2, "quality", quality, col("n_tok")))
+        .unionAll(stage(3, "dedup", deduped, col("n_tok")))
+        .unionAll(stage(4, "lang", langKept, col("n_tok")))
+        .orderBy(col("stage_no"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+          length(text) AS len,
+          len(string_split(text, ' ')) AS n_tok,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS ttr,
+          len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','of','value','table'))) AS s_en
+        FROM documents),
+      quality AS (
+        SELECT * FROM base WHERE len BETWEEN 100 AND 20000 AND ttr >= 0.25),
+      deduped AS (
+        SELECT substring(norm, 1, 30) AS dedup_key,
+          MIN(doc_id) AS keep_id,
+          min_by(n_tok, doc_id) AS n_tok,
+          min_by(s_en, doc_id) AS s_en
+        FROM quality GROUP BY 1),
+      lang AS (SELECT * FROM deduped WHERE s_en >= 5)
+      SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+        COUNT(*) AS n_docs,
+        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS total_tokens FROM base
+      UNION ALL SELECT 2, 'quality', COUNT(*),
+        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM quality
+      UNION ALL SELECT 3, 'dedup', COUNT(*),
+        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM deduped
+      UNION ALL SELECT 4, 'lang', COUNT(*),
+        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM lang
+      ORDER BY stage_no"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
-    normalize, piiMask, minhashExact)
+    normalize, piiMask, minhashExact, pipelineFunnel)
 }
