@@ -19,13 +19,19 @@ object Bench {
       .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
       .getOrElse(0L)
     val shufParts = math.max(1L,
-      math.min(cpus.toLong * 4, inputBytes / (64L << 20))).toString
+      math.min(cpus.toLong * 4, inputBytes / (64L << 20)))
+    // AQE's runtime re-planning (coalesce/skew-split) only has material
+    // to work with when a shuffle has many partitions; at a handful it
+    // just adds per-stage re-optimization latency (measured: 5.27 vs
+    // 5.57 s/set at shuffle=1). Keep it for real partition counts —
+    // at 100 TB shufParts is in the thousands and AQE is load-bearing.
+    val aqe = shufParts >= 8
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", shufParts)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)
       // measured wins at sf0.1 (see BenchTune): kryo for broadcast/cache
       // serde, a broadcast threshold that keeps every dim table on the
       // hash side, and raw in-memory columns (cache is already compact).
