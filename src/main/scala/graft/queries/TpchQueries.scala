@@ -69,8 +69,11 @@ object TpchQueries extends QueryModule {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders").filter(col("o_orderdate") < ts("1997-03-15"))
       val li = t(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-03-15"))
-      cust.join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // Fact-driven: lineitem (unbroadcastable) anchors; the filtered
+      // orders/customer sides broadcast under bench stats, shuffle-join
+      // at scale — see q5.
+      li.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -123,9 +126,16 @@ object TpchQueries extends QueryModule {
           col("o_orderdate") < ts("1997-01-01"))
       val li = t(s, dir, "lineitem")
       val supp = t(s, dir, "supplier")
-      cust
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // Fact-driven join order: lineitem is the one table that can never
+      // be broadcast, so it anchors the plan and every other side joins
+      // INTO it. Only the genuinely bounded tables (nation 25 rows,
+      // region 5) carry a broadcast hint; orders/customer/supplier are
+      // left to the planner — under the bench's stats they broadcast
+      // (single all-BHJ stage, no orderkey shuffle), at 100 TB they fall
+      // back to shuffle joins on the colocated bucketed layout.
+      li
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -209,9 +219,8 @@ object TpchQueries extends QueryModule {
         .filter(col("o_orderdate") >= ts("1996-10-01") &&
           col("o_orderdate") < ts("1997-01-01"))
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      t(s, dir, "customer")
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      li.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
