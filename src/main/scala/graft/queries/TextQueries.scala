@@ -278,6 +278,61 @@ object TextQueries extends QueryModule {
         ORDER BY a_id, b_id"""))
   }
 
+  /** SimHash near-dup with an EXACT oracle: 32-bit simhash over a
+    * PORTABLE per-token hash (md5 prefix, as in `dedup_minhash_exact`;
+    * the native codegen'd `SimHash64Expr` behind `dedup_simhash` stays
+    * the production path). Bit votes are one groupBy(doc, bit) — a
+    * single shuffle that scales with corpus × 32 — and the pair stage
+    * here is an all-pairs check on a 150-doc slice so the ORACLE covers
+    * the exact hamming filter; at corpus scale the production path
+    * blocks by signature band instead of pairing globally. */
+  private val simhashExact = GraftQuery(
+    "dedup_simhash_exact",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      val h = docs
+        .select(col("doc_id"), explode(tokens).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10)
+            .cast(LongType).as("hv"))
+      val bits = h
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(expr("(hv >> b) & 1") === 1, 1L).otherwise(-1L))
+          .as("vote"))
+      val sig = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("vote") > 0,
+          expr("CAST(1 AS BIGINT) << b")).otherwise(0L)).as("sig"))
+      val a = sig.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+      val b = sig.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType)
+            .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 150),
+      h AS (SELECT doc_id,
+        ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM toks),
+      bits AS (
+        SELECT doc_id, b.b,
+          SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) b
+        GROUP BY doc_id, b.b),
+      sig AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b
+            ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 2
+      ORDER BY a_id, b_id"""))
+
   /** Text normalization for training corpora: URL/email templating,
     * whitespace collapse, case folding. The corpus is synthetic, so the
     * URL/email is appended deterministically first — the point is the
@@ -428,5 +483,5 @@ object TextQueries extends QueryModule {
 
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
-    normalize, piiMask, minhashExact, pipelineFunnel)
+    normalize, piiMask, minhashExact, simhashExact, pipelineFunnel)
 }
