@@ -345,8 +345,58 @@ object AggQueries extends QueryModule {
         .orderBy(col("l_returnflag")),
     None)
 
+  /** PIVOT / crosstab (PostgreSQL tablefunc `crosstab`; Spark native
+    * `pivot`). Catalyst plans it as ONE grouped aggregate with a
+    * conditional-agg column per pivot value — same shuffle profile as
+    * any groupBy, no per-value passes. Missing cells filled with 0 to
+    * match the FILTER-count oracle. */
+  private val pivotQ = GraftQuery(
+    "agg_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+      COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+      COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+      COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+      COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+        AS "4-NOT SPECIFIED",
+      COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Deterministic hash-mod sampling (TABLESAMPLE's scalable cousin):
+    * a stable 1/16 sample keyed on the row identity via a portable
+    * hash, so every executor — and every RERUN — picks the same rows
+    * with zero coordination. This is how a 100 TB pipeline samples:
+    * pure map-side predicate, pushes nothing to the driver, and the
+    * sample is reproducible for A/B offline evals. */
+  private val sampleHashMod = GraftQuery(
+    "sample_hash_mod",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          (conv(substring(md5(concat_ws(":",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 16) === 0)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          dsum(money(col("l_quantity"))).as("sample_qty"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(*) AS n_sampled,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sample_qty
+      FROM lineitem
+      WHERE ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||':'||
+        CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT % 16 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
     having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
-    stddevVar, percentileExact, percentileApprox)
+    stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod)
 }

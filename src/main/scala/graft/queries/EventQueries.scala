@@ -145,6 +145,39 @@ object EventQueries extends QueryModule {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.event_id"""))
 
+  /** Retention cohorts: users grouped by first-seen week, counted in
+    * each later week they return — the standard product-analytics
+    * triangle. Two shuffles total (first-seen agg on user_id, cohort
+    * roll-up), both on bounded keys; at 100 TB the distinct-activity
+    * stage pre-aggregates map-side because (user_id, week) repeats
+    * within partitions. */
+  private val retention = GraftQuery(
+    "events_retention_cohort",
+    (s, dir) => {
+      val activity = ev(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_week"))
+      activity.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events),
+      cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM activity GROUP BY 1)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+        COUNT(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(tumbling, sliding, sessions, sessionize, funnel, asof)
+    Seq(tumbling, sliding, sessions, sessionize, funnel, asof, retention)
 }
