@@ -241,6 +241,38 @@ object ScalarQueries extends QueryModule {
         AS n_vowels
       FROM part ORDER BY p_partkey"""))
 
+  /** Interval arithmetic + fixed-width time bucketing (PG `date_bin` /
+    * DuckDB `time_bucket`): Spark lacks date_bin, so the bucket is
+    * epoch-floor arithmetic — a pure codegen'd map expression, no UDF.
+    * Also exercises interval addition and day-diff. */
+  private val intervals = GraftQuery(
+    "scalar_interval_funcs",
+    (s, dir) => {
+      val origin = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val bucketSec = 15L * 86400L
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          timestamp_seconds(
+            floor((unix_timestamp(col("o_orderdate")) -
+              unix_timestamp(origin)).cast("double") / bucketSec)
+              .cast("long") * bucketSec + unix_timestamp(origin)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          avg(datediff(lit(java.sql.Date.valueOf("1997-01-01")),
+            col("o_orderdate").cast("date"))).as("avg_days_to_cutoff"),
+          min(col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("first_due"))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT
+      time_bucket(INTERVAL 15 DAYS, o_orderdate,
+        TIMESTAMP '1996-01-01') AS bucket,
+      COUNT(*) AS n_orders,
+      CAST(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+        DATE '1997-01-01')) AS DOUBLE) AS avg_days_to_cutoff,
+      MIN(o_orderdate + INTERVAL 90 DAY) AS first_due
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    strings, dates, maths, conditionals, casts, jsonExtract, arrays, regexes)
+    strings, dates, maths, conditionals, casts, jsonExtract, arrays, regexes,
+    intervals)
 }

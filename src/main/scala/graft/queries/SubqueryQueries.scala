@@ -168,7 +168,27 @@ object SubqueryQueries extends QueryModule {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       ORDER BY n_name, t.o_orderkey"""))
 
+  /** Quantified comparison (`>= ALL (correlated subquery)` — PG surface
+    * the reference pushes down when colocated): decorrelated here into a
+    * per-group window max, so the 100 TB plan is one shuffle on the
+    * correlation key instead of a per-row subquery execution. The oracle
+    * runs the genuine ALL form. */
+  private val anyAll = GraftQuery(
+    "subquery_any_all",
+    sql("""SELECT c_custkey, c_nationkey, c_acctbal FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+          MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_max
+        FROM customer)
+      WHERE c_acctbal >= nation_max
+      ORDER BY c_nationkey, c_custkey"""),
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer c
+      WHERE c_acctbal >= ALL (
+        SELECT c2.c_acctbal FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_nationkey, c_custkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     scalarSub, correlated, inSub, fromSub, cteChain, notIn, existsCombo,
-    lateralSub)
+    lateralSub, anyAll)
 }
