@@ -121,6 +121,29 @@ object StreamingOps {
         col("purchase_ts"), col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[clickPurchaseJoin]]
+    * but clicks with NO purchase in the following hour are emitted
+    * null-extended — and only once the watermark passes the click's
+    * join window, because until then a matching purchase could still
+    * arrive. This is the streaming form of the reference's outer join
+    * with a recurring inner side; state stays bounded by the same
+    * watermark+interval eviction as the inner variant. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset path for state machines the built-in
     * windows can't express. Emits one summary per user on timeout/end. */

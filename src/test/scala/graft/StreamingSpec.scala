@@ -145,6 +145,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-extends unmatched clicks " +
+      "after watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = sampleEvents.filter(_.event_type == "click")
+    val buys = sampleEvents.filter(_.event_type == "buy")
+    // sentinel far past the data pushes both watermarks beyond every
+    // click's join window so the null-extended rows are emitted
+    val maxTs = sampleEvents.map(_.ts.getTime).max
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(maxTs + 12 * 3600 * 1000L), -1L, "noop", 0.0)
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseLeftJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ssj_left_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = clicks.splitAt(40)
+      val (p1, p2) = buys.splitAt(60)
+      cs.addData(c1); ps.addData(p1); q.processAllAvailable()
+      cs.addData(c2); ps.addData(p2); q.processAllAvailable()
+      cs.addData(Seq(sentinel)); ps.addData(Seq(sentinel))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))
+      val streamed = spark.table("ssj_left_out").collect()
+        .filter(_.getLong(0) >= 0).map(key).toSet
+      val batch = StreamingOps.clickPurchaseLeftJoin(
+          clicks.toDF(), buys.toDF()).collect().map(key).toSet
+      assert(streamed === batch)
+      // the outer semantics actually fired: some clicks are unmatched
+      assert(batch.exists(_._3.isEmpty) && batch.exists(_._3.nonEmpty))
+    } finally q.stop()
+  }
+
   test("CDC materialization: streamed change log equals batch snapshot") {
     import spark.implicits._
     import graft.streaming.StreamingOps.Change
