@@ -395,8 +395,65 @@ object AggQueries extends QueryModule {
         CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT % 16 = 0
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** PG ordered-set aggregates — `mode() WITHIN GROUP` and
+    * `percentile_disc(0.5) WITHIN GROUP` — as deterministic
+    * compositions (count + rank for mode with a value tie-break;
+    * row_number at ceil(n/2) for the discrete median), written
+    * IDENTICALLY in both engines so ties can't diverge. Shuffle
+    * profile: one partial+final count agg and one window sort per
+    * group key — both scale-safe. */
+  private val orderedSet = GraftQuery(
+    "agg_ordered_set",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val wMode = Window.partitionBy(col("f"))
+        .orderBy(col("c").desc, col("st"))
+      val mode = li
+        .groupBy(col("l_returnflag").as("f"), col("l_linestatus").as("st"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wMode))
+        .filter(col("rn") === 1)
+        .select(col("f"), col("st").as("modal_status"),
+          col("c").as("mode_cnt"))
+      val wQty = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val p50 = li
+        .select(col("l_returnflag").as("f"), col("l_quantity"),
+          row_number().over(wQty).as("rn"),
+          count(lit(1)).over(wAll).as("n"))
+        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .select(col("f"), col("l_quantity").as("p50_qty"))
+      mode.join(p50, "f")
+        .select(col("f").as("l_returnflag"), col("modal_status"),
+          col("mode_cnt"), col("p50_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH counts AS (
+        SELECT l_returnflag AS f, l_linestatus AS st, COUNT(*) AS c
+        FROM lineitem GROUP BY 1, 2),
+      m AS (
+        SELECT f, st, c,
+          ROW_NUMBER() OVER (PARTITION BY f ORDER BY c DESC, st) AS rn
+        FROM counts),
+      q AS (
+        SELECT l_returnflag AS f, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      p AS (
+        SELECT f, l_quantity AS p50_qty FROM q
+        WHERE rn = CAST(ceil(n * 0.5) AS BIGINT))
+      SELECT m.f AS l_returnflag, m.st AS modal_status,
+        CAST(m.c AS BIGINT) AS mode_cnt, p.p50_qty
+      FROM m JOIN p ON m.f = p.f
+      WHERE m.rn = 1
+      ORDER BY l_returnflag"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
     having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
-    stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod)
+    stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod,
+    orderedSet)
 }
