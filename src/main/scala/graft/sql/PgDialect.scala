@@ -71,8 +71,26 @@ object PgDialect {
     }
   }
 
+  /** PG regex-match operators: `expr ~ 'pat'` → `expr RLIKE 'pat'`,
+    * `expr !~ 'pat'` → `NOT (expr RLIKE 'pat')`, case-insensitive
+    * `~*` / `!~*` via an inline `(?i)` flag. Operand forms mirror
+    * [[rewriteCasts]]. */
+  def rewriteRegexOps(sql: String): String = {
+    val opRe =
+      """(('[^']*')|("[^"]*")|(\([^()]*\))|([A-Za-z_][A-Za-z0-9_.]*))\s*(!?~\*?)\s*'([^']*)'""".r
+    opRe.replaceAllIn(sql, m => {
+      val operand = m.group(1)
+      val op = m.group(6)
+      val pat = m.group(7)
+      val ci = if (op.endsWith("*")) "(?i)" else ""
+      val base = s"$operand RLIKE '$ci$pat'"
+      java.util.regex.Matcher.quoteReplacement(
+        if (op.startsWith("!")) s"NOT ($base)" else base)
+    })
+  }
+
   def translate(sql: String): String =
-    rewriteCasts(rewriteDistinctOn(sql))
+    rewriteCasts(rewriteRegexOps(rewriteDistinctOn(sql)))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

@@ -45,6 +45,20 @@ class ExtensionSpec extends AnyFunSuite {
       === "SELECT CAST((a+b) AS numeric(12,2)) FROM t")
   }
 
+  test("pg regex operators rewrite to RLIKE") {
+    assert(PgDialect.rewriteRegexOps("SELECT * FROM t WHERE x ~ '^ab.*c$'")
+      === "SELECT * FROM t WHERE x RLIKE '^ab.*c$'")
+    assert(PgDialect.rewriteRegexOps("WHERE x !~ 'a' AND y ~* 'B'")
+      === "WHERE NOT (x RLIKE 'a') AND y RLIKE '(?i)B'")
+    Tables.registerAll(spark, TestSpark.sf)
+    val n = PgDialect.sql(spark,
+      "SELECT count(*) AS n FROM part WHERE p_name ~ 'widget$'")
+      .collect()(0).getLong(0)
+    val exact = Tables(spark, TestSpark.sf, "part")
+      .filter(col("p_name").endsWith("widget")).count()
+    assert(n === exact && n > 0)
+  }
+
   test("DISTINCT ON rewrites to a row_number filter and runs") {
     Tables.registerAll(spark, TestSpark.sf)
     val df = PgDialect.sql(spark,
