@@ -138,6 +138,51 @@ object WindowQueries extends QueryModule {
           CAST(SUM(grp) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS share
       FROM g ORDER BY o_orderstatus, o_orderpriority"""))
 
+  /** GROUPS-mode frame (`GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW` —
+    * PG window surface that neither Spark nor DuckDB implements): the
+    * peer-group frame rewrites to a RANGE frame over `dense_rank` of
+    * the order key — dense_rank numbers peer groups consecutively, so
+    * "±k groups" IS "±k in dense_rank space". The oracle computes the
+    * same semantics a THIRD way (per-group sums + lag + join back), so
+    * the rewrite is checked against an independent formulation. */
+  private val groupsFrame = GraftQuery(
+    "window_groups_frame",
+    (s, dir) => {
+      val wRank = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("d"))
+      val wFrame = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("dr")).rangeBetween(-1, 0)
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") < ts("1996-04-01"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").cast(DateType).as("d"),
+          cents(col("o_totalprice")).as("tc"))
+        .withColumn("dr", dense_rank().over(wRank))
+        .withColumn("grp_sum",
+          (sum(col("tc")).over(wFrame).cast(DoubleType) / 100)
+            .as("grp_sum"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("d"),
+          col("grp_sum"))
+        .orderBy(col("o_orderstatus"), col("d"), col("o_orderkey"))
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-04-01'),
+      per_day AS (
+        SELECT o_orderstatus, d, SUM(tc) AS day_sum
+        FROM base GROUP BY 1, 2),
+      framed AS (
+        SELECT o_orderstatus, d,
+          day_sum + COALESCE(LAG(day_sum) OVER (
+            PARTITION BY o_orderstatus ORDER BY d), 0) AS frame_sum
+        FROM per_day)
+      SELECT b.o_orderkey, b.o_orderstatus, b.d,
+        CAST(f.frame_sum AS DOUBLE) / 100 AS grp_sum
+      FROM base b JOIN framed f
+        ON b.o_orderstatus = f.o_orderstatus AND b.d = f.d
+      ORDER BY b.o_orderstatus, b.d, b.o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    ranking, runningSum, lagLead, rangeFrame, shareOfTotal)
+    ranking, runningSum, lagLead, rangeFrame, shareOfTotal, groupsFrame)
 }
