@@ -196,6 +196,38 @@ object DistributionCatalog {
       .format("parquet").saveAsTable(name)
   }
 
+  /** The `citus_shards` size view (`sql/udfs/citus_shards/` — shard
+    * name, size, placement): per-bucket bytes and row counts of a
+    * hash-distributed table. Bucket file sizes come from the
+    * filesystem (shard ≙ bucket files `*_NNNNN.*`), row counts from
+    * one grouped scan. The skew this surfaces is the decision input
+    * for [[alterDistributedTable]] (re-bucket) or a salted join —
+    * the rebalancer's diagnosis step. */
+  def shardSizes(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == Hash && s.bucketCount > 0,
+      s"$name is not hash-bucketed")
+    val bucketRe = "_(\\d{5})[_.]".r
+    val bytes = Option(new java.io.File(warehousePath(spark, name))
+        .listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .flatMap(f => bucketRe.findFirstMatchIn(f.getName)
+        .map(m => m.group(1).toInt -> f.length()))
+      .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2).sum }
+    // bucket id comes from the file name (file-splits ≠ buckets: tiny
+    // files pack many-per-partition, so spark_partition_id won't do)
+    import org.apache.spark.sql.functions.{input_file_name, regexp_extract}
+    val rows = spark.table(name)
+      .groupBy(regexp_extract(input_file_name(), "_(\\d{5})[_.]", 1)
+        .cast("int").as("bucket"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until s.bucketCount).map { b =>
+      (name, b, bytes.getOrElse(b, 0L), rows.getOrElse(b, 0L))
+    }.toDF("table_name", "shard", "size_bytes", "n_rows")
+  }
+
   def reset(): Unit = specs.clear()
 
   private def warehousePath(spark: SparkSession, name: String): String =

@@ -89,6 +89,17 @@ class CatalogSpec extends AnyFunSuite {
       s"expected l_quantity in PushedFilters, got: $pushed")
   }
 
+  test("citus_shards-style size view: per-bucket bytes and rows") {
+    setup
+    val sizes = DistributionCatalog.shardSizes(spark, "d_orders").collect()
+    assert(sizes.length === 8)
+    val totalRows = sizes.map(_.getLong(3)).sum
+    assert(totalRows === Tables(spark, TestSpark.sf, "orders").count())
+    // hash distribution actually spread the data: no empty bucket, and
+    // every bucket has a real file behind it
+    assert(sizes.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("alter_distributed_table rewrites distribution; undistribute drops it") {
     setup
     val cust = Tables(spark, TestSpark.sf, "customer")
