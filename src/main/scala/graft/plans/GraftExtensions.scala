@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.CosineSimExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[graft.functions.JaccardSimExpr].getName,
+        "jaccard_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.JaccardSimExpr(exprs(0), exprs(1))))
   }
 }
 

@@ -451,9 +451,41 @@ object AggQueries extends QueryModule {
       WHERE m.rn = 1
       ORDER BY l_returnflag"""))
 
+  /** Consistent per-group sampling = bottom-k by a portable hash (the
+    * KMV/bottom-k sketch's row-selection rule): every engine, every
+    * run, every SF picks the same representatives per group. Runs on
+    * the custom TopKPerGroup operator (bounded per-partition heaps →
+    * shuffle k survivors per group → merge), so the per-group sample
+    * never materializes a full sort — at 100 TB each executor ships at
+    * most k rows per group. */
+  private val sampleBottomK = GraftQuery(
+    "sample_bottomk_per_group",
+    (s, dir) => {
+      val keyed = t(s, dir, "lineitem")
+        .withColumn("hk", md5(concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))))
+      graft.plans.TopKPerGroup(keyed,
+          groupCols = Seq(col("l_returnflag")),
+          orderCols = Seq(col("hk").asc),
+          k = 3)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("hk"))
+        .orderBy(col("l_returnflag"), col("hk"))
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, hk FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+          md5(CAST(l_orderkey AS VARCHAR)||':'||
+            CAST(l_linenumber AS VARCHAR)) AS hk,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY md5(CAST(l_orderkey AS VARCHAR)||':'||
+              CAST(l_linenumber AS VARCHAR))) AS rn
+        FROM lineitem) WHERE rn <= 3
+      ORDER BY l_returnflag, hk"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
     having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
     stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod,
-    orderedSet)
+    orderedSet, sampleBottomK)
 }

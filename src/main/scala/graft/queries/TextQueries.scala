@@ -171,8 +171,10 @@ object TextQueries extends QueryModule {
         col("toks").as("b_toks"))
       a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType) /
-            size(array_union(col("a_toks"), col("b_toks")))).as("jaccard"))
+          // native single-pass expression; bit-identical to the
+          // intersect/union composition (ExtensionSpec differential)
+          graft.functions.JaccardSimExpr.jaccardSim(
+            col("a_toks"), col("b_toks")).as("jaccard"))
         .filter(col("jaccard") > 0.85)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -236,8 +238,8 @@ object TextQueries extends QueryModule {
           .join(tsets.select(col("doc_id").as("b_id"), col("t").as("b_t")),
             "b_id")
           .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_t"), col("b_t"))).cast(DoubleType) /
-              size(array_union(col("a_t"), col("b_t")))).as("jaccard"))
+            graft.functions.JaccardSimExpr.jaccardSim(
+              col("a_t"), col("b_t")).as("jaccard"))
           .filter(col("jaccard") > 0.85)
           .orderBy(col("a_id"), col("b_id"))
       },

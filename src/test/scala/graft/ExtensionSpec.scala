@@ -38,6 +38,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(pairs.count() === 500)
   }
 
+  test("native jaccard_sim equals the composed intersect/union form") {
+    import graft.functions.JaccardSimExpr
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("t"))
+    val a = docs.select(col("doc_id").as("a_id"), col("t").as("a_t"))
+    val b = docs.select(col("doc_id").as("b_id"), col("t").as("b_t"))
+    val pairs = a.join(b, col("a_id") < col("b_id")).limit(400)
+      .select(
+        JaccardSimExpr.jaccardSim(col("a_t"), col("b_t")).as("native"),
+        (size(array_intersect(col("a_t"), col("b_t"))).cast("double") /
+          size(array_union(col("a_t"), col("b_t")))).as("composed"))
+    assert(pairs.filter(col("native") =!= col("composed")).count() === 0)
+    assert(pairs.count() === 400)
+  }
+
   test("pg :: casts rewrite to CAST..AS with type mapping") {
     assert(PgDialect.rewriteCasts("SELECT '5'::int8, x::float8 FROM t")
       === "SELECT CAST('5' AS BIGINT), CAST(x AS DOUBLE) FROM t")
