@@ -48,6 +48,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode tumbling agg drops data later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600 * 1000L
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    def at(ms: Long, id: Long) =
+      Event(id, new java.sql.Timestamp(ms), 1L, "click", 1.0)
+    val onTime = Seq(at(base + 10 * 60 * 1000L, 1), at(base + 20 * 60 * 1000L, 2))
+    val advance = Seq(at(base + 10 * h, 3)) // watermark → t+8h, well past hour 0
+    val late = Seq(at(base + 30 * 60 * 1000L, 4)) // hour-0 event, arrives too late
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late_drop_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(onTime); q.processAllAvailable()
+      stream.addData(advance); q.processAllAvailable()
+      stream.addData(late); q.processAllAvailable()
+      // one more watermark bump so every finalized window is emitted
+      stream.addData(Seq(at(base + 20 * h, 5))); q.processAllAvailable()
+      val hour0 = new java.sql.Timestamp(base)
+      val streamed = spark.table("late_drop_out")
+        .filter(col("window_start") === hour0)
+        .select("n_events").collect().map(_.getLong(0))
+      // the late event was DROPPED: hour 0 closed at 2 events
+      assert(streamed.toSeq === Seq(2))
+      // batch over the same data (no arrival order) counts all 3
+      val batchHour0 = StreamingOps.tumblingCounts(
+          (onTime ++ advance ++ late).toDF())
+        .filter(col("window_start") === hour0)
+        .collect().map(_.getLong(2))
+      assert(batchHour0.toSeq === Seq(3))
+    } finally q.stop()
+  }
+
   test("stateful sessionization merges state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
