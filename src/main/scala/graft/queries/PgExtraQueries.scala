@@ -138,6 +138,42 @@ object PgExtraQueries extends QueryModule {
           (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 8) AS corr
       FROM m ORDER BY l_returnflag"""))
 
+  /** Ordered aggregates keyed by a DIFFERENT column —
+    * `string_agg(x ORDER BY y DESC)` / `array_agg(x ORDER BY y DESC)`.
+    * The reference ERRORS on any ORDER BY inside an aggregate
+    * (`DeferErrorIfUnsupportedArrayAggregate`,
+    * multi_logical_optimizer.c:312) because per-shard partials can't be
+    * order-merged; Spark can, via collect_list of (key, value) structs
+    * sorted after the merge — the sort happens once per group on the
+    * final side, so the partial/merge stages stay order-free exactly
+    * like citus's, and we EXCEED the reference. DESC via negated key;
+    * value ASC tie-break matches the oracle's ORDER BY list. */
+  private val orderedAgg = GraftQuery(
+    "agg_ordered_by_other",
+    (s, dir) => {
+      val kv = struct((-col("s_acctbal")).as("k"), col("s_name").as("v"))
+      t(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 30)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          array_join(transform(array_sort(collect_list(kv)),
+            x => x.getField("v")), ";").as("by_balance"),
+          // array_agg(ORDER BY) itself, surfaced as its first element
+          // (raw array columns don't round-trip the driver's hash gate)
+          transform(array_sort(collect_list(kv)), x => x.getField("v"))
+            .getItem(0).as("top_by_balance"),
+          count(lit(1)).as("n"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey,
+      string_agg(s_name, ';' ORDER BY s_acctbal DESC, s_name)
+        AS by_balance,
+      (list(s_name ORDER BY s_acctbal DESC, s_name))[1]
+        AS top_by_balance,
+      COUNT(*) AS n
+      FROM supplier WHERE s_suppkey <= 30
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar)
+    Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg)
 }
