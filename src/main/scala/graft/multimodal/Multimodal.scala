@@ -88,6 +88,33 @@ object Multimodal {
     }
   }
 
+  final case class Thumb(
+      doc_id: Long,
+      out_w: Int, out_h: Int,    // scaled metadata
+      thumb_len: Int,
+      thumb_md5: String)         // content hash of the resized payload
+
+  /** ===== STUB ===== deterministic fake "resize" for image payloads:
+    * the thumbnail is a fixed-size prefix crop of the payload and the
+    * metadata is scaled by the factor — a real deployment replaces the
+    * crop with the codec's decode→scale→encode. The partition-wise
+    * batch loop, the typed output schema, and the
+    * small-feature-table-out contract are the real plumbing. */
+  def resizeStub(media: Dataset[MediaItem], factor: Int = 4,
+      thumbBytes: Int = 48): Dataset[Thumb] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "image").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val thumb = m.content.take(thumbBytes)
+        md.reset()
+        val hex = md.digest(thumb).map("%02x".format(_)).mkString
+        Thumb(m.doc_id, m.width / factor, m.height / factor,
+          thumb.length, hex)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th chunk of
     * `frameLen` bytes becomes one frame row (explode keeps it narrow). */
   def sampleFrames(media: Dataset[MediaItem], frameLen: Int = 64,

@@ -62,5 +62,22 @@ object MultimodalQueries extends QueryModule {
         GREATEST(length(text) // 256 - 1, 0) + 1 AS n_frames
       FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id"""))
 
-  override val queries: Seq[GraftQuery] = Seq(meta, features, frames)
+  /** Resize stub for image payloads: prefix-crop thumbnail + scaled
+    * metadata, exact-oracled via the ASCII char≙byte equivalence
+    * (md5 of the cropped chars ≡ md5 of the cropped bytes). */
+  private val resize = GraftQuery(
+    "mm_resize_stub",
+    (s, dir) =>
+      Multimodal.resizeStub(media(s, dir)).toDF()
+        .filter(col("doc_id") < 100)
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST((n_chars % 640) // 4 AS INT) AS out_w,
+        CAST((n_chars % 480) // 4 AS INT) AS out_h,
+        CAST(LEAST(length(text), 48) AS INT) AS thumb_len,
+        md5(substring(text, 1, 48)) AS thumb_md5
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 100
+      ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] = Seq(meta, features, frames, resize)
 }
