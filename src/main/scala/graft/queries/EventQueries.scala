@@ -123,18 +123,17 @@ object EventQueries extends QueryModule {
     "events_asof_join",
     (s, dir) => {
       val e = ev(s, dir)
-      // tag: purchases sort before clicks at identical ts (match ties)
-      val tagged = e.filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("last_purchase_ts",
-          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select(col("event_id"), col("user_id"), col("last_purchase_ts"))
+      // the generic operator (operators/AsOfJoin): union + tagged
+      // ordering + running last_value — one key shuffle, no range join
+      graft.operators.AsOfJoin.asofBackward(
+          left = e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          right = e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          pick = Seq("ts"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("last_purchase_ts"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT c.event_id, c.user_id,
