@@ -228,7 +228,54 @@ object DistributionCatalog {
     }.toDF("table_name", "shard", "size_bytes", "n_rows")
   }
 
-  def reset(): Unit = specs.clear()
+  private val matviews =
+    TrieMap.empty[String, SparkSession => DataFrame]
+
+  /** Materialized view over distributed tables (`sql/materialized_view
+    * .sql`, `columnar_matview.sql` — the reference supports matviews on
+    * coordinator over distributed reads): the defining query runs once
+    * and lands as a stored table; readers scan the materialization, not
+    * the plan. Distribute the result by passing `distColumn` (≙ a
+    * matview you then create_distributed_table on, a pattern the
+    * reference's tests exercise). */
+  def createMaterializedView(spark: SparkSession, name: String,
+      definition: SparkSession => DataFrame,
+      distColumn: Option[String] = None,
+      buckets: Int = DefaultBuckets): Unit = {
+    matviews.put(name, definition)
+    materialize(spark, name, definition, distColumn, buckets)
+  }
+
+  /** `REFRESH MATERIALIZED VIEW` — recompute the stored result from the
+    * current state of its inputs. */
+  def refreshMaterializedView(spark: SparkSession, name: String): Unit = {
+    val defn = matviews.getOrElse(name,
+      throw new IllegalArgumentException(s"no such materialized view: $name"))
+    val spec = specs.get(name)
+    materialize(spark, name, defn,
+      spec.filter(_.method == Hash).flatMap(_.distColumn),
+      spec.map(_.bucketCount).filter(_ > 0).getOrElse(DefaultBuckets))
+  }
+
+  private def materialize(spark: SparkSession, name: String,
+      definition: SparkSession => DataFrame, distColumn: Option[String],
+      buckets: Int): Unit = {
+    // evaluate BEFORE dropping the old materialization (the definition
+    // may read it, and refresh must not see its own target mid-write)
+    val data = definition(spark).localCheckpoint(eager = true)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    specs.remove(name)
+    distColumn match {
+      case Some(c) => createDistributedTable(spark, data, name, c, buckets)
+      case None =>
+        data.write.mode("overwrite")
+          .option("path", warehousePath(spark, name))
+          .option("compression", "zstd")
+          .format("parquet").saveAsTable(name)
+    }
+  }
+
+  def reset(): Unit = { specs.clear(); matviews.clear() }
 
   private def warehousePath(spark: SparkSession, name: String): String =
     new java.io.File(

@@ -100,6 +100,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(sizes.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("materialized view stores the result; refresh recomputes it") {
+    setup
+    spark.sql("DROP TABLE IF EXISTS mv_source")
+    Tables(spark, TestSpark.sf, "orders").limit(100)
+      .write.mode("overwrite").saveAsTable("mv_source")
+    DistributionCatalog.createMaterializedView(spark, "mv_daily",
+      s => s.table("mv_source").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")))
+    val before = spark.table("mv_daily").agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(before === 100)
+    // source changes; the matview is stale until refreshed
+    Tables(spark, TestSpark.sf, "orders").limit(150)
+      .write.mode("overwrite").saveAsTable("mv_source")
+    assert(spark.table("mv_daily").agg(sum(col("n")))
+      .collect()(0).getLong(0) === 100)
+    DistributionCatalog.refreshMaterializedView(spark, "mv_daily")
+    assert(spark.table("mv_daily").agg(sum(col("n")))
+      .collect()(0).getLong(0) === 150)
+    // distributed matview: result lands bucketed + cataloged
+    DistributionCatalog.createMaterializedView(spark, "mv_dist",
+      s => s.table("mv_source").select(col("o_orderkey"), col("o_custkey")),
+      distColumn = Some("o_orderkey"), buckets = 4)
+    val spec = DistributionCatalog.spec("mv_dist").get
+    assert(spec.bucketCount === 4 && spec.distColumn.contains("o_orderkey"))
+    assert(spark.table("mv_dist").count() === 150)
+  }
+
   test("alter_distributed_table rewrites distribution; undistribute drops it") {
     setup
     val cust = Tables(spark, TestSpark.sf, "customer")
