@@ -42,8 +42,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
+    // Through MODULE$: the companion's static forwarder for `eval` is
+    // suppressed by Expression.eval(row), so the bare class-qualified
+    // call fails Janino compilation → silent interpreted fallback.
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimExpr.eval($a, $b)")
+      s"graft.functions.CosineSimExpr$$.MODULE$$.eval($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =

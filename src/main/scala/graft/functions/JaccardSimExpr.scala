@@ -44,8 +44,12 @@ case class JaccardSimExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
       : ExprCode =
+    // NB: must go through MODULE$ — the companion's static forwarder for
+    // `eval` is suppressed because Expression already defines eval(row),
+    // so the bare class-qualified call doesn't compile under Janino and
+    // the expression silently falls back to interpreted mode.
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.JaccardSimExpr.eval($a, $b)")
+      s"graft.functions.JaccardSimExpr$$.MODULE$$.eval($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSimExpr =

@@ -40,8 +40,11 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Through MODULE$: the companion's static forwarder for `eval` is
+    // suppressed by Expression.eval(row), so the bare class-qualified
+    // call fails Janino compilation → silent interpreted fallback.
     defineCodeGen(ctx, ev, arr =>
-      s"graft.functions.SimHash64Expr.eval($arr)")
+      s"graft.functions.SimHash64Expr$$.MODULE$$.eval($arr)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : SimHash64Expr = copy(child = newChild)

@@ -94,6 +94,51 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-dup pair edges → dedup clusters
+    * (every doc labeled with the smallest doc id reachable through dup
+    * edges; keeping one doc per cluster is then a groupBy(cluster)).
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * shuffle (join labels to edges on the source, min per destination)
+    * and converges in O(cluster diameter) rounds — near-dup clusters
+    * are short-diameter by construction (every member pairs with the
+    * same template), so 3-5 rounds in practice. All state lives in
+    * hash-partitioned DataFrames: nothing is collected to the driver
+    * except the per-round convergence count, which is the same
+    * "coordinator sees only the combine scalar" discipline the
+    * reference enforces. For adversarial long-chain graphs, swap the
+    * propagation body for large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce") — same join/groupBy
+    * primitives, O(log n) rounds.
+    *
+    * Input: two long columns (a, b). Output: (id, cluster_id). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).distinct()
+      .toDF("src", "dst").cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
+        "id").filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash near-dup candidates: block on 4 16-bit sub-bands (any two
     * docs within hamming distance 3 share at least one band), then exact
     * hamming filter. */

@@ -65,17 +65,31 @@ object AggQueries extends QueryModule {
 
   /** HLL path: citus `count_distinct_error_rate>0` →
     * hll_add_agg/hll_union_agg (multi_logical_optimizer.c:1756-1806).
-    * Spark: approx_count_distinct (HLL++). Approximate → rows-only check. */
+    * Spark: approx_count_distinct (HLL++). The sketch estimate itself is
+    * engine-specific, so the oracle-checkable output is the exact count
+    * plus a bounded-error verdict (HLL++ at rsd 0.01 vs 5 % tolerance) —
+    * deterministic, so DuckDB pins it as TRUE. */
   private val approxDist = GraftQuery(
     "agg_approx_count_distinct",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("orders_ok"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS exact_parts,
+      COUNT(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS parts_ok, TRUE AS orders_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** bool_and/bool_or/every + bit_and/bit_or (enum :76-80, bool_agg.sql). */
   private val boolBit = GraftQuery(
@@ -333,17 +347,30 @@ object AggQueries extends QueryModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** tdigest_percentile analogue: Spark percentile_approx (GK sketch).
-    * Approximate → rows-only. */
+    * The sketch picks an actual data value, so the oracled output is the
+    * exact interpolated percentile plus a 2 %-relative-error verdict on
+    * the approximation (deterministic → DuckDB pins TRUE). */
   private val percentileApprox = GraftQuery(
     "agg_percentile_approx",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p99_exact"),
+          (abs(col("a50") - col("p50_exact")) <=
+            col("p50_exact") * 0.02).as("p50_ok"),
+          (abs(col("a99") - col("p99_exact")) <=
+            col("p99_exact") * 0.02).as("p99_ok"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+      TRUE AS p50_ok, TRUE AS p99_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** PIVOT / crosstab (PostgreSQL tablefunc `crosstab`; Spark native
     * `pivot`). Catalyst plans it as ONE grouped aggregate with a

@@ -37,8 +37,11 @@ object MultimodalQueries extends QueryModule {
           (acc, b) -> (acc * 131 + b) % 1000000007) AS checksum
       FROM payload ORDER BY doc_id"""))
 
-  /** Per-type feature aggregates over the STUBBED decode vectors
-    * (rows-only; invariants in MultimodalSpec). */
+  /** Per-type feature aggregates over the STUBBED decode vectors.
+    * Every emitted column is deterministic plumbing (counts, payload
+    * bytes, fixed dim-8 vector length), so DuckDB recomputes it exactly
+    * from the documents table; per-value embedding invariants stay in
+    * MultimodalSpec. */
   private val features = GraftQuery(
     "mm_feature_extract",
     (s, dir) =>
@@ -48,7 +51,13 @@ object MultimodalQueries extends QueryModule {
           sum(col("byte_len")).as("total_bytes"),
           avg(size(col("embedding"))).as("avg_dim"))
         .orderBy(col("media_type")),
-    None)
+    Some("""SELECT
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+          WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        COUNT(*) AS n_items,
+        CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        CAST(8.0 AS DOUBLE) AS avg_dim
+      FROM documents GROUP BY 1 ORDER BY 1"""))
 
   /** Frame sampling row counts per video payload. */
   private val frames = GraftQuery(

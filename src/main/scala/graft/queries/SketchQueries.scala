@@ -39,40 +39,62 @@ object SketchQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus, o_orderpriority)
       WHERE rank <= 3 ORDER BY o_orderstatus, rank"""))
 
-  /** tdigest_percentile analogue (semantic parity; approximate →
-    * rows-only; tolerance asserted in SketchSpec). */
+  /** tdigest_percentile analogue (semantic parity). The digest estimate
+    * is engine-specific, so the oracled output is the group size plus a
+    * 2 %-relative-error verdict of the t-digest against the exact
+    * percentile — robust to partial-merge order, so DuckDB pins TRUE
+    * (magnitude tolerance also asserted in SketchSpec). */
   private val tdigest = GraftQuery(
     "sketch_tdigest_percentile",
     (s, dir) => {
       val td = udaf(new Sketches.TDigestAgg(100, Seq(0.5, 0.95, 0.99)))
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(td(col("l_extendedprice")).as("qs"))
-        .select(col("l_returnflag"),
-          col("qs").getItem(0).as("p50"),
-          col("qs").getItem(1).as("p95"),
-          col("qs").getItem(2).as("p99"))
+        .agg(td(col("l_extendedprice")).as("qs"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.95)").as("e95"),
+          expr("percentile(l_extendedprice, 0.99)").as("e99"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("qs").getItem(0) - col("e50")) <= col("e50") * 0.02)
+            .as("p50_ok"),
+          (abs(col("qs").getItem(1) - col("e95")) <= col("e95") * 0.02)
+            .as("p95_ok"),
+          (abs(col("qs").getItem(2) - col("e99")) <= col("e99") * 0.02)
+            .as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+      TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** hll_add_agg/hll_union_agg analogue with a REAL sketch column:
     * per-(status,priority) HLL sketches built with hll_sketch_agg
     * (DataSketches), then UNIONED across priorities with hll_union_agg —
     * the exact two-level pattern citus uses for distributed
-    * count-distinct. Approximate → rows-only + SketchSpec tolerance. */
+    * count-distinct. Register-max union is order-independent, so the
+    * 5 %-error verdict vs the exact distinct count is deterministic and
+    * DuckDB pins it TRUE (estimate tolerance also in SketchSpec). */
   private val hllUnion = GraftQuery(
     "sketch_hll_union",
     (s, dir) => {
       val o = t(s, dir, "orders")
-      o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      val est = o.groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
         .groupBy(col("o_orderstatus"))
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
           .as("approx_customers"))
+      val exact = o.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+      est.join(exact, "o_orderstatus")
+        .select(col("o_orderstatus"), col("exact_customers"),
+          (abs(col("approx_customers") - col("exact_customers")) <=
+            col("exact_customers") * 0.05).as("estimate_ok"))
         .orderBy(col("o_orderstatus"))
     },
-    None)
+    Some("""SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS exact_customers, TRUE AS estimate_ok
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** Custom-combine contract (worker_partial_agg/coord_combine_agg
     * analogue): exact weighted average registered via functions.udaf —

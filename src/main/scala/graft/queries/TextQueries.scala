@@ -483,7 +483,91 @@ object TextQueries extends QueryModule {
         CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM lang
       ORDER BY stage_no"""))
 
+  /** Near-dup CLUSTERING: pairwise jaccard edges → connected components
+    * (operators/Dedup.connectedComponents, iterative min-label
+    * propagation — one shuffle per round, O(cluster diameter) rounds) →
+    * every doc labeled with its cluster representative; `is_kept` marks
+    * the one doc per cluster a dedup pass would retain. The oracle
+    * recomputes the transitive closure with a recursive CTE — an
+    * independent algorithm, so the fixpoint itself is cross-checked. */
+  private val clusterComponents = GraftQuery(
+    "dedup_cluster_components",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("lang"), array_distinct(tokens).as("toks"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("toks").as("a_toks"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("toks").as("b_toks"))
+      val edges = a
+        .join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .filter(graft.functions.JaccardSimExpr.jaccardSim(
+          col("a_toks"), col("b_toks")) > 0.85)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.Dedup.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS t
+        FROM documents WHERE doc_id < 150),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.t, b.t))) > 0.85),
+      edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id)
+      SELECT id AS doc_id, MIN(r) AS cluster_id,
+        id = MIN(r) AS is_kept
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** Overlapping token-window chunking (context-window prep): 64-token
+    * chunks on a 48-token stride. One narrow map + explode — chunk rows
+    * never leave their partition until a downstream op shuffles them,
+    * and payload per row shrinks to the chunk, so the op is
+    * embarrassingly parallel at any scale. */
+  private val chunkWindows = GraftQuery(
+    "text_chunk_windows",
+    (s, dir) => {
+      val C = 64
+      val S = 48
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            floor((greatest(size(col("toks")) - C, lit(0)) + (S - 1))
+              .cast(DoubleType) / S).cast(IntegerType)))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("chunk_idx") * S + 1, lit(C)))
+            .as("n_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), col("chunk_idx") * S + 1, lit(C))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 60),
+      c AS (SELECT doc_id, t,
+        unnest(range(0, 1 + (greatest(len(t) - 64, 0) + 47) // 48)) AS i
+        FROM d)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(len(list_slice(t, i*48 + 1, i*48 + 64)) AS INT) AS n_tokens,
+        md5(array_to_string(list_slice(t, i*48 + 1, i*48 + 64), ' '))
+          AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
-    normalize, piiMask, minhashExact, simhashExact, pipelineFunnel)
+    normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
+    clusterComponents, chunkWindows)
 }
