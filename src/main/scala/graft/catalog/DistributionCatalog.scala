@@ -94,9 +94,16 @@ object DistributionCatalog {
   }
 
   /** Read a catalog table; reference tables come back broadcast-hinted
-    * so every join applies the REFERENCE_JOIN strategy. */
+    * so every join applies the REFERENCE_JOIN strategy. A table with
+    * isolated tenants ([[isolateTenant]]) reads as base ∪ tenant parts,
+    * so whole-table analytics see every row. */
   def table(spark: SparkSession, name: String): DataFrame = {
-    val df = spark.table(name)
+    val base = spark.table(name)
+    val df = isolatedTenants.get(name) match {
+      case Some(parts) =>
+        parts.values.foldLeft(base)((acc, t) => acc.unionByName(spark.table(t)))
+      case None => base
+    }
     specs.get(name) match {
       case Some(s) if s.method == Reference => broadcast(df)
       case _ => df
@@ -228,6 +235,66 @@ object DistributionCatalog {
     }.toDF("table_name", "shard", "size_bytes", "n_rows")
   }
 
+  private val isolatedTenants =
+    TrieMap.empty[String, Map[String, String]] // base -> value -> table
+
+  /** `isolate_tenant_to_new_shard(table, tenant_id, 'CASCADE')`
+    * (`operations/isolate_shards.c:48-57` — split the shard holding a
+    * hot tenant so that tenant gets a shard of its own): the hot key's
+    * rows move to a dedicated single-bucket table and the remainder is
+    * re-bucketed in place. [[table]] transparently unions the parts, so
+    * whole-table analytics are unchanged; [[tenantShard]] routes a
+    * single-tenant query straight to the dedicated files — the
+    * isolated tenant's scan cost becomes proportional to ITS data, not
+    * its former bucket's, which is the entire point of the citus UDF.
+    * At 100 TB this is the skew remedy for the multi-tenant case where
+    * one tenant is 1000× the median: [[shardSizes]] diagnoses,
+    * isolateTenant cures. */
+  def isolateTenant(spark: SparkSession, name: String,
+      tenantValue: Any): DistributionSpec = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == Hash, s"$name is not hash-distributed")
+    val distCol = s.distColumn.get
+    val tenantTable =
+      s"${name}__tenant_${tenantValue.toString.replaceAll("\\W", "_")}"
+    val data = spark.table(name).localCheckpoint(eager = true)
+    val hot = data.filter(col(distCol) === lit(tenantValue))
+    val rest = data.filter(col(distCol) =!= lit(tenantValue) ||
+      col(distCol).isNull)
+    hot.write.mode("overwrite")
+      .bucketBy(1, distCol).sortBy(distCol)
+      .option("path", warehousePath(spark, tenantTable))
+      .option("compression", "zstd")
+      .format("parquet").saveAsTable(tenantTable)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    specs.remove(name)
+    val spec = createDistributedTable(spark, rest, name, distCol,
+      s.bucketCount)
+    isolatedTenants.updateWith(name) {
+      case Some(m) => Some(m + (tenantValue.toString -> tenantTable))
+      case None => Some(Map(tenantValue.toString -> tenantTable))
+    }
+    spec
+  }
+
+  /** Route a single-tenant read: the dedicated table if the tenant is
+    * isolated (scan = just its files), else the base table with a
+    * distribution-column point filter (scan = one pruned bucket — the
+    * router path the reference plans for non-isolated tenants). */
+  def tenantShard(spark: SparkSession, name: String,
+      tenantValue: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    isolatedTenants.get(name).flatMap(_.get(tenantValue.toString)) match {
+      case Some(t) => spark.table(t)
+      case None =>
+        val s = specs.getOrElse(name,
+          throw new IllegalArgumentException(s"not a distributed table: $name"))
+        spark.table(name).filter(col(s.distColumn.get) === lit(tenantValue))
+    }
+  }
+
   private val matviews =
     TrieMap.empty[String, SparkSession => DataFrame]
 
@@ -275,7 +342,8 @@ object DistributionCatalog {
     }
   }
 
-  def reset(): Unit = { specs.clear(); matviews.clear() }
+  def reset(): Unit =
+    { specs.clear(); matviews.clear(); isolatedTenants.clear() }
 
   private def warehousePath(spark: SparkSession, name: String): String =
     new java.io.File(

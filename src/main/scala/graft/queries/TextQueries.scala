@@ -566,8 +566,82 @@ object TextQueries extends QueryModule {
           AS chunk_md5
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  /** pg_trgm-style trigram similarity (`similarity(a,b)` = jaccard over
+    * character 3-gram sets) — the PG extension Citus users lean on for
+    * fuzzy text matching. Runs on the native codegen'd JaccardSimExpr
+    * over char-trigram arrays; same-lang blocking keeps the pair space
+    * quadratic only within a block, the same scale shape as the other
+    * dedup pipelines. */
+  private val trigramSim = GraftQuery(
+    "text_trigram_similarity",
+    (s, dir) => {
+      def trigrams(c: Column): Column = array_distinct(transform(
+        sequence(lit(1), greatest(length(c) - 2, lit(1))),
+        i => c.substr(i, lit(3))))
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("lang"), trigrams(col("text")).as("tg"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
+        col("tg").as("a_tg"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+        col("tg").as("b_tg"))
+      a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.JaccardSimExpr.jaccardSim(col("a_tg"), col("b_tg"))
+            .as("tri_sim"))
+        .filter(col("tri_sim") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+          list_distinct(list_transform(
+            range(1, greatest(length(text) - 2, 1) + 1),
+            i -> substring(text, CAST(i AS INT), 3))) AS tg
+        FROM documents WHERE doc_id < 40)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tg, b.tg))) AS tri_sim
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tg, b.tg))) >= 0.5
+      ORDER BY a_id, b_id"""))
+
+  /** Full-text search: AND-of-terms match + term-frequency rank — the
+    * semantics of `to_tsvector(text) @@ to_tsquery('query & join')`
+    * ranked by ts_rank's TF core. The reference distributes GIN
+    * fulltext indexes over shards (create_single_shard_table.sql:416);
+    * on Spark the inverted-index role is played by the columnar scan +
+    * predicate pushdown, and the match is one narrow map — no shuffle
+    * until the top-k merge, which TakeOrderedAndProject bounds. */
+  private val ftsRank = GraftQuery(
+    "text_fts_rank",
+    (s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens, x => x === term))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tf("query").as("tf_query"), tf("join").as("tf_join"))
+        .filter(col("tf_query") > 0 && col("tf_join") > 0)
+        .select(col("doc_id"), col("lang"), col("tf_query"), col("tf_join"),
+          (col("tf_query") + col("tf_join")).as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(25)
+    },
+    Some("""SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+          AS INT) AS tf_query,
+        CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+          AS INT) AS tf_join,
+        CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+          + len(list_filter(string_split(text, ' '), x -> x = 'join'))
+          AS INT) AS rank
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x = 'query')) > 0
+        AND len(list_filter(string_split(text, ' '), x -> x = 'join')) > 0
+      ORDER BY rank DESC, doc_id LIMIT 25"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
-    clusterComponents, chunkWindows)
+    clusterComponents, chunkWindows, trigramSim, ftsRank)
 }

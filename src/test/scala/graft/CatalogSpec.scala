@@ -173,4 +173,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(DistributionCatalog.spec("d_alter_cust").isEmpty)
     assert(spark.table("d_alter_cust").count() === n)
   }
+
+  test("isolate_tenant_to_new_shard: hot key gets its own files; " +
+      "whole-table reads still see every row") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createDistributedTable(
+      spark, orders, "d_iso_orders", "o_custkey", buckets = 8)
+    val total = orders.count()
+    val hotKey = orders.groupBy("o_custkey").count()
+      .orderBy(col("count").desc).first().getLong(0)
+    val hotRows = orders.filter(col("o_custkey") === hotKey).count()
+
+    DistributionCatalog.isolateTenant(spark, "d_iso_orders", hotKey)
+
+    // routed single-tenant read hits only the dedicated table
+    val routed = DistributionCatalog.tenantShard(spark, "d_iso_orders", hotKey)
+    assert(routed.count() === hotRows)
+    assert(routed.inputFiles.forall(_.contains("__tenant_")),
+      "isolated tenant must read only its own files")
+    // base table no longer holds the tenant; the union view sees all rows
+    assert(spark.table("d_iso_orders")
+      .filter(col("o_custkey") === hotKey).count() === 0)
+    assert(DistributionCatalog.table(spark, "d_iso_orders").count() === total)
+    // a non-isolated tenant routes to the pruned base table
+    val otherKey = hotKey + 1
+    val expected = orders.filter(col("o_custkey") === otherKey).count()
+    assert(DistributionCatalog.tenantShard(spark, "d_iso_orders", otherKey)
+      .count() === expected)
+  }
 }

@@ -80,4 +80,22 @@ class DedupSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(sum === total)
   }
+
+  test("connected components: long chain needs multiple propagation " +
+      "rounds and still converges to one cluster") {
+    import spark.implicits._
+    // 0-1-2-...-19 chain (diameter 19) plus a disjoint triangle and a
+    // singleton edge-pair: exercises the iterative fixpoint, not just
+    // the 1-round star case the dedup corpus produces.
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val triangle = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairEdge = Seq((200L, 201L))
+    val edges = (chain ++ triangle ++ pairEdge).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 19L).foreach(i => assert(got(i) === 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) === 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) === 200L))
+    assert(got.size === 25)
+  }
 }
