@@ -183,6 +183,40 @@ object WindowQueries extends QueryModule {
         ON b.o_orderstatus = f.o_orderstatus AND b.d = f.d
       ORDER BY b.o_orderstatus, b.d, b.o_orderkey"""))
 
+  /** Aggregate FILTER clause on a window (PG: `count(*) FILTER (WHERE
+    * c) OVER w` — the reference inherits it from PostgreSQL; Spark has
+    * no window FILTER, so the engine rewrites it to the conditional-agg
+    * form `count(when(c, 1)) OVER w`, identical semantics). The oracle
+    * runs the GENUINE FILTER syntax in DuckDB, pinning the rewrite. */
+  private val filterClause = GraftQuery(
+    "window_filter_clause",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          count(when(col("o_orderpriority") === "1-URGENT", lit(1)))
+            .over(w).as("urgent_so_far"),
+          sum(when(col("o_orderpriority") === "1-URGENT",
+              money(col("o_totalprice"))).otherwise(lit(0)))
+            .over(w).cast(DoubleType).as("urgent_value_so_far"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+        COUNT(*) FILTER (o_orderpriority = '1-URGENT') OVER w
+          AS urgent_so_far,
+        CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (o_orderpriority = '1-URGENT') OVER w, 0)
+          AS DOUBLE) AS urgent_value_so_far
+      FROM orders WHERE o_orderkey < 3000
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderstatus, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
-    ranking, runningSum, lagLead, rangeFrame, shareOfTotal, groupsFrame)
+    ranking, runningSum, lagLead, rangeFrame, shareOfTotal, groupsFrame,
+    filterClause)
 }
