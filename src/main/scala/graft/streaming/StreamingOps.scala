@@ -144,6 +144,27 @@ object StreamingOps {
         col("purchase_ts"), col("value"))
   }
 
+  /** FULL OUTER stream-stream interval join: unmatched rows from BOTH
+    * sides null-extend once the watermark passes their join window —
+    * clicks that never converted AND purchases with no preceding click
+    * (organic buys). Completes the stream-stream join matrix
+    * (inner/left/full); same watermark+interval state eviction. */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset path for state machines the built-in
     * windows can't express. Emits one summary per user on timeout/end. */

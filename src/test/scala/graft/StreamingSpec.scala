@@ -215,6 +215,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-extends both sides after " +
+      "watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = sampleEvents.filter(_.event_type == "click")
+    val buys = sampleEvents.filter(_.event_type == "buy")
+    val maxTs = sampleEvents.map(_.ts.getTime).max
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(maxTs + 12 * 3600 * 1000L), -1L, "noop", 0.0)
+    val cs = MemoryStream[Event]
+    val ps = MemoryStream[Event]
+    val q = StreamingOps.clickPurchaseFullJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ssj_full_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = clicks.splitAt(40)
+      val (p1, p2) = buys.splitAt(60)
+      cs.addData(c1); ps.addData(p1); q.processAllAvailable()
+      cs.addData(c2); ps.addData(p2); q.processAllAvailable()
+      cs.addData(Seq(sentinel)); ps.addData(Seq(sentinel))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)))
+      val streamed = spark.table("ssj_full_out").collect()
+        .filter(_.getLong(0) >= 0).map(key).toSet
+      val batch = StreamingOps.clickPurchaseFullJoin(
+          clicks.toDF(), buys.toDF()).collect().map(key).toSet
+      assert(streamed === batch)
+      // both outer sides actually fired: unmatched clicks (no purchase)
+      // and unmatched purchases (no preceding click)
+      assert(batch.exists(r => r._2.nonEmpty && r._3.isEmpty))
+      assert(batch.exists(r => r._2.isEmpty && r._3.nonEmpty))
+      assert(batch.exists(r => r._2.nonEmpty && r._3.nonEmpty))
+    } finally q.stop()
+  }
+
   test("CDC materialization: streamed change log equals batch snapshot") {
     import spark.implicits._
     import graft.streaming.StreamingOps.Change
