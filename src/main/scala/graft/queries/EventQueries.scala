@@ -177,6 +177,37 @@ object EventQueries extends QueryModule {
       FROM activity a JOIN cohorts c ON a.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
 
+  /** Interval-containment join via the binned RangeJoin operator:
+    * events landing inside 3-day promo windows (one window per week).
+    * A bare BETWEEN join would plan as BroadcastNestedLoopJoin —
+    * quadratic at scale; RangeJoin buckets time by day, replicates
+    * each interval into its ≤4 covering buckets, and meets points in
+    * ONE hash shuffle with containment as a residual filter. The
+    * oracle runs the genuine non-equi join in DuckDB, proving the
+    * rewrite loses and invents nothing. */
+  private val intervalJoin = GraftQuery(
+    "events_interval_join",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val iv = e.select(date_trunc("week", col("ts")).as("wstart")).distinct()
+        .select(col("wstart"),
+          (col("wstart") + expr("INTERVAL 3 DAYS")).as("wend"))
+      graft.operators.RangeJoin
+        .pointInInterval(e, iv, "ts", "wstart", "wend", 86400L)
+        .groupBy(col("wstart").cast(DateType).as("promo_start"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("promo_start"))
+    },
+    Some("""WITH iv AS (
+        SELECT DISTINCT date_trunc('week', ts) AS wstart FROM events)
+      SELECT CAST(iv.wstart AS DATE) AS promo_start,
+        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      FROM events e JOIN iv
+        ON e.ts >= iv.wstart AND e.ts < iv.wstart + INTERVAL 3 DAY
+      GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(tumbling, sliding, sessions, sessionize, funnel, asof, retention)
+    Seq(tumbling, sliding, sessions, sessionize, funnel, asof, retention,
+      intervalJoin)
 }

@@ -87,4 +87,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles <= 1,
       s"expected at most one exchange (source side), got $shuffles")
   }
+
+  test("events_interval_join: binned range join plans as a HASH join " +
+      "on the bucket key, never a nested loop") {
+    val nodes = collectAll(plan("events_interval_join"))
+      .map(_.getClass.getSimpleName)
+    assert(!nodes.exists(n => n.contains("NestedLoop") ||
+        n.contains("Cartesian")),
+      s"range join must not degenerate to a nested loop: $nodes")
+    assert(nodes.exists(n => n.contains("HashJoin") ||
+        n.contains("SortMergeJoin")),
+      s"expected an equi join on the bucket key: $nodes")
+  }
 }
