@@ -97,6 +97,27 @@ object JsonQueries extends QueryModule {
       SELECT 'lo' AS bucket, COUNT(*) AS n FROM per_cust WHERE n_orders < 15
       ORDER BY bucket"""))
 
+  /** `unnest(arr) WITH ORDINALITY` (PG SRF surface): posexplode IS the
+    * ordinality form — position and element in one generator pass. The
+    * oracle zips DuckDB's parallel unnests (positionally aligned). */
+  private val srfOrdinality = GraftQuery(
+    "srf_with_ordinality",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_sort(collect_list(col("n_name"))).as("names"))
+        .select(col("n_regionkey"), posexplode(col("names")))
+        .select(col("n_regionkey"), (col("pos") + 1).as("ord"),
+          col("col").as("nation_name"))
+        .orderBy(col("n_regionkey"), col("ord")),
+    Some("""WITH a AS (
+        SELECT n_regionkey, list_sort(list(n_name)) AS names
+        FROM nation GROUP BY n_regionkey)
+      SELECT n_regionkey,
+        CAST(unnest(range(1, len(names) + 1)) AS INT) AS ord,
+        unnest(names) AS nation_name
+      FROM a ORDER BY n_regionkey, ord"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(jsonAgg, jsonObjectAgg, srf, intermediateReuse)
+    Seq(jsonAgg, jsonObjectAgg, srf, intermediateReuse, srfOrdinality)
 }

@@ -15,6 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `SELECT DISTINCT ON (k, ...) cols ... ORDER BY k, tiebreak` →
   *     row_number() window rewrite (PG keeps the first row per key)
   *   - PG type names in explicit CASTs
+  *   - regex-match operators `~` / `!~` / `~*` / `!~*` → RLIKE
+  *   - `ARRAY[...]` literals and array operators `@>` / `<@` / `&&` →
+  *     array(), forall+array_contains, arrays_overlap
   */
 object PgDialect {
 
@@ -89,8 +92,29 @@ object PgDialect {
     })
   }
 
+  /** PG array operators and literals:
+    *   - `ARRAY[a, b]` → `array(a, b)`
+    *   - `a @> b` (contains) → `forall(b, x -> array_contains(a, x))`
+    *   - `a <@ b` (contained by) → the reverse
+    *   - `a && b` (overlap) → `arrays_overlap(a, b)`
+    * Operands: identifiers or (rewritten) array literals. */
+  def rewriteArrayOps(sql: String): String = {
+    val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
+    val opRe = (operand + """\s*(@>|<@|&&)\s*""" + operand).r
+    opRe.replaceAllIn(lit, m => {
+      val (a, op, b) = (m.group(1), m.group(2), m.group(3))
+      java.util.regex.Matcher.quoteReplacement(op match {
+        case "@>" => s"forall($b, __x -> array_contains($a, __x))"
+        case "<@" => s"forall($a, __x -> array_contains($b, __x))"
+        case _    => s"arrays_overlap($a, $b)"
+      })
+    })
+  }
+
   def translate(sql: String): String =
-    rewriteCasts(rewriteRegexOps(rewriteDistinctOn(sql)))
+    rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteDistinctOn(sql))))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

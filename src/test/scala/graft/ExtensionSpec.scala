@@ -85,6 +85,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(n === custs)
   }
 
+  test("PG array operators rewrite: @> / <@ / && and ARRAY literals") {
+    assert(PgDialect.rewriteArrayOps("WHERE tags @> ARRAY['a','b']")
+      === "WHERE forall(array('a','b'), __x -> array_contains(tags, __x))")
+    assert(PgDialect.rewriteArrayOps("WHERE a <@ b AND c && d")
+      === "WHERE forall(a, __x -> array_contains(b, __x)) " +
+        "AND arrays_overlap(c, d)")
+    val rows = PgDialect.sql(spark,
+      """SELECT id FROM VALUES (1, ARRAY['a','b','c']), (2, ARRAY['x']),
+          (3, ARRAY['b']) AS t(id, tags)
+        WHERE tags @> ARRAY['a','b'] OR tags && ARRAY['x','y']
+        ORDER BY id""").collect().map(_.getInt(0)).toSeq
+    assert(rows === Seq(1, 2))
+    val contained = PgDialect.sql(spark,
+      """SELECT id FROM VALUES (1, ARRAY['a','b']), (2, ARRAY['a','z'])
+          AS t(id, tags)
+        WHERE tags <@ ARRAY['a','b','c'] ORDER BY id""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(contained === Seq(1))
+  }
+
   test("bulk load -> distributed table -> insertSelect append") {
     DistributionCatalog.reset()
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
