@@ -70,7 +70,16 @@ object Graft {
       : org.apache.spark.sql.DataFrame =
     plans.TopKPerGroup(df, groupCols, orderCols, k)
 
-  /** Run PG-dialect SQL (:: casts, DISTINCT ON, ~ operators). */
+  val rangeJoin: graft.operators.RangeJoin.type = graft.operators.RangeJoin
+
+  /** Run PG-dialect SQL (:: casts, DISTINCT ON, ~ operators, ARRAY ops). */
   def pgSql(spark: SparkSession, pg: String): org.apache.spark.sql.DataFrame =
     sql.PgDialect.sql(spark, pg)
+
+  /** Distributed-EXPLAIN report: one row per strategy-relevant physical
+    * node (scans + pushdown, shuffles, broadcast vs shuffle joins,
+    * aggregates) — the EXPLAIN surface of `multi_explain.c` as data. */
+  def explainReport(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    plans.PlanChecks.explainReport(df)
 }

@@ -45,4 +45,33 @@ object PlanChecks {
         f.metadata.getOrElse("PushedFilters", "[]")
     }
   }
+
+  /** Distributed-EXPLAIN report (`multi_explain.c:288` CitusExplainScan
+    * shows per-task strategy; here: one row per strategy-relevant
+    * physical node) — which relations broadcast, where the shuffles
+    * are, what each scan reads and pushes down. The "did my join
+    * broadcast / did my filter reach the scan" questions answerable
+    * without reading a plan tree. */
+  def explainReport(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nodes = collectAll(executedPlan(df))
+    nodes.zipWithIndex.collect {
+      case (f: FileSourceScanExec, i) =>
+        (i, "scan",
+          f.metadata.getOrElse("Location", "").replaceAll(".*/", ""),
+          s"schema=${f.requiredSchema.fieldNames.mkString(",")} " +
+            s"pushed=${f.metadata.getOrElse("PushedFilters", "[]")}")
+      case (p, i) if p.isInstanceOf[ShuffleExchangeLike] =>
+        (i, "shuffle", "", p.outputPartitioning.toString)
+      case (j: BroadcastHashJoinExec, i) =>
+        (i, "broadcast_join", j.buildSide.toString, j.condition.toString)
+      case (j: SortMergeJoinExec, i) =>
+        (i, "shuffle_join", "", j.leftKeys.mkString(","))
+      case (p, i) if p.getClass.getSimpleName.contains("HashAggregate") =>
+        (i, "aggregate", "",
+          p.toString.takeWhile(_ != '\n').take(120))
+    }.toDF("node", "kind", "relation", "detail")
+  }
 }

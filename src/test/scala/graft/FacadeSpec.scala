@@ -24,6 +24,18 @@ class FacadeSpec extends AnyFunSuite {
     assert(Graft.catalog != null && Graft.dedup != null &&
       Graft.similarity != null && Graft.asof != null &&
       Graft.skew != null && Graft.dml != null && Graft.ingest != null &&
-      Graft.streaming != null && Graft.multimodal != null)
+      Graft.streaming != null && Graft.multimodal != null &&
+      Graft.rangeJoin != null)
+  }
+
+  test("explainReport surfaces scans+pushdown, broadcasts, shuffles") {
+    val q5 = SparkEntry.queries("q5_local_supplier")(spark, TestSpark.sf)
+    val rep = Graft.explainReport(q5).collect()
+    val kinds = rep.map(_.getString(1)).toSet
+    assert(kinds.contains("scan") && kinds.contains("broadcast_join") &&
+      kinds.contains("aggregate"))
+    // scans report their read schema and pushed filters
+    val scans = rep.filter(_.getString(1) == "scan")
+    assert(scans.nonEmpty && scans.forall(_.getString(3).contains("schema=")))
   }
 }
