@@ -510,9 +510,36 @@ object AggQueries extends QueryModule {
         FROM lineitem) WHERE rn <= 3
       ORDER BY l_returnflag, hk"""))
 
+  /** GROUPING()/GROUPING_ID() — the functions that disambiguate "NULL
+    * because superaggregate" from "NULL in the data" under rollup
+    * (PG inherits them; Spark implements both natively). */
+  private val groupingFn = GraftQuery(
+    "agg_grouping_function",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          grouping_id().as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("-")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("-")).as("linestatus"),
+          col("n"), col("g_flag").cast(LongType),
+          col("g_status").cast(LongType), col("gid"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus")),
+    Some("""SELECT COALESCE(l_returnflag, '-') AS returnflag,
+      COALESCE(l_linestatus, '-') AS linestatus, COUNT(*) AS n,
+      CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        AS gid
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, returnflag, linestatus"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
     having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
     stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod,
-    orderedSet, sampleBottomK)
+    orderedSet, sampleBottomK, groupingFn)
 }

@@ -162,7 +162,29 @@ object SetOpQueries extends QueryModule {
         FROM orders) WHERE rn <= 3
       ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""))
 
+  /** `FETCH FIRST n ROWS WITH TIES` (PG 13+; reference inherits it):
+    * neither Spark nor DuckDB has WITH TIES, so the engine rewrites to
+    * rank() <= n — rank (unlike row_number) admits the tied tail,
+    * which is exactly the WITH TIES contract. Oracle uses DuckDB's
+    * QUALIFY form of the same rank filter. */
+  private val fetchWithTies = GraftQuery(
+    "sort_fetch_with_ties",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderpriority"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("__rk", rank().over(w))
+        .filter(col("__rk") <= 10).drop("__rk")
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderkey < 500
+      QUALIFY RANK() OVER (ORDER BY o_orderpriority) <= 10
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     unionAll, unionDistinct, intersectQ, exceptQ, exceptAll,
-    topK, limitOffset, nullsOrder, topKPerGroup)
+    topK, limitOffset, nullsOrder, topKPerGroup, fetchWithTies)
 }

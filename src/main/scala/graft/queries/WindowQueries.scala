@@ -216,7 +216,35 @@ object WindowQueries extends QueryModule {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY o_orderstatus, o_orderkey"""))
 
+  /** Frame EXCLUDE CURRENT ROW (PG window surface Spark lacks): "sum of
+    * the others in my partition" rewrites to frame-sum minus own value —
+    * one window pass plus a subtraction, no self-join. Oracle runs
+    * DuckDB's genuine EXCLUDE CURRENT ROW syntax. */
+  private val excludeCurrent = GraftQuery(
+    "window_exclude_current",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("tc"))
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          ((sum(col("tc")).over(w) - col("tc")).cast(DoubleType) / 100)
+            .as("others_total"),
+          (count(lit(1)).over(w) - 1).as("n_others"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+        CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+          AS DOUBLE) / 100 AS others_total,
+        COUNT(*) OVER w AS n_others
+      FROM orders WHERE o_orderkey < 2000
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   EXCLUDE CURRENT ROW)
+      ORDER BY o_orderstatus, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     ranking, runningSum, lagLead, rangeFrame, shareOfTotal, groupsFrame,
-    filterClause)
+    filterClause, excludeCurrent)
 }
