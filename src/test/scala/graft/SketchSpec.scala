@@ -64,6 +64,27 @@ class SketchSpec extends AnyFunSuite {
       s"hll estimate $est vs exact $exact")
   }
 
+  test("persisted HLL sketch columns roll up across days " +
+      "(citus rollup-table pattern, binary column survives parquet)") {
+    val o = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit("1996-03-01")))
+    // per-day rollup table with a BINARY sketch column, persisted
+    val rollup = o.groupBy(col("o_orderdate"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_rollup").toString
+    rollup.write.mode("overwrite").parquet(path)
+    // later query: distinct customers over the whole range, answered
+    // from the persisted sketches alone — no rescan of raw orders
+    val est = spark.read.parquet(path)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+      .collect()(0).getLong(0)
+    val exact = o.agg(countDistinct(col("o_custkey")))
+      .collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"rolled-up estimate $est vs exact $exact")
+  }
+
   test("weighted avg aggregator matches the exact formula") {
     val wavg = udaf(new Sketches.WeightedAvgAgg)
     val li = Tables(spark, TestSpark.sf, "lineitem")
