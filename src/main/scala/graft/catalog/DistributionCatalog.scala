@@ -181,8 +181,11 @@ object DistributionCatalog {
     require(old.method == Hash, s"$name is not hash-distributed")
     val newCol = distColumn.orElse(old.distColumn).get
     val newBuckets = buckets.getOrElse(old.bucketCount)
-    // materialize before the overwrite drops the old files
-    val data = spark.table(name).localCheckpoint(eager = true)
+    // materialize the FULL table (incl. isolated tenant parts) before
+    // the overwrite drops the old files; the rewrite re-absorbs
+    // isolated tenants into the new layout
+    val data = table(spark, name).localCheckpoint(eager = true)
+    dropTenantParts(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     specs.remove(name)
     createDistributedTable(spark, data, name, newCol, newBuckets,
@@ -194,13 +197,22 @@ object DistributionCatalog {
     * drop it from the distribution catalog. */
   def undistributeTable(spark: SparkSession, name: String): Unit = {
     require(specs.contains(name), s"not a distributed table: $name")
-    val data = spark.table(name).localCheckpoint(eager = true)
+    // full view: isolated tenant parts fold back into the plain table
+    val data = table(spark, name).localCheckpoint(eager = true)
+    dropTenantParts(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     specs.remove(name)
     data.write.mode("overwrite")
       .option("path", warehousePath(spark, name))
       .option("compression", "zstd")
       .format("parquet").saveAsTable(name)
+  }
+
+  /** Drop a table's isolated-tenant side tables + bookkeeping (used by
+    * the layout rewrites, which re-absorb those rows). */
+  private def dropTenantParts(spark: SparkSession, name: String): Unit = {
+    isolatedTenants.remove(name).foreach(_.values.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")))
   }
 
   /** The `citus_shards` size view (`sql/udfs/citus_shards/` — shard

@@ -201,5 +201,11 @@ class CatalogSpec extends AnyFunSuite {
     val expected = orders.filter(col("o_custkey") === otherKey).count()
     assert(DistributionCatalog.tenantShard(spark, "d_iso_orders", otherKey)
       .count() === expected)
+    // layout rewrite re-absorbs the isolated tenant: no rows lost
+    DistributionCatalog.undistributeTable(spark, "d_iso_orders")
+    assert(spark.table("d_iso_orders").count() === total,
+      "undistribute must fold isolated tenant rows back in")
+    assert(spark.table("d_iso_orders")
+      .filter(col("o_custkey") === hotKey).count() === hotRows)
   }
 }
