@@ -174,6 +174,29 @@ object PgExtraQueries extends QueryModule {
       FROM supplier WHERE s_suppkey <= 30
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
+  /** The PG dialect front end driven end-to-end as a query: `::` casts,
+    * DISTINCT ON, and a `~` regex-match operator in ONE statement,
+    * translated (sql/PgDialect) and executed by Spark. DuckDB happens
+    * to support DISTINCT ON natively, so the oracle runs the genuine
+    * form with its own regexp function — an independent execution of
+    * the same PG semantics. */
+  private val dialectRoundtrip = GraftQuery(
+    "pg_dialect_roundtrip",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT DISTINCT ON (c_nationkey) c_nationkey,
+            c_custkey::int8 AS custkey, c_acctbal
+          FROM customer WHERE c_name ~ 'er'
+          ORDER BY c_nationkey, c_acctbal DESC, c_custkey""")
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT DISTINCT ON (c_nationkey) c_nationkey,
+        CAST(c_custkey AS BIGINT) AS custkey, c_acctbal
+      FROM customer WHERE regexp_matches(c_name, 'er')
+      ORDER BY c_nationkey, c_acctbal DESC, c_custkey"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg)
+    Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
+      dialectRoundtrip)
 }
