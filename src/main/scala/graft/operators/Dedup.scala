@@ -115,9 +115,15 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a"))).distinct()
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst").localCheckpoint(true)
+    // localCheckpoint (NOT cache) each round: the round's plan
+    // references `labels` three times, so an uncut logical plan grows
+    // 3^rounds — the driver OOMs serializing the plan long before the
+    // data is a problem. Checkpointing truncates lineage to the
+    // materialized result, the iterative-algorithm discipline every
+    // DataFrame fixpoint loop needs at scale.
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).cache()
+      .withColumn("cluster_id", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -127,15 +133,79 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
         "id").filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    labels
+  }
+
+  /** Connected components in O(log n) rounds via alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the variant for adversarial long-chain
+    * graphs where [[connectedComponents]]'s min-label propagation
+    * would need O(diameter) rounds. Each round is two grouped passes:
+    *
+    *   large-star(u): m = min(N(u) ∪ {u}); re-point every neighbor
+    *     v > u at m.  small-star(u): same m; re-point every v ≤ u.
+    *
+    * Both steps strictly shrink the potential function (sum of edge
+    * spans), halving component height per round. Convergence = edge
+    * set unchanged over a full round (checked exactly with EXCEPT; a
+    * count+hash signature does the same at scale with one job).
+    * Output: (id, cluster_id), identical to [[connectedComponents]]
+    * (DedupSpec pins the differential). */
+  def connectedComponentsLogRounds(edges: DataFrame, maxIter: Int = 20)
+      : DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val joined = sym.join(m, "u")
+      val pointed =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          // small-star also KEEPS each node's own link to its min —
+          // without it a converged star dissolves (the center has no
+          // smaller neighbor to regenerate the spokes from)
+          .union(m.select(col("u"), col("m").as("v")))
+      canon(pointed)
+    }
+    val vertices = {
+      val e0 = edges.toDF("u", "v")
+      e0.select(col("u").as("id")).union(e0.select(col("v").as("id")))
+        .distinct().localCheckpoint(true)
+    }
+    // localCheckpoint (not cache) each round: the round's plan
+    // references e several times, so an uncut lineage grows
+    // exponentially with iterations
+    var e = canon(edges.toDF("u", "v")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint(true)
+      converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      iter += 1
+    }
+    // converged stars: every node's label = min(self, final neighbors)
+    val sym = e.union(e.select(col("v"), col("u"))).toDF("id", "nbr")
+    val labels = vertices.join(sym, Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(least(col("id"), coalesce(min(col("nbr")), col("id")))
+        .as("cluster_id"))
+    vertices.unpersist()
     labels
   }
 

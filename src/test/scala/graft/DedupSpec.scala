@@ -98,4 +98,26 @@ class DedupSpec extends AnyFunSuite {
     Seq(200L, 201L).foreach(i => assert(got(i) === 200L))
     assert(got.size === 25)
   }
+
+  test("large/small-star components agree with min-label propagation " +
+      "on chains and a seeded random graph, in far fewer rounds") {
+    import spark.implicits._
+    // 60-hop chain: min-label needs 60 rounds (> its default maxIter);
+    // large/small-star halves height per round and must still converge
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val rnd = new scala.util.Random(42)
+    val random = (1 to 150).map(_ =>
+      (rnd.nextInt(80).toLong + 1000L, rnd.nextInt(80).toLong + 1000L))
+      .filter(p => p._1 != p._2)
+    val edges = (chain ++ random).toDF("a", "b")
+    val logRounds = Dedup.connectedComponentsLogRounds(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 60L).foreach(i => assert(logRounds(i) === 0L, s"chain node $i"))
+    // differential vs the propagation variant on the random part
+    val prop = Dedup.connectedComponents(random.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prop.foreach { case (id, c) =>
+      assert(logRounds(id) === c, s"node $id: star=$c prop=${logRounds(id)}")
+    }
+  }
 }
