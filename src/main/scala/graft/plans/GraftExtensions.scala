@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // count(DISTINCT) → HLL (citus.count_distinct_error_rate) — opt-in
     // via spark.graft.countDistinctErrorRate.
     e.injectOptimizerRule(_ => ApproxCountDistinct)
+    // interval-containment joins → binned equi join (never a nested
+    // loop) — opt-in via spark.graft.rangeJoinBucketSeconds.
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName,

@@ -204,6 +204,41 @@ class ExtensionSpec extends AnyFunSuite {
         assert(math.abs(est - exact).toDouble / exact < 0.05,
           s"HLL estimate $est vs exact $exact")
       } finally extSpark.conf.set(ApproxCountDistinct.ConfKey, "0")
+
+      // range-join rewrite rule: a bare containment join (no equi
+      // predicate, broadcast off) planned as a nested loop/cartesian
+      // becomes a binned hash join with identical results.
+      import graft.plans.RangeJoinRewrite
+      def planNames(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.write.format("noop").mode("overwrite").save()
+        def all(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          Seq(p) ++ p.children.flatMap(all) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => all(a.executedPlan)
+            case _ => Nil
+          })
+        all(df.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+      }
+      val pts = Tables(extSpark, TestSpark.sf, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").as("ts"))
+      val iv = pts.select(date_trunc("month", col("ts")).as("ws")).distinct()
+        .select(col("ws"), (col("ws") + expr("INTERVAL 10 DAYS")).as("we"))
+      def contained = pts.join(iv,
+        col("ts") >= col("ws") && col("ts") < col("we"))
+      val offNames = planNames(contained)
+      assert(offNames.exists(n => n.contains("NestedLoop") ||
+        n.contains("Cartesian")), s"expected a loop join when off: $offNames")
+      val offRows = contained.count()
+      extSpark.conf.set(RangeJoinRewrite.ConfKey, "86400")
+      try {
+        val onNames = planNames(contained)
+        assert(!onNames.exists(n => n.contains("NestedLoop") ||
+          n.contains("Cartesian")), s"rewrite must remove the loop: $onNames")
+        assert(onNames.exists(n => n.contains("HashJoin") ||
+          n.contains("SortMergeJoin")), s"expected an equi join: $onNames")
+        assert(contained.count() === offRows, "rewrite must not change rows")
+      } finally extSpark.conf.set(RangeJoinRewrite.ConfKey, "0")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
       SparkSession.clearActiveSession()
