@@ -238,6 +238,14 @@ class ExtensionSpec extends AnyFunSuite {
         assert(onNames.exists(n => n.contains("HashJoin") ||
           n.contains("SortMergeJoin")), s"expected an equi join: $onNames")
         assert(contained.count() === offRows, "rewrite must not change rows")
+        // flipped orientation: interval side on the left, point on the
+        // right — the rule must detect and rewrite this too
+        val flipped = iv.join(pts,
+          col("ts") >= col("ws") && col("ts") < col("we"))
+        val flipNames = planNames(flipped)
+        assert(!flipNames.exists(n => n.contains("NestedLoop") ||
+          n.contains("Cartesian")), s"flipped rewrite missing: $flipNames")
+        assert(flipped.count() === offRows)
       } finally extSpark.conf.set(RangeJoinRewrite.ConfKey, "0")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
