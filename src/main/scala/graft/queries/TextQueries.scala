@@ -640,8 +640,65 @@ object TextQueries extends QueryModule {
         AND len(list_filter(string_split(text, ' '), x -> x = 'join')) > 0
       ORDER BY rank DESC, doc_id LIMIT 25"""))
 
+  /** Repetition signals (Gopher/C4-style quality rules): fraction of
+    * tokens taken by the most frequent token and by the most frequent
+    * bigram; highly repetitive docs get flagged. Two doc_id-keyed
+    * grouped passes — the shuffle key is the document id, so the work
+    * distributes per-doc at any corpus size. */
+  private val repetitionStats = GraftQuery(
+    "text_repetition_stats",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), tokens.as("toks"))
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_tok"), sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_distinct"))
+      val bi = docs
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 1, lit(1))),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"),
+          sum(col("c")).as("n_bi"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          (col("top_tok").cast(DoubleType) / col("n_tok")).as("top_tok_frac"),
+          (col("top_bi").cast(DoubleType) / col("n_bi")).as("top_bigram_frac"))
+        .withColumn("flagged",
+          col("top_tok_frac") > 0.1 || col("top_bigram_frac") > 0.05)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 100),
+      uni AS (
+        SELECT doc_id, MAX(c) AS top_tok, CAST(SUM(c) AS BIGINT) AS n_tok,
+          COUNT(*) AS n_distinct
+        FROM (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS g FROM d)
+              GROUP BY doc_id, g) GROUP BY doc_id),
+      bi AS (
+        SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+        FROM (SELECT doc_id, g, COUNT(*) AS c
+              FROM (SELECT doc_id,
+                      unnest(list_transform(
+                        range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+                    FROM d)
+              GROUP BY doc_id, g) GROUP BY doc_id)
+      SELECT uni.doc_id, n_tok, n_distinct,
+        CAST(top_tok AS DOUBLE) / n_tok AS top_tok_frac,
+        CAST(top_bi AS DOUBLE) / n_bi AS top_bigram_frac,
+        (CAST(top_tok AS DOUBLE) / n_tok > 0.1 OR
+         CAST(top_bi AS DOUBLE) / n_bi > 0.05) AS flagged
+      FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+      ORDER BY uni.doc_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
-    clusterComponents, chunkWindows, trigramSim, ftsRank)
+    clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats)
 }
