@@ -242,9 +242,21 @@ object DistributionCatalog {
       .groupBy(regexp_extract(input_file_name(), "_(\\d{5})[_.]", 1)
         .cast("int").as("bucket"))
       .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (0 until s.bucketCount).map { b =>
+    val base = (0 until s.bucketCount).map { b =>
       (name, b, bytes.getOrElse(b, 0L), rows.getOrElse(b, 0L))
-    }.toDF("table_name", "shard", "size_bytes", "n_rows")
+    }
+    // isolated tenants show as their own "shards" (shard = -1), the way
+    // citus_shards lists an isolated tenant's dedicated shard
+    val tenantRows = isolatedTenants.getOrElse(name, Map.empty).values
+      .toSeq.sorted.map { t =>
+        val sz = Option(new java.io.File(warehousePath(spark, t))
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_"))
+          .map(_.length()).sum
+        (t, -1, sz, spark.table(t).count())
+      }
+    (base ++ tenantRows)
+      .toDF("table_name", "shard", "size_bytes", "n_rows")
   }
 
   private val isolatedTenants =
@@ -261,13 +273,19 @@ object DistributionCatalog {
     * its former bucket's, which is the entire point of the citus UDF.
     * At 100 TB this is the skew remedy for the multi-tenant case where
     * one tenant is 1000× the median: [[shardSizes]] diagnoses,
-    * isolateTenant cures. */
+    * isolateTenant cures.
+    * READ CONTRACT after isolation: whole-table reads must go through
+    * [[table]] (a raw `spark.table(name)` sees only the remainder);
+    * [[shardSizes]] lists tenant parts as their own shards; the layout
+    * rewrites (alter/undistribute) re-absorb them. */
   def isolateTenant(spark: SparkSession, name: String,
       tenantValue: Any): DistributionSpec = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = specs.getOrElse(name,
       throw new IllegalArgumentException(s"not a distributed table: $name"))
-    require(s.method == Hash, s"$name is not hash-distributed")
+    require(s.method == Hash && s.bucketCount > 0,
+      s"$name is not hash-bucketed (tenant isolation needs a bucketed " +
+        "layout; time-partitioned and reference tables have none)")
     val distCol = s.distColumn.get
     val tenantTable =
       s"${name}__tenant_${tenantValue.toString.replaceAll("\\W", "_")}"
@@ -282,8 +300,13 @@ object DistributionCatalog {
       .format("parquet").saveAsTable(tenantTable)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     specs.remove(name)
-    val spec = createDistributedTable(spark, rest, name, distCol,
+    val rebuilt = createDistributedTable(spark, rest, name, distCol,
       s.bucketCount)
+    // the physical bucketing is unchanged, so the table KEEPS its
+    // colocation group (citus's CASCADE isolation does the same for
+    // all colocated tables at once)
+    val spec = rebuilt.copy(colocationId = s.colocationId)
+    specs.put(name, spec)
     isolatedTenants.updateWith(name) {
       case Some(m) => Some(m + (tenantValue.toString -> tenantTable))
       case None => Some(Map(tenantValue.toString -> tenantTable))
@@ -303,6 +326,8 @@ object DistributionCatalog {
       case None =>
         val s = specs.getOrElse(name,
           throw new IllegalArgumentException(s"not a distributed table: $name"))
+        require(s.method == Hash && s.distColumn.nonEmpty,
+          s"$name has no distribution column to route on")
         spark.table(name).filter(col(s.distColumn.get) === lit(tenantValue))
     }
   }

@@ -140,6 +140,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // Partial propagation = one component under multiple labels =
+    // silently kept duplicates downstream. Fail loudly instead.
+    require(converged, s"connectedComponents did not converge in " +
+      s"$maxIter rounds (component diameter exceeds maxIter — raise it " +
+      "or use connectedComponentsLogRounds)")
     labels
   }
 
@@ -199,6 +204,8 @@ object Dedup {
       e = next
       iter += 1
     }
+    require(converged, s"connectedComponentsLogRounds did not converge " +
+      s"in $maxIter rounds — raise maxIter")
     // converged stars: every node's label = min(self, final neighbors)
     val sym = e.union(e.select(col("v"), col("u"))).toDF("id", "nbr")
     val labels = vertices.join(sym, Seq("id"), "left")

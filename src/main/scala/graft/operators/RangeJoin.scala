@@ -33,15 +33,19 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointTs: String, startCol: String, endCol: String,
       bucketSeconds: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    val bcol = "__graft_range_bucket"
+    require(!points.columns.contains(bcol) &&
+      !intervals.columns.contains(bcol),
+      s"inputs must not carry a $bcol column")
     val b = lit(bucketSeconds)
-    val p = points.withColumn("__bucket",
+    val p = points.withColumn(bcol,
       floor(unix_timestamp(col(pointTs)) / b))
-    val iv = intervals.withColumn("__bucket",
+    val iv = intervals.withColumn(bcol,
       explode(sequence(
         floor(unix_timestamp(col(startCol)) / b),
         floor(unix_timestamp(col(endCol)) / b))))
-    p.join(iv, Seq("__bucket") ++ extraKeys)
+    p.join(iv, Seq(bcol) ++ extraKeys)
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
-      .drop("__bucket")
+      .drop(bcol)
   }
 }

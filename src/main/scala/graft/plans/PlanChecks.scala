@@ -60,15 +60,17 @@ object PlanChecks {
     nodes.zipWithIndex.collect {
       case (f: FileSourceScanExec, i) =>
         (i, "scan",
-          f.metadata.getOrElse("Location", "").replaceAll(".*/", ""),
+          f.metadata.getOrElse("Location", "")
+            .replaceAll(".*/", "").stripSuffix("]"),
           s"schema=${f.requiredSchema.fieldNames.mkString(",")} " +
             s"pushed=${f.metadata.getOrElse("PushedFilters", "[]")}")
       case (p, i) if p.isInstanceOf[ShuffleExchangeLike] =>
         (i, "shuffle", "", p.outputPartitioning.toString)
       case (j: BroadcastHashJoinExec, i) =>
-        (i, "broadcast_join", j.buildSide.toString, j.condition.toString)
+        (i, "broadcast_join", j.buildSide.toString,
+          j.condition.map(_.sql).getOrElse(""))
       case (j: SortMergeJoinExec, i) =>
-        (i, "shuffle_join", "", j.leftKeys.mkString(","))
+        (i, "shuffle_join", "", j.leftKeys.map(_.sql).mkString(","))
       case (p, i) if p.getClass.getSimpleName.contains("HashAggregate") =>
         (i, "aggregate", "",
           p.toString.takeWhile(_ != '\n').take(120))

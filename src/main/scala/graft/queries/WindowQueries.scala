@@ -229,7 +229,10 @@ object WindowQueries extends QueryModule {
         .select(col("o_orderstatus"), col("o_orderkey"),
           cents(col("o_totalprice")).as("tc"))
         .select(col("o_orderstatus"), col("o_orderkey"),
-          ((sum(col("tc")).over(w) - col("tc")).cast(DoubleType) / 100)
+          // genuine EXCLUDE yields NULL over an empty (singleton) frame,
+          // not 0 — match that, don't just subtract
+          when(count(lit(1)).over(w) > 1,
+            (sum(col("tc")).over(w) - col("tc")).cast(DoubleType) / 100)
             .as("others_total"),
           (count(lit(1)).over(w) - 1).as("n_others"))
         .orderBy(col("o_orderstatus"), col("o_orderkey"))

@@ -97,13 +97,23 @@ object PgDialect {
     *   - `a @> b` (contains) → `forall(b, x -> array_contains(a, x))`
     *   - `a <@ b` (contained by) → the reverse
     *   - `a && b` (overlap) → `arrays_overlap(a, b)`
-    * Operands: identifiers or (rewritten) array literals. */
+    * Operands: identifiers or (rewritten) array literals. Text inside
+    * single-quoted string literals is never rewritten (an `&&` in a
+    * regex pattern must survive verbatim). */
   def rewriteArrayOps(sql: String): String = {
-    val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(sql, m =>
+    // Mask string literals behind identifier-like placeholders so the
+    // operator regexes can neither corrupt literal text nor be confused
+    // by quotes inside ARRAY[...]; restore after rewriting.
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = "'[^']*'".r.replaceAllIn(sql, m => {
+      literals += m.matched
+      s"__GRAFT_LIT_${literals.size - 1}__"
+    })
+    val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(masked, m =>
       java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
     val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val opRe = (operand + """\s*(@>|<@|&&)\s*""" + operand).r
-    opRe.replaceAllIn(lit, m => {
+    val rewritten = opRe.replaceAllIn(lit, m => {
       val (a, op, b) = (m.group(1), m.group(2), m.group(3))
       java.util.regex.Matcher.quoteReplacement(op match {
         case "@>" => s"forall($b, __x -> array_contains($a, __x))"
@@ -111,6 +121,8 @@ object PgDialect {
         case _    => s"arrays_overlap($a, $b)"
       })
     })
+    """__GRAFT_LIT_(\d+)__""".r.replaceAllIn(rewritten, m =>
+      java.util.regex.Matcher.quoteReplacement(literals(m.group(1).toInt)))
   }
 
   def translate(sql: String): String =

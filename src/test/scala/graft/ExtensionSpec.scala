@@ -88,6 +88,11 @@ class ExtensionSpec extends AnyFunSuite {
   test("PG array operators rewrite: @> / <@ / && and ARRAY literals") {
     assert(PgDialect.rewriteArrayOps("WHERE tags @> ARRAY['a','b']")
       === "WHERE forall(array('a','b'), __x -> array_contains(tags, __x))")
+    // operators INSIDE string literals must survive verbatim
+    assert(PgDialect.rewriteArrayOps("WHERE c ~ 'x && y' AND a && b")
+      === "WHERE c ~ 'x && y' AND arrays_overlap(a, b)")
+    assert(PgDialect.rewriteArrayOps("SELECT 'p @> q' AS s")
+      === "SELECT 'p @> q' AS s")
     assert(PgDialect.rewriteArrayOps("WHERE a <@ b AND c && d")
       === "WHERE forall(a, __x -> array_contains(b, __x)) " +
         "AND arrays_overlap(c, d)")
