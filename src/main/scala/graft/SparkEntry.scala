@@ -9,7 +9,7 @@ object SparkEntry {
   /** All query modules. Each GraftQuery carries its Spark implementation
     * plus (when SQL-expressible) the DuckDB oracle SQL. */
   private def modules: Seq[QueryModule] = Seq(
-    TpchQueries, TpchDeepQueries, AggQueries, JoinQueries, WindowQueries,
+    TpchQueries, TpchDeepQueries, ChBenchQueries, AggQueries, JoinQueries, WindowQueries,
     SetOpQueries, SubqueryQueries, ScalarQueries, TextQueries,
     SimilarityQueries, SketchQueries, EventQueries, MultimodalQueries,
     JsonQueries, PgExtraQueries, DmlQueries)

@@ -99,4 +99,16 @@ class PlanShapeSpec extends AnyFunSuite {
         n.contains("SortMergeJoin")),
       s"expected an equi join on the bucket key: $nodes")
   }
+
+  test("ch_expr_join_profit: computed-expression join key still hashes " +
+      "(CH mod(a*b,N)=key never becomes a nested loop)") {
+    val nodes = collectAll(plan("ch_expr_join_profit"))
+      .map(_.getClass.getSimpleName)
+    assert(!nodes.exists(n => n.contains("NestedLoop") ||
+        n.contains("Cartesian")),
+      s"expression-key join must stay an equi join: $nodes")
+    assert(nodes.exists(n => n.contains("HashJoin") ||
+        n.contains("SortMergeJoin")),
+      s"expected a hash/merge join on the computed key: $nodes")
+  }
 }
