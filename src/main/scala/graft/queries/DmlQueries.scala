@@ -78,5 +78,58 @@ object DmlQueries extends QueryModule {
       WHERE NOT (o_orderstatus = 'F'
         AND o_orderdate < TIMESTAMP '1996-01-01')"""))
 
-  override val queries: Seq[GraftQuery] = Seq(dmlMerge, dmlUpdate, dmlDelete)
+  /** Target/source pair for the ON CONFLICT queries: an "existing"
+    * orders subset and an overlapping "new batch" with bumped prices
+    * (keys %6==0 conflict; %2==0 and not %3==0 are fresh inserts). */
+  private def conflictPair(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    (ord.filter(col("o_orderkey") % 3 === 0),
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)))
+  }
+
+  private val conflictCte = """WITH t AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 0),
+      s AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0)"""
+
+  /** INSERT..SELECT ON CONFLICT DO NOTHING: conflicting source rows are
+    * dropped, fresh keys append (multi_insert_select_conflict.sql). */
+  private val dmlConflictNothing = GraftQuery(
+    "dml_on_conflict_nothing",
+    (s, dir) => {
+      val (target, source) = conflictPair(s, dir)
+      Dml.insertOnConflictDoNothing(target, source, "o_orderkey")
+    },
+    Some(s"""$conflictCte
+      SELECT * FROM t
+      UNION ALL
+      SELECT s.* FROM s
+      WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)"""))
+
+  /** INSERT..SELECT ON CONFLICT DO UPDATE (upsert): the proposed row's
+    * price wins on conflict (PG's `excluded.o_totalprice`), fresh keys
+    * insert, untouched target rows survive. */
+  private val dmlConflictUpdate = GraftQuery(
+    "dml_on_conflict_update",
+    (s, dir) => {
+      val (target, source) = conflictPair(s, dir)
+      Dml.insertOnConflictDoUpdate(target, source, "o_orderkey",
+        Map("o_totalprice" -> col("s.o_totalprice")))
+    },
+    Some(s"""$conflictCte
+      SELECT t.o_orderkey, t.o_custkey,
+        CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+             ELSE t.o_totalprice END AS o_totalprice
+      FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM s
+      WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(dmlMerge, dmlUpdate, dmlDelete, dmlConflictNothing, dmlConflictUpdate)
 }

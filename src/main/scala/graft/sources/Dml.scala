@@ -78,6 +78,34 @@ object Dml {
     joined.filter(keep).select(out.toIndexedSeq: _*)
   }
 
+  /** INSERT ... SELECT ... ON CONFLICT (key) DO NOTHING — the reference
+    * distributes the conflict clause with the insert
+    * (`multi_insert_select_conflict.sql`, planned by
+    * `insert_select_planner.c`). A conflict is a source row whose key
+    * already exists in the target: those rows are dropped, the rest
+    * append. One key shuffle for the anti join — zero when both sides
+    * are bucketed by the key (the reference's pushdown case). `source`
+    * must have the target's schema. */
+  def insertOnConflictDoNothing(target: DataFrame, source: DataFrame,
+      key: String): DataFrame =
+    target.unionByName(
+      source.join(target.select(key), Seq(key), "left_anti"))
+
+  /** INSERT ... ON CONFLICT (key) DO UPDATE SET ... — the upsert form:
+    * every source row either updates its conflicting target row or
+    * inserts itself. `set` expressions may read the existing row as
+    * `t.col` and the proposed row as `s.col` (PG's `excluded` alias).
+    * Source keys must be unique — PG raises "cannot affect row a second
+    * time" when one INSERT conflicts twice with the same row; dedupe
+    * upstream. Plans as the merge full-outer join (target-only rows
+    * keep, matched update, source-only insert). */
+  def insertOnConflictDoUpdate(target: DataFrame, source: DataFrame,
+      key: String, set: Map[String, Column]): DataFrame =
+    merge(target, source, key, key, MergeClauses(
+      matchedUpdate = set,
+      notMatchedInsert =
+        Some(target.columns.map(c => c -> col(s"s.$c")).toMap)))
+
   /** MERGE INTO a catalog table, rewriting it copy-on-write with its
     * bucket layout (and colocation group) preserved. The merged state is
     * checkpointed before the overwrite because the write reads from the

@@ -56,6 +56,20 @@ class DmlSpec extends AnyFunSuite {
     assert(out.as[(Int, String)].collect().toSeq === Seq((1, "a")))
   }
 
+  test("insertOnConflict: DO NOTHING keeps existing rows, DO UPDATE upserts") {
+    val target = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    val source = Seq((2, 99.0), (3, 30.0)).toDF("id", "v")
+    val nothing = Dml.insertOnConflictDoNothing(target, source, "id")
+      .orderBy("id").as[(Int, Double)].collect().toSeq
+    assert(nothing === Seq((1, 10.0), (2, 20.0), (3, 30.0)),
+      "DO NOTHING must drop the conflicting source row")
+    val upsert = Dml.insertOnConflictDoUpdate(target, source, "id",
+        Map("v" -> col("s.v")))
+      .orderBy("id").as[(Int, Double)].collect().toSeq
+    assert(upsert === Seq((1, 10.0), (2, 99.0), (3, 30.0)),
+      "DO UPDATE must take the proposed (excluded) row's value")
+  }
+
   test("mergeIntoTable rewrites copy-on-write, keeping bucket layout") {
     DistributionCatalog.createDistributedTable(spark,
       Seq((1, 100.0), (2, 200.0)).toDF("id", "bal"), "dml_acct", "id",
