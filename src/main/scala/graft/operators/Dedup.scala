@@ -50,6 +50,34 @@ object Dedup {
           slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
           .as("band_hash")))
 
+  /** Exact-substring duplication signal (the idea of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", at
+    * token-window granularity): a doc is flagged when any exact window
+    * of `n` consecutive tokens also appears in another doc. Output:
+    * (idCol, n_shared_grams) for flagged docs only.
+    *
+    * Scale shape: distinct (doc, gram) → per-gram doc count → join the
+    * count back → per-doc count of shared grams. Linear in corpus size
+    * with two key shuffles; deliberately NO doc-pair output, so a
+    * boilerplate gram appearing in k docs costs k rows, never k². At
+    * 100 TB the gram key is high-cardinality and uniform — the natural
+    * hash-shuffle balance; memory per task is one gram row, not a
+    * per-gram doc list. */
+  def exactSubstringStats(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val grams = docs
+      .select(col(idCol), toks.as("__ts"))
+      .filter(size(col("__ts")) >= n) // sequence() would reverse on len<n
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__ts")) - (n - 1)),
+          i => array_join(slice(col("__ts"), i, lit(n)), " ")))).as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("__n_docs"))
+    grams.join(freq.filter(col("__n_docs") > 1), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Candidate near-dup pairs via MinHash LSH. Output: (a_id, b_id,
     * n_shared_bands). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,

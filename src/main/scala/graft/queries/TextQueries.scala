@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
+import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -154,6 +155,56 @@ object TextQueries extends QueryModule {
       MAX(doc_id) AS max_doc_id
       FROM documents GROUP BY 1 HAVING COUNT(*) > 1
       ORDER BY dedup_key"""))
+
+  /** Quality-weighted (importance) sampling — the training-data
+    * curation step that keeps each doc with probability proportional to
+    * its quality score: keep iff portable-uniform(doc_id) < score.
+    * Deterministic (md5-derived uniform, the sample_hash_mod idiom:
+    * 15 hex chars = 60 bits, /2^60 → exact double in [0,1)), map-only —
+    * no shuffle at any scale, reruns reproduce the same sample. */
+  private val qualitySample = GraftQuery(
+    "sample_quality_weighted",
+    (s, dir) => {
+      val score = least(lit(1.0), col("n_chars").cast(DoubleType) / 400.0)
+      val uniform = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)
+      t(s, dir, "documents")
+        .filter(uniform < score)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          score.as("keep_p"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+        least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS keep_p
+      FROM documents
+      WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+              / 1152921504606846976.0
+            < least(1.0, CAST(n_chars AS DOUBLE) / 400.0)
+      ORDER BY doc_id"""))
+
+  /** Exact-substring duplication (Lee et al. 2022 at 8-token-window
+    * granularity): docs sharing any exact 8-token window with another
+    * doc, with how many such windows each shares. Linear two-shuffle
+    * pipeline, no doc-pair blowup (operators/Dedup.exactSubstringStats). */
+  private val exactSubstring = GraftQuery(
+    "dedup_exact_substring",
+    (s, dir) =>
+      Dedup.exactSubstringStats(t(s, dir, "documents"),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+        FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-8+2)) AS i) r
+        WHERE len(ts) >= 8),
+      shared AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1)
+      SELECT doc_id, count(*) AS n_shared_grams
+      FROM grams JOIN shared USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""))
 
   /** N-gram Jaccard near-dup detection, blocked by (lang, length band)
     * so the pairwise stage is per-block, not a global cross join —
@@ -698,7 +749,8 @@ object TextQueries extends QueryModule {
       ORDER BY uni.doc_id"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    tokenStats, qualityScore, langId, fingerprint, dedupExact, ngramJaccard,
+    tokenStats, qualityScore, langId, fingerprint, dedupExact,
+    exactSubstring, qualitySample, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
     clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats)
 }

@@ -120,4 +120,25 @@ class DedupSpec extends AnyFunSuite {
       assert(logRounds(id) === c, s"node $id: star=$c prop=${logRounds(id)}")
     }
   }
+
+  test("exact-substring stats: shared 8-token windows counted once per " +
+      "doc, unique docs absent, repeats within one doc not double-counted") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // one 8-token window
+    val docs = Seq(
+      (1L, s"alpha $run omega"),          // shares `run` with 2 and 3
+      (2L, s"$run $run"),                 // contains it twice — counts once
+      (3L, s"start middle $run"),
+      (4L, "an entirely different sentence with eight unique tokens here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringStats(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc2's "run run" also creates windows straddling the repeat, shared
+    // only between its two copies — same doc, so they never count.
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    val m = out.toMap
+    assert(m(1L) === 1L && m(3L) === 1L,
+      "docs 1 and 3 share exactly the one 8-token window")
+    assert(m(2L) === 1L, "doc 2 must count its duplicated window once")
+  }
 }
