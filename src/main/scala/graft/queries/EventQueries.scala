@@ -30,6 +30,29 @@ object EventQueries extends QueryModule {
       COUNT(*) AS n_events
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** Windowed approximate distinct users over HLL sketches (streaming:
+    * tumblingApproxUsers — per-window state is one fixed-size sketch,
+    * not a user set). Oracled with the bounded-error verdict pattern:
+    * exact distinct count + a tolerance boolean, both deterministic. */
+  private val windowApproxUsers = GraftQuery(
+    "events_window_approx_users",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val approx = StreamingOps.tumblingApproxUsers(e)
+      val exact = e
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("w.start").as("window_start"), col("exact_users"))
+      approx.join(exact, "window_start")
+        .select(col("window_start"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05 + 1.0).as("estimate_ok"))
+        .orderBy(col("window_start"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start,
+      COUNT(DISTINCT user_id) AS exact_users, TRUE AS estimate_ok
+      FROM events GROUP BY 1 ORDER BY window_start"""))
+
   /** Sliding 1-hour/15-minute windows (streaming: slidingCounts);
     * oracle expands each event into its 4 covering epoch-aligned
     * windows — the same alignment Spark's window() uses. */
@@ -208,6 +231,6 @@ object EventQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(tumbling, sliding, sessions, sessionize, funnel, asof, retention,
-      intervalJoin)
+    Seq(tumbling, windowApproxUsers, sliding, sessions, sessionize, funnel,
+      asof, retention, intervalJoin)
 }

@@ -73,6 +73,35 @@ object JoinQueries extends QueryModule {
         ON c_custkey = o_custkey AND o_totalprice > 30000
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** Recurring-tuples outer join: the REFERENCE table is the OUTER side
+    * of a LEFT JOIN against a distributed aggregate — the case citus
+    * guards with RecurringTuplesType (query_pushdown_planning.c:52-60,
+    * arbitrary_configs_recurring_outer_join.sql), because a reference
+    * table recurring on every shard would duplicate outer rows under
+    * naive per-shard execution. Spark plans it as one logical join (the
+    * tiny aggregated inner side broadcasts); unmatched nations
+    * null-extend exactly once. */
+  private val recurringOuter = GraftQuery(
+    "join_recurring_outer",
+    (s, dir) => {
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rich"))
+      t(s, dir, "nation")
+        .join(rich, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_rich"), lit(0L)).as("n_rich"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name,
+        COALESCE(n_rich, CAST(0 AS BIGINT)) AS n_rich
+      FROM nation LEFT JOIN
+        (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich
+         FROM customer WHERE c_acctbal > 9900 GROUP BY c_nationkey) r
+        ON n_nationkey = c_nationkey
+      ORDER BY n_nationkey"""))
+
   /** FULL OUTER join of two aggregates (1996 vs 1997 actives). */
   private val fullOuter = GraftQuery(
     "join_full_outer",
@@ -191,6 +220,6 @@ object JoinQueries extends QueryModule {
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    broadcastRef, shuffleJoin, leftOuter, fullOuter, semiJoin, antiJoin,
-    crossJ, thetaJoin, skewSalted)
+    broadcastRef, shuffleJoin, leftOuter, recurringOuter, fullOuter,
+    semiJoin, antiJoin, crossJ, thetaJoin, skewSalted)
 }

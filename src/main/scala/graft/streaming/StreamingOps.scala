@@ -41,6 +41,21 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"))
 
+  /** Approximate distinct users per tumbling hour via HLL sketches —
+    * the streaming form of the persisted-sketch rollup (citus
+    * hll_add_agg over time partitions): per-window streaming state is
+    * ONE fixed-size sketch buffer, never a distinct-user set, so state
+    * is O(windows × 2^lgK) regardless of cardinality. The same
+    * register-max merge serves both the stream's incremental updates
+    * and the batch partial/final split. */
+  def tumblingApproxUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("approx_users"))
+      .select(col("w.start").as("window_start"), col("approx_users"))
+
   /** Sliding (hopping) 1-hour windows every 15 minutes — each event
     * lands in 4 overlapping windows; state is per (window, type) key. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -37,6 +37,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("group-by on the distribution column aggregates without shuffle " +
+      "(citus full aggregate pushdown: groupedByDisjointPartitionColumn)") {
+    setup
+    val agg = DistributionCatalog.table(spark, "d_orders")
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("o_totalprice")).as("t"), count(lit(1)).as("n"))
+    assert(PlanChecks.countShuffles(agg) === 0,
+      "bucketed-by-group-key aggregate must run one-phase, no Exchange")
+    assert(agg.count() > 0)
+  }
+
   test("non-distribution-key join does shuffle (dual partition join)") {
     setup
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

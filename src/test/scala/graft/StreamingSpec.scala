@@ -48,6 +48,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL approx-distinct: incremental sketch state equals " +
+      "the batch estimate exactly (register-max merge is order-free)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.tumblingApproxUsers(stream.toDF())
+      .writeStream.format("memory").queryName("approx_users_out")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = sampleEvents.splitAt(150)
+      Seq(a, b).foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("approx_users_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      val batchRes = StreamingOps.tumblingApproxUsers(sampleEvents.toDF())
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(streamed === batchRes,
+        "sketch merge must be order/batching independent")
+      assert(batchRes.nonEmpty)
+    } finally q.stop()
+  }
+
   test("append-mode tumbling agg drops data later than the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
