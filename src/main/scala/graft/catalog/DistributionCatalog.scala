@@ -37,6 +37,8 @@ object DistributionCatalog {
   sealed trait PartMethod
   case object Hash extends PartMethod      // DISTRIBUTE_BY_HASH 'h'
   case object Reference extends PartMethod // DISTRIBUTE_BY_NONE 'n'
+  case object RangeDist extends PartMethod // DISTRIBUTE_BY_RANGE 'r'
+  case object AppendDist extends PartMethod // DISTRIBUTE_BY_APPEND 'a'
 
   final case class DistributionSpec(
       table: String,
@@ -126,7 +128,8 @@ object DistributionCatalog {
     import spark.implicits._
     specs.values.toSeq
       .map(s => (s.table,
-        s.method match { case Hash => "h"; case Reference => "n" },
+        s.method match { case Hash => "h"; case Reference => "n"
+          case RangeDist => "r"; case AppendDist => "a" },
         s.distColumn.getOrElse(""), s.bucketCount, s.colocationId))
       .toDF("logicalrelid", "partmethod", "partkey", "bucketcount",
         "colocationid")
@@ -379,8 +382,178 @@ object DistributionCatalog {
     }
   }
 
+  // ---- shard placements (pg_dist_placement) ---------------------------
+
+  private val placementMap = TrieMap.empty[String, Map[Int, Int]]
+
+  /** Current shard→node placement ≙ `pg_dist_placement`. Never-placed
+    * tables get citus's create-time default: round-robin across the
+    * node set. */
+  def placements(table: String, nodeCount: Int,
+      shards: Set[Int]): Map[Int, Int] =
+    placementMap.getOrElse(table,
+      shards.map(s => s -> (s % nodeCount)).toMap)
+
+  private[catalog] def setPlacements(table: String,
+      p: Map[Int, Int]): Unit = placementMap.put(table, p)
+
+  /** The `pg_dist_placement` view (shardid, nodeid) for one table. */
+  def shardPlacements(spark: SparkSession, table: String,
+      nodeCount: Int): DataFrame = {
+    import spark.implicits._
+    val s = specs.getOrElse(table,
+      throw new IllegalArgumentException(s"not a distributed table: $table"))
+    placements(table, nodeCount, (0 until s.bucketCount).toSet)
+      .toSeq.sorted.map { case (sh, n) => (table, sh, n) }
+      .toDF("logicalrelid", "shardid", "nodeid")
+  }
+
+  // ---- range / append distribution (DISTRIBUTE_BY_RANGE 'r',
+  // DISTRIBUTE_BY_APPEND 'a') -------------------------------------------
+
+  /** One shard's interval ≙ a `pg_dist_shard` row (shardid,
+    * shardminvalue, shardmaxvalue —
+    * `src/include/distributed/pg_dist_shard.h:22-33`). min/max are the
+    * ACTUAL observed bounds of the shard's rows, the way citus records
+    * them for append tables and uses them for pruning. */
+  final case class ShardInterval(shard: Int, min: Any, max: Any)
+
+  private val shardIntervals = TrieMap.empty[String, Seq[ShardInterval]]
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // numbers compare across widths (stored bounds are often Long while
+    // the caller passes Int literals)
+    case (x: Number, y: Number) =>
+      BigDecimal(x.toString).compare(BigDecimal(y.toString))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** Range-distributed table (`DISTRIBUTE_BY_RANGE 'r'`,
+    * `pg_dist_partition.h:56`): rows land in the shard whose interval
+    * covers their distribution-column value. Split points define N+1
+    * shards; shard i takes `splitPoints(i-1) <= v < splitPoints(i)`.
+    * Physically a `__shard`-partitioned Parquet directory tree — the
+    * directory IS the shard, so [[rangeScan]]'s interval pruning turns
+    * into Spark partition pruning (only overlapping directories are
+    * listed/read; at 100 TB an interval query touches only its shards'
+    * files, exactly citus's `PruneShards` on `shardminvalue/maxvalue`).
+    * Shard assignment is a branch-free sum of comparisons — codegen'd,
+    * no UDF, one write-stage shuffle. */
+  def createRangeDistributedTable(spark: SparkSession, df: DataFrame,
+      name: String, distColumn: String,
+      splitPoints: Seq[Any]): DistributionSpec = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(splitPoints.nonEmpty, "need at least one split point")
+    val shardExpr = splitPoints
+      .map(p => when(col(distColumn) >= lit(p), 1).otherwise(0))
+      .reduce(_ + _)
+    writeShardPartitioned(spark, name,
+      df.withColumn("__shard", coalesce(shardExpr, lit(0))))
+    recordIntervals(spark, name, distColumn, replace = true)
+    val spec = DistributionSpec(name, RangeDist, Some(distColumn),
+      splitPoints.size + 1, 0)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** Append-distributed table (`DISTRIBUTE_BY_APPEND 'a'`,
+    * `pg_dist_partition.h:54`; loader
+    * `worker/worker_data_fetch_protocol.c:76`): every ingested batch
+    * becomes a brand-new shard with recorded min/max — the legacy
+    * citus bulk-append model (`master_create_empty_shard` +
+    * `worker_append_table_to_shard`). Batches may overlap in key
+    * space; pruning still works off each shard's observed bounds. */
+  def createAppendTable(spark: SparkSession, firstBatch: DataFrame,
+      name: String, distColumn: String): DistributionSpec = {
+    import org.apache.spark.sql.functions.lit
+    writeShardPartitioned(spark, name,
+      firstBatch.withColumn("__shard", lit(0)))
+    recordIntervals(spark, name, distColumn, replace = true)
+    val spec = DistributionSpec(name, AppendDist, Some(distColumn), 1, 0)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** Append one more batch as a new shard (shard id = previous max + 1). */
+  def appendShard(spark: SparkSession, name: String,
+      batch: DataFrame): DistributionSpec = {
+    import org.apache.spark.sql.functions.lit
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == AppendDist, s"$name is not append-distributed")
+    val next = shardIntervals(name).map(_.shard).max + 1
+    // append into the existing table (location/partitioning come from
+    // the catalog entry; specifying path again on append is rejected)
+    batch.withColumn("__shard", lit(next))
+      .write.mode("append").partitionBy("__shard")
+      .option("compression", "zstd")
+      .format("parquet").saveAsTable(name)
+    spark.catalog.refreshTable(name)
+    recordIntervals(spark, name, s.distColumn.get, replace = true)
+    val spec = s.copy(bucketCount = next + 1)
+    specs.put(name, spec)
+    spec
+  }
+
+  /** The `pg_dist_shard` view: one row per shard with its interval. */
+  def rangeShards(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    shardIntervals.getOrElse(name,
+        throw new IllegalArgumentException(s"no shard intervals for $name"))
+      .map(i => (name, i.shard, String.valueOf(i.min), String.valueOf(i.max)))
+      .toDF("logicalrelid", "shardid", "shardminvalue", "shardmaxvalue")
+  }
+
+  /** Interval-pruned read: shards whose [min,max] overlaps [lo,hi] are
+    * scanned, the rest are never listed (`PruneShards`,
+    * `planner/shard_pruning.c:1-67` → Spark partition pruning on
+    * `__shard`), with the exact range kept as a residual predicate.
+    * Pass `lo`/`hi` = None for a half-open interval. */
+  def rangeScan(spark: SparkSession, name: String,
+      lo: Option[Any], hi: Option[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == RangeDist || s.method == AppendDist,
+      s"$name is not range/append-distributed")
+    val keep = shardIntervals(name).filter(i =>
+        lo.forall(l => cmp(i.max, l) >= 0) &&
+        hi.forall(h => cmp(i.min, h) <= 0))
+      .map(_.shard)
+    val dc = col(s.distColumn.get)
+    val residual = (lo.map(l => dc >= lit(l)) ++ hi.map(h => dc <= lit(h)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    spark.table(name)
+      .filter(col("__shard").isin(keep: _*))
+      .filter(residual)
+      .drop("__shard")
+  }
+
+  private def writeShardPartitioned(spark: SparkSession, name: String,
+      df: DataFrame): Unit = {
+    df.write.mode("overwrite").partitionBy("__shard")
+      .option("path", warehousePath(spark, name))
+      .option("compression", "zstd")
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** Record per-shard observed min/max (one small grouped scan — N
+    * shards rows to the driver, never data rows). */
+  private def recordIntervals(spark: SparkSession, name: String,
+      distColumn: String, replace: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val ivs = spark.table(name)
+      .groupBy(col("__shard")).agg(min(distColumn), max(distColumn))
+      .collect()
+      .map(r => ShardInterval(
+        r.get(0).toString.toInt, r.get(1), r.get(2)))
+      .sortBy(_.shard).toSeq
+    shardIntervals.put(name, ivs)
+  }
+
   def reset(): Unit =
-    { specs.clear(); matviews.clear(); isolatedTenants.clear() }
+    { specs.clear(); matviews.clear(); isolatedTenants.clear()
+      shardIntervals.clear(); placementMap.clear() }
 
   private def warehousePath(spark: SparkSession, name: String): String =
     new java.io.File(

@@ -125,8 +125,42 @@ object PgDialect {
       java.util.regex.Matcher.quoteReplacement(literals(m.group(1).toInt)))
   }
 
+  /** PG json/jsonb extraction operators → `get_json_object` JSON
+    * paths (the reference's corpus uses them as data accessors,
+    * `multi_jsonb_agg.sql` flavor):
+    *   - `j -> 'k'` / `j ->> 'k'` → `$.k` (field; `->>` text semantics
+    *     match get_json_object's unquoting)
+    *   - `j -> 0` → `$[0]` (array element)
+    *   - `j #> '{a,b}'` / `j #>> '{a,b}'` → `$.a.b` (path)
+    *   - chains fold into one path: `j -> 'a' ->> 'b'` → `$.a.b`
+    * Base must be a plain identifier (no `::json` cast needed — JSON
+    * columns here are strings). A lambda arrow (`x -> expr`) never
+    * matches: these operators require a quoted key or integer index
+    * on the right. */
+  def rewriteJsonOps(sql: String): String = {
+    val chainRe =
+      """(?<![:\w'])([A-Za-z_][A-Za-z0-9_.]*)((?:\s*(?:->>|->|#>>|#>)\s*(?:'[^']*'|\d+))+)""".r
+    val stepRe = """(->>|->|#>>|#>)\s*(?:'([^']*)'|(\d+))""".r
+    chainRe.replaceAllIn(sql, m => {
+      val base = m.group(1)
+      val path = stepRe.findAllMatchIn(m.group(2)).map { sm =>
+        val (op, key, idx) = (sm.group(1), sm.group(2), sm.group(3))
+        if (op.startsWith("#"))
+          key.stripPrefix("{").stripSuffix("}").split(',')
+            .map(_.trim)
+            .map(s => if (s.forall(_.isDigit)) s"[$s]" else s".$s")
+            .mkString
+        else if (idx != null) s"[$idx]"
+        else s".$key"
+      }.mkString
+      java.util.regex.Matcher.quoteReplacement(
+        s"get_json_object($base, '$$$path')")
+    })
+  }
+
   def translate(sql: String): String =
-    rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteDistinctOn(sql))))
+    rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
+      rewriteDistinctOn(sql)))))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

@@ -219,4 +219,109 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("d_iso_orders")
       .filter(col("o_custkey") === hotKey).count() === hotRows)
   }
+
+  test("range-distributed table: interval pruning reads only overlapping " +
+      "shard directories (DISTRIBUTE_BY_RANGE + PruneShards)") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createRangeDistributedTable(spark, orders,
+      "d_range_orders", "o_custkey", splitPoints = Seq(40, 80, 120))
+    // pg_dist_shard view: 4 shards with observed bounds
+    val shards = DistributionCatalog.rangeShards(spark, "d_range_orders")
+      .orderBy("shardid").collect()
+    assert(shards.length === 4)
+    assert(shards.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+    // no rows lost in the layout
+    assert(spark.table("d_range_orders").count() === orders.count())
+    // an interval read prunes: [0, 300] overlaps only shard 0
+    val pruned = DistributionCatalog.rangeScan(spark, "d_range_orders",
+      lo = Some(0), hi = Some(30))
+    assert(pruned.inputFiles.forall(_.contains("__shard=0")),
+      "scan must touch only the overlapping shard's directory")
+    val expected = orders
+      .filter(col("o_custkey") >= 0 && col("o_custkey") <= 30).count()
+    assert(pruned.count() === expected)
+    // the pruning shows up as a partition filter in the physical plan
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("__shard"), "expected __shard partition pruning")
+  }
+
+  test("append-distributed table: each batch is a new shard; pruning " +
+      "uses per-shard min/max (DISTRIBUTE_BY_APPEND)") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    val b1 = orders.filter(col("o_custkey") < 50)
+    val b2 = orders.filter(col("o_custkey") >= 50 && col("o_custkey") < 100)
+    val b3 = orders.filter(col("o_custkey") >= 100)
+    DistributionCatalog.createAppendTable(spark, b1, "d_append_orders",
+      "o_custkey")
+    DistributionCatalog.appendShard(spark, "d_append_orders", b2)
+    DistributionCatalog.appendShard(spark, "d_append_orders", b3)
+    val shards = DistributionCatalog.rangeShards(spark, "d_append_orders")
+    assert(shards.count() === 3)
+    assert(spark.table("d_append_orders").count() === orders.count())
+    // a read over [600, 900] overlaps only batch 2's shard
+    val pruned = DistributionCatalog.rangeScan(spark, "d_append_orders",
+      lo = Some(60), hi = Some(90))
+    assert(pruned.inputFiles.forall(_.contains("__shard=1")),
+      "only the middle batch's shard overlaps [60,90]")
+    val expected = orders
+      .filter(col("o_custkey") >= 60 && col("o_custkey") <= 90).count()
+    assert(pruned.count() === expected)
+    // catalog lists both new tables with their partmethod chars
+    val methods = DistributionCatalog.listTables(spark)
+      .filter(col("logicalrelid").isin("d_range_orders", "d_append_orders"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(methods("d_range_orders") === "r")
+    assert(methods("d_append_orders") === "a")
+  }
+
+  test("rebalancer: by_disk_size plan balances bytes within one shard " +
+      "of even; idempotent after apply (get_rebalance_table_shards_plan)") {
+    import graft.catalog.Rebalancer
+    // pathological placement: everything on node 0
+    val sizes = Map(0 -> 100L, 1 -> 80L, 2 -> 60L, 3 -> 40L, 4 -> 20L,
+      5 -> 10L)
+    val current = sizes.keys.map(_ -> 0).toMap
+    val moves = Rebalancer.plan(sizes, current, nodeCount = 3)
+    assert(moves.nonEmpty)
+    val after = moves.foldLeft(current)((p, m) => p.updated(m.shard, m.toNode))
+    val loads = after.groupBy(_._2).view
+      .mapValues(_.keys.map(sizes).sum).toMap
+    val spread = loads.values.max - loads.values.min
+    assert(spread <= sizes.values.max,
+      s"spread $spread must be bounded by the largest shard")
+    // planning the balanced placement again proposes nothing
+    assert(Rebalancer.plan(sizes, after, 3).isEmpty)
+    // determinism: same inputs, same plan
+    assert(Rebalancer.plan(sizes, current, 3) === moves)
+  }
+
+  test("rebalancer: by_shard_count equalizes shard counts") {
+    import graft.catalog.Rebalancer
+    val sizes = (0 until 8).map(_ -> 1L).toMap
+    val current = (0 until 8).map(_ -> 0).toMap // all on node 0
+    val moves = Rebalancer.plan(sizes, current, 2, "by_shard_count")
+    val after = moves.foldLeft(current)((p, m) => p.updated(m.shard, m.toNode))
+    val counts = after.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts === Map(0 -> 4, 1 -> 4))
+  }
+
+  test("rebalancer: catalog round trip — citus_rebalance_start updates " +
+      "pg_dist_placement") {
+    import graft.catalog.Rebalancer
+    setup
+    val moves = Rebalancer.rebalance(spark, "d_orders", nodeCount = 3)
+    // post-state is balanced: a second plan is empty
+    assert(Rebalancer.planForTable(spark, "d_orders", 3).isEmpty)
+    val placed = DistributionCatalog.shardPlacements(spark, "d_orders", 3)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(placed.size === 8)
+    moves.foreach(m => assert(placed(m.shard) === m.toNode))
+    // the plan view renders like get_rebalance_table_shards_plan
+    val df = Rebalancer.planDF(spark, "d_orders", moves)
+    assert(df.columns.toSeq === Seq("table_name", "shardid", "shard_size",
+      "source_node", "target_node"))
+  }
 }
