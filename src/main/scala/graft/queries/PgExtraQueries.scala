@@ -196,7 +196,31 @@ object PgExtraQueries extends QueryModule {
       FROM customer WHERE regexp_matches(c_name, 'er')
       ORDER BY c_nationkey, c_acctbal DESC, c_custkey"""))
 
+  /** PG json operators (`->>`, `#>>`) through the dialect front end —
+    * the jsonb accessor surface of the reference corpus
+    * (multi_jsonb_agg.sql uses jsonb as data). DuckDB runs its genuine
+    * json_extract_string on the same strings. */
+  private val jsonOps = GraftQuery(
+    "pg_json_ops",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT event_type,
+             COUNT(*) AS n,
+             SUM((props ->> 'k')::int8) AS sum_k,
+             MAX((props #>> '{k}')::int8) AS max_k
+           FROM events
+           WHERE (props ->> 'k')::int8 > 50
+           GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      GROUP BY event_type ORDER BY event_type"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
-      dialectRoundtrip)
+      dialectRoundtrip, jsonOps)
 }

@@ -35,8 +35,10 @@ object PgDialect {
     * left-to-right; operand = literal, quoted literal, identifier,
     * or parenthesized expression. */
   def rewriteCasts(sql: String): String = {
+    // the paren operand allows one nesting level, so a rewritten json
+    // accessor — `(get_json_object(col, '$.k'))::int8` — still casts
     val castRe =
-      """(('[^']*')|("[^"]*")|(\([^()]*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
+      """(('[^']*')|("[^"]*")|(\((?:[^()]|\([^()]*\))*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
     var out = sql
     var changed = true
     while (changed) {

@@ -85,6 +85,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(n === custs)
   }
 
+  test("PG json operators rewrite: -> / ->> / #> / #>> fold into one " +
+      "get_json_object path") {
+    assert(PgDialect.rewriteJsonOps("SELECT props ->> 'k' FROM e")
+      === "SELECT get_json_object(props, '$.k') FROM e")
+    assert(PgDialect.rewriteJsonOps("SELECT j -> 'a' ->> 'b' FROM e")
+      === "SELECT get_json_object(j, '$.a.b') FROM e")
+    assert(PgDialect.rewriteJsonOps("SELECT j -> 0 ->> 'x' FROM e")
+      === "SELECT get_json_object(j, '$[0].x') FROM e")
+    assert(PgDialect.rewriteJsonOps("SELECT j #>> '{a,2,b}' FROM e")
+      === "SELECT get_json_object(j, '$.a[2].b') FROM e")
+    // lambda arrows survive (operator needs a key/index on the right)
+    assert(PgDialect.rewriteJsonOps("SELECT forall(a, x -> y(x)) FROM e")
+      === "SELECT forall(a, x -> y(x)) FROM e")
+    // end-to-end through translate incl. the paren cast
+    val df = PgDialect.sql(spark,
+      """SELECT (j ->> 'a')::int8 AS a, j -> 'n' ->> 'b' AS b
+         FROM (SELECT '{"a": 7, "n": {"b": "x"}}' AS j)""")
+    val r = df.collect()(0)
+    assert(r.getLong(0) === 7L && r.getString(1) === "x")
+  }
+
   test("PG array operators rewrite: @> / <@ / && and ARRAY literals") {
     assert(PgDialect.rewriteArrayOps("WHERE tags @> ARRAY['a','b']")
       === "WHERE forall(array('a','b'), __x -> array_contains(tags, __x))")
