@@ -748,9 +748,122 @@ object TextQueries extends QueryModule {
       FROM uni JOIN bi ON uni.doc_id = bi.doc_id
       ORDER BY uni.doc_id"""))
 
+  /** Sequence packing (context-window prep): concatenate the token
+    * stream in deterministic doc order and split at a fixed token
+    * budget — the GPT-style pretraining pack where documents may
+    * straddle a boundary. Implemented as ONE window cumsum keyed by
+    * the pack partition (`lang` here ≙ the per-worker pack shard at
+    * cluster scale): each doc learns its sequence id and offset from
+    * the running total; no driver state, no sequential loop. At
+    * 100 TB the partition key is the shard id, so packing stays
+    * embarrassingly parallel with exactly one shuffle (the window
+    * key), and the budget arithmetic is identical. */
+  private val packSequences = GraftQuery(
+    "text_pack_sequences",
+    (s, dir) => {
+      val B = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("lang"), size(tokens).as("n_tokens"))
+        .withColumn("cum_after",
+          sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum_after") - col("n_tokens")) / B).cast(IntegerType)
+            .as("seq_id"),
+          ((col("cum_after") - col("n_tokens")) % B).cast(IntegerType)
+            .as("seq_offset"),
+          // does this doc straddle into the next sequence?
+          (floor((col("cum_after") - 1) / B) >
+            floor((col("cum_after") - col("n_tokens")) / B))
+            .as("straddles"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          SUM(CAST(len(string_split(text, ' ')) AS INT))
+            OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_after
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id, lang, n_tokens,
+        CAST(floor((cum_after - n_tokens) / 512) AS INT) AS seq_id,
+        CAST((cum_after - n_tokens) % 512 AS INT) AS seq_offset,
+        floor((cum_after - 1) / 512) >
+          floor((cum_after - n_tokens) / 512) AS straddles
+      FROM d ORDER BY doc_id"""))
+
+  /** Full BM25 ranking (extends `text_fts_rank`'s TF-only score with
+    * the real IDF + length normalization; k1=1.2, b=0.75). Corpus
+    * stats (N, df per term, avg doc length) are one tiny aggregate
+    * broadcast to every scorer — at 100 TB that is a 1-row broadcast
+    * against a map-only scoring pass, then a top-k merge; nothing
+    * accumulates centrally. Scores round to 6 decimals so the oracle
+    * compare is insensitive to libm ULP differences. */
+  private val bm25Rank = GraftQuery(
+    "text_bm25_rank",
+    (s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens, x => x === term)).cast(DoubleType)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), size(tokens).cast(DoubleType).as("dl"),
+          tf("query").as("tf_q"), tf("join").as("tf_j"))
+      val stats = docs.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(col("dl")).as("avgdl"),
+        sum(when(col("tf_q") > 0, 1).otherwise(0)).cast(DoubleType)
+          .as("df_q"),
+        sum(when(col("tf_j") > 0, 1).otherwise(0)).cast(DoubleType)
+          .as("df_j"))
+      def part(tfc: Column, dfc: Column): Column = {
+        val idf = log(
+          (col("n_docs") - dfc + 0.5) / (dfc + 0.5) + lit(1.0))
+        val k1 = lit(1.2); val b = lit(0.75)
+        idf * (tfc * (k1 + 1.0)) /
+          (tfc + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl")))
+      }
+      docs.crossJoin(broadcast(stats))
+        .filter(col("tf_q") > 0 || col("tf_j") > 0)
+        .select(col("doc_id"),
+          col("tf_q").cast(IntegerType).as("tf_query"),
+          col("tf_j").cast(IntegerType).as("tf_join"),
+          round(part(col("tf_q"), col("df_q")) +
+            part(col("tf_j"), col("df_j")), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(25)
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+          CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+            AS DOUBLE) AS tf_q,
+          CAST(len(list_filter(string_split(text, ' '), x -> x = 'join'))
+            AS DOUBLE) AS tf_j
+        FROM documents),
+      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+          CAST(SUM(CASE WHEN tf_q > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_q,
+          CAST(SUM(CASE WHEN tf_j > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_j
+        FROM d)
+      SELECT doc_id,
+        CAST(tf_q AS INT) AS tf_query,
+        CAST(tf_j AS INT) AS tf_join,
+        round(
+          ln((n_docs - df_q + 0.5) / (df_q + 0.5) + 1.0)
+            * (tf_q * (1.2 + 1.0))
+            / (tf_q + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) +
+          ln((n_docs - df_j + 0.5) / (df_j + 0.5) + 1.0)
+            * (tf_j * (1.2 + 1.0))
+            / (tf_j + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+      FROM d, s
+      WHERE tf_q > 0 OR tf_j > 0
+      ORDER BY bm25 DESC, doc_id LIMIT 25"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     tokenStats, qualityScore, langId, fingerprint, dedupExact,
     exactSubstring, qualitySample, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
-    clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats)
+    clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats,
+    packSequences, bm25Rank)
 }

@@ -56,6 +56,21 @@ object StreamingOps {
         .as("approx_users"))
       .select(col("w.start").as("window_start"), col("approx_users"))
 
+  /** Stream-static dimension enrich: the canonical REFERENCE_JOIN in
+    * streaming form — every micro-batch joins the (small, static)
+    * dimension by broadcast, so the stream side never shuffles and no
+    * join state accumulates (unlike stream-stream joins). At 100 TB/day
+    * the dimension broadcast is per-executor-once; the aggregation
+    * state is per (window, dim-attribute) only. */
+  def dimensionEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") % 5 === col("seg_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("seg_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("seg_name"),
+        col("n_events"), col("total_value"))
+
   /** Sliding (hopping) 1-hour windows every 15 minutes — each event
     * lands in 4 overlapping windows; state is per (window, type) key. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -48,6 +48,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dimension enrich: broadcast join per micro-batch " +
+      "equals the batch join (REFERENCE_JOIN, streaming form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "seg_a"), (1L, "seg_b"), (2L, "seg_c"),
+      (3L, "seg_d"), (4L, "seg_e")).toDF("seg_id", "seg_name")
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.dimensionEnrich(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      val (a, b) = sampleEvents.splitAt(140)
+      Seq(a, b).foreach { batch =>
+        stream.addData(batch); q.processAllAvailable()
+      }
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batchRes = StreamingOps
+        .dimensionEnrich(sampleEvents.toDF(), dim).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed === batchRes && batchRes.nonEmpty)
+      // the plan keeps the dimension on the broadcast side
+      assert(graft.plans.PlanChecks.hasBroadcastHashJoin(
+        StreamingOps.dimensionEnrich(sampleEvents.toDF(), dim)))
+    } finally q.stop()
+  }
+
   test("windowed HLL approx-distinct: incremental sketch state equals " +
       "the batch estimate exactly (register-max merge is order-free)") {
     import spark.implicits._
