@@ -108,6 +108,9 @@ object DistributionCatalog {
     }
     specs.get(name) match {
       case Some(s) if s.method == Reference => broadcast(df)
+      // the shard id is physical layout, not user schema
+      case Some(s) if s.method == RangeDist || s.method == AppendDist =>
+        df.drop("__shard")
       case _ => df
     }
   }
@@ -317,6 +320,25 @@ object DistributionCatalog {
     spec
   }
 
+  private val tenantReads = TrieMap.empty[(String, String), Long]
+
+  /** The `citus_stat_tenants` view (`src/backend/distributed/utils/
+    * citus_stat_tenants.c` — per-tenant query counts for spotting hot
+    * tenants): routed single-tenant reads are counted per (table,
+    * tenant); the hot tenants this surfaces are [[isolateTenant]]'s
+    * input, closing the diagnose→cure loop the citus feature exists
+    * for. */
+  def statTenants(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tenantReads.toSeq
+      .map { case ((tbl, tv), n) => (tbl, tv, n) }
+      .sortBy { case (tbl, tv, n) => (-n, tbl, tv) }
+      .toDF("table_name", "tenant", "read_count")
+  }
+
+  /** `citus_stat_tenants_reset()`. */
+  def resetTenantStats(): Unit = tenantReads.clear()
+
   /** Route a single-tenant read: the dedicated table if the tenant is
     * isolated (scan = just its files), else the base table with a
     * distribution-column point filter (scan = one pruned bucket — the
@@ -324,6 +346,9 @@ object DistributionCatalog {
   def tenantShard(spark: SparkSession, name: String,
       tenantValue: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    tenantReads.updateWith((name, tenantValue.toString)) {
+      case Some(n) => Some(n + 1); case None => Some(1L)
+    }
     isolatedTenants.get(name).flatMap(_.get(tenantValue.toString)) match {
       case Some(t) => spark.table(t)
       case None =>
@@ -529,6 +554,52 @@ object DistributionCatalog {
       .drop("__shard")
   }
 
+  /** `citus_split_shard_by_split_points(shard, points, ...)`
+    * (`operations/shard_split.c` — split one shard at given points;
+    * the new shards get FRESH ids and the old shard is retired): only
+    * the target shard's rows are rewritten — the sub-shards land as
+    * new partition directories and the old directory is dropped, the
+    * other shards' files are untouched. That locality is the point of
+    * the citus UDF (split a hot/oversized shard without touching the
+    * rest of the table) and it holds here at any scale: cost is
+    * proportional to the SPLIT shard, not the table. */
+  def splitShard(spark: SparkSession, name: String, shard: Int,
+      points: Seq[Any]): DistributionSpec = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == RangeDist || s.method == AppendDist,
+      s"$name is not range/append-distributed")
+    require(points.nonEmpty, "need at least one split point")
+    val ivs = shardIntervals(name)
+    require(ivs.exists(_.shard == shard), s"no such shard: $shard")
+    val distCol = s.distColumn.get
+    val base = ivs.map(_.shard).max + 1
+    val subExpr = points
+      .map(p => when(col(distCol) >= lit(p), 1).otherwise(0))
+      .reduce(_ + _) + base
+    // rewrite ONLY the split shard's rows under their new shard ids
+    // (materialized first: the write appends to the table being read)
+    spark.table(name).filter(col("__shard") === shard).drop("__shard")
+      .localCheckpoint(eager = true)
+      .withColumn("__shard", subExpr)
+      .write.mode("append").partitionBy("__shard")
+      .option("compression", "zstd")
+      .format("parquet").saveAsTable(name)
+    // retire the old shard: drop its partition (files included)
+    spark.sql(s"ALTER TABLE $name DROP PARTITION (__shard=$shard)")
+    val dir = new java.io.File(warehousePath(spark, name),
+      s"__shard=$shard")
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+    spark.catalog.refreshTable(name)
+    recordIntervals(spark, name, distCol, replace = true)
+    val spec = s.copy(bucketCount = shardIntervals(name).size)
+    specs.put(name, spec)
+    spec
+  }
+
   private def writeShardPartitioned(spark: SparkSession, name: String,
       df: DataFrame): Unit = {
     df.write.mode("overwrite").partitionBy("__shard")
@@ -551,9 +622,24 @@ object DistributionCatalog {
     shardIntervals.put(name, ivs)
   }
 
+  /** `citus_update_table_statistics(rel)` (`sql/udfs/
+    * citus_update_table_statistics/` — refresh shard size/stat
+    * metadata) ≙ ANALYZE: compute table + column stats so the
+    * cost-based planner (broadcast decisions, join reorder under
+    * `spark.sql.cbo.enabled`) sees real row counts instead of file
+    * sizes. Returns the recorded row count. */
+  def analyzeTable(spark: SparkSession, name: String): Long = {
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .stats.flatMap(_.rowCount).map(_.toLong)
+      .getOrElse(spark.table(name).count())
+  }
+
   def reset(): Unit =
     { specs.clear(); matviews.clear(); isolatedTenants.clear()
-      shardIntervals.clear(); placementMap.clear() }
+      shardIntervals.clear(); placementMap.clear(); tenantReads.clear() }
 
   private def warehousePath(spark: SparkSession, name: String): String =
     new java.io.File(

@@ -277,6 +277,61 @@ class CatalogSpec extends AnyFunSuite {
     assert(methods("d_append_orders") === "a")
   }
 
+  test("split shard: only the split shard rewrites; new shards get " +
+      "fresh ids; pruning still exact (citus_split_shard_by_split_points)") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createRangeDistributedTable(spark, orders,
+      "d_split_orders", "o_custkey", splitPoints = Seq(75))
+    // remember the un-split shard's files: they must survive untouched
+    val keepFiles = spark.table("d_split_orders")
+      .filter(col("__shard") === 0).inputFiles.toSet
+    // split shard 1 ([75, max]) at 110 -> new shards 2 ([75,110)) and
+    // 3 ([110, max]); shard 1 retires
+    DistributionCatalog.splitShard(spark, "d_split_orders", 1, Seq(110))
+    val shards = DistributionCatalog.rangeShards(spark, "d_split_orders")
+      .collect().map(_.getInt(1)).toSet
+    assert(shards === Set(0, 2, 3), s"got $shards")
+    assert(spark.table("d_split_orders").count() === orders.count(),
+      "no rows lost in the split")
+    assert(spark.table("d_split_orders")
+      .filter(col("__shard") === 0).inputFiles.toSet === keepFiles,
+      "the un-split shard's files must be untouched")
+    // interval pruning over the new layout: [80,100] hits only shard 2
+    val pruned = DistributionCatalog.rangeScan(spark, "d_split_orders",
+      lo = Some(80), hi = Some(100))
+    assert(pruned.inputFiles.forall(_.contains("__shard=2")))
+    assert(pruned.count() === orders
+      .filter(col("o_custkey") >= 80 && col("o_custkey") <= 100).count())
+  }
+
+  test("tenant read stats accumulate per (table, tenant) and drive " +
+      "isolation decisions (citus_stat_tenants)") {
+    setup
+    DistributionCatalog.resetTenantStats()
+    DistributionCatalog.tenantShard(spark, "d_orders", 7L).count()
+    DistributionCatalog.tenantShard(spark, "d_orders", 7L).count()
+    DistributionCatalog.tenantShard(spark, "d_orders", 9L).count()
+    val stats = DistributionCatalog.statTenants(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(stats.head === (("d_orders", "7", 2L)), s"got ${stats.toSeq}")
+    assert(stats.contains(("d_orders", "9", 1L)))
+    DistributionCatalog.resetTenantStats()
+    assert(DistributionCatalog.statTenants(spark).count() === 0)
+  }
+
+  test("analyze records row-count statistics for the planner " +
+      "(citus_update_table_statistics)") {
+    setup
+    val n = DistributionCatalog.analyzeTable(spark, "d_orders")
+    assert(n === spark.table("d_orders").count())
+    // with CBO on, the recorded row count reaches the planner's stats
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try assert(spark.table("d_orders").queryExecution.optimizedPlan
+      .stats.rowCount.contains(BigInt(n)))
+    finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("rebalancer: by_disk_size plan balances bytes within one shard " +
       "of even; idempotent after apply (get_rebalance_table_shards_plan)") {
     import graft.catalog.Rebalancer
