@@ -622,6 +622,41 @@ object DistributionCatalog {
     shardIntervals.put(name, ivs)
   }
 
+  /** `alter_columnar_table_set(rel, chunk_group_row_limit,
+    * stripe_row_limit, compression, compression_level)`
+    * (`src/backend/columnar/README.md:100-114`; columnar.h:75-81):
+    * the reference's columnar knobs map 1:1 onto Parquet's physical
+    * layout — stripe ≙ row group (`parquet.block.size`, a bytes
+    * budget), chunk group ≙ page (`parquet.page.row.count.limit`,
+    * a row budget), compression ≙ the Parquet codec
+    * (none|snappy|zstd|lz4 — zstd is both defaults). The table
+    * rewrites once under the new layout, preserving its distribution
+    * (bucketed stays bucketed). Chunk skipping ≙ row-group/page
+    * min-max statistics, which Parquet writes unconditionally. */
+  def setColumnarOptions(spark: SparkSession, name: String,
+      compression: Option[String] = None,
+      stripeBytes: Option[Long] = None,
+      chunkRows: Option[Int] = None): Unit = {
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a cataloged table: $name"))
+    val data = table(spark, name).localCheckpoint(eager = true)
+    dropTenantParts(spark, name)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    var w = data.write.mode("overwrite")
+      .option("path", warehousePath(spark, name))
+      .option("compression", compression.getOrElse("zstd"))
+      .format("parquet")
+    stripeBytes.foreach(b => w = w.option("parquet.block.size", b.toString))
+    chunkRows.foreach(r =>
+      w = w.option("parquet.page.row.count.limit", r.toString))
+    s match {
+      case DistributionSpec(_, Hash, Some(dc), b, _) if b > 0 =>
+        w.bucketBy(b, dc).sortBy(dc).saveAsTable(name)
+      case _ => w.saveAsTable(name)
+    }
+    specs.put(name, s)
+  }
+
   /** `citus_update_table_statistics(rel)` (`sql/udfs/
     * citus_update_table_statistics/` — refresh shard size/stat
     * metadata) ≙ ANALYZE: compute table + column stats so the

@@ -108,6 +108,36 @@ object Rebalancer {
     moves
   }
 
+  /** `citus_drain_node(node)` (`operations/shard_rebalancer.c` — move
+    * every placement off a node before removing it): assign the
+    * drained node's shards to the least-loaded remaining nodes
+    * (by_disk_size greedy), commit the placement. The drained node
+    * ends with zero shards; `nodeCount` stays the same until the
+    * caller actually removes the node (citus_remove_node ≙ rebalance
+    * over nodeCount-1 afterwards). */
+  def drainNode(spark: SparkSession, table: String, node: Int,
+      nodeCount: Int): Seq[Move] = {
+    require(node >= 0 && node < nodeCount, s"no such node: $node")
+    val sizes = DistributionCatalog.shardSizes(spark, table)
+      .collect().filter(_.getInt(1) >= 0)
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val current = DistributionCatalog.placements(table, nodeCount,
+      sizes.keySet)
+    val loads = Array.fill(nodeCount)(0L)
+    current.foreach { case (s, n) => if (n != node) loads(n) += sizes(s) }
+    val moves = current.toSeq.collect { case (s, n) if n == node => s }
+      .sortBy(s => (-sizes(s), s))
+      .map { s =>
+        val target = loads.indices.filter(_ != node).minBy(loads)
+        loads(target) += sizes(s)
+        Move(s, sizes(s), node, target)
+      }
+    val updated = moves.foldLeft(current)((p, m) =>
+      p.updated(m.shard, m.toNode))
+    DistributionCatalog.setPlacements(table, updated)
+    moves
+  }
+
   /** Render a move list the way `get_rebalance_table_shards_plan`
     * does (table_name, shardid, shard_size, sourcename, targetname). */
   def planDF(spark: SparkSession, table: String,

@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interval-containment joins → binned equi join (never a nested
     // loop) — opt-in via spark.graft.rangeJoinBucketSeconds.
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    // citus.enable_repartition_joins guard — opt-in via
+    // spark.graft.enableRepartitionJoins=false.
+    e.injectOptimizerRule(_ => RepartitionJoinGuard)
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64Expr].getName,

@@ -379,4 +379,48 @@ class CatalogSpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("table_name", "shardid", "shard_size",
       "source_node", "target_node"))
   }
+
+  test("columnar options rewrite the physical layout: codec + row-group " +
+      "budget reach the parquet footer (alter_columnar_table_set)") {
+    import scala.jdk.CollectionConverters._
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createDistributedTable(spark, orders,
+      "d_col_orders", "o_orderkey", buckets = 2)
+    DistributionCatalog.setColumnarOptions(spark, "d_col_orders",
+      compression = Some("snappy"), stripeBytes = Some(16 * 1024L))
+    assert(spark.table("d_col_orders").count() === orders.count())
+    // inspect one data file's footer
+    val f = spark.table("d_col_orders").inputFiles.head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val codecs = blocks.flatMap(_.getColumns.asScala)
+        .map(_.getCodec.toString).toSet
+      assert(codecs === Set("SNAPPY"), s"got $codecs")
+      assert(blocks.size > 1,
+        s"16KB stripe budget should yield multiple row groups, " +
+          s"got ${blocks.size}")
+      // chunk skipping's input exists: per-column min/max statistics
+      assert(blocks.head.getColumns.asScala.head.getStatistics != null)
+    } finally reader.close()
+    // distribution survived the rewrite (bucketed join still shuffle-free)
+    assert(DistributionCatalog.spec("d_col_orders").get.bucketCount === 2)
+  }
+
+  test("drain node empties its placements onto the least-loaded rest " +
+      "(citus_drain_node)") {
+    import graft.catalog.Rebalancer
+    setup
+    Rebalancer.rebalance(spark, "d_orders", nodeCount = 3)
+    val drains = Rebalancer.drainNode(spark, "d_orders", 0, nodeCount = 3)
+    assert(drains.nonEmpty && drains.forall(_.fromNode === 0))
+    val placed = DistributionCatalog.shardPlacements(spark, "d_orders", 3)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(placed.size === 8, "every shard still placed")
+    assert(!placed.values.exists(_ == 0), "node 0 must end empty")
+  }
 }

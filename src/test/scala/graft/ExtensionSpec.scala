@@ -273,6 +273,36 @@ class ExtensionSpec extends AnyFunSuite {
           n.contains("Cartesian")), s"flipped rewrite missing: $flipNames")
         assert(flipped.count() === offRows)
       } finally extSpark.conf.set(RangeJoinRewrite.ConfKey, "0")
+
+      // repartition-join guard (citus.enable_repartition_joins OFF):
+      // non-colocated distributed⋈distributed raises; the colocated
+      // dist-key join and reference joins still pass.
+      import graft.plans.RepartitionJoinGuard
+      DistributionCatalog.createDistributedTable(extSpark,
+        Tables(extSpark, TestSpark.sf, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "ext_lineitem", "o_orderkey", buckets = 4,
+        colocateWith = Some("ext_orders"))
+      extSpark.conf.set(RepartitionJoinGuard.ConfKey, "false")
+      try {
+        assert(extSpark.table("ext_orders")
+          .join(extSpark.table("ext_lineitem"), "o_orderkey")
+          .count() > 0, "colocated dist-key join must pass the guard")
+        assert(extSpark.table("ext_orders")
+          .join(extSpark.table("ext_nation"),
+            col("o_custkey") % 25 === col("n_nationkey"))
+          .count() > 0, "reference join must pass the guard")
+        val bad = extSpark.table("ext_orders")
+          .join(extSpark.table("ext_lineitem")
+              .withColumnRenamed("o_orderkey", "lk"),
+            col("o_custkey") === col("lk"))
+        val ex = intercept[Throwable] { bad.count() }
+        def allMsgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ allMsgs(e.getCause))
+        assert(allMsgs(ex).exists(_.contains("requires repartitioning")),
+          s"unexpected failure: $ex")
+      } finally extSpark.conf.set(RepartitionJoinGuard.ConfKey, "true")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
       SparkSession.clearActiveSession()
