@@ -159,6 +159,35 @@ object DistributionCatalog {
     spec
   }
 
+  /** `drop_old_time_partitions(table, older_than)` (`sql/udfs/
+    * drop_old_time_partitions/` — retention maintenance for
+    * time-partitioned tables): drop every partition strictly older
+    * than the cutoff, files included. Partition pruning makes the
+    * enumeration free; the drop is a metadata + file operation, no
+    * data rewrite — the same reason the citus UDF is cheap. Returns
+    * the dropped partition values. */
+  def dropOldTimePartitions(spark: SparkSession, name: String,
+      olderThan: java.sql.Date): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a cataloged table: $name"))
+    val partCol = s.distColumn.getOrElse(
+      throw new IllegalArgumentException(s"$name has no partition column"))
+    require(partCol.startsWith("__"),
+      s"$name is not time-partitioned (partition column $partCol)")
+    val old = spark.table(name).select(col(partCol)).distinct()
+      .filter(col(partCol) < olderThan)
+      .collect().map(_.get(0).toString).sorted.toSeq
+    old.foreach { v =>
+      spark.sql(s"ALTER TABLE $name DROP PARTITION ($partCol='$v')")
+      val dir = new java.io.File(warehousePath(spark, name),
+        s"$partCol=$v")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    spark.catalog.refreshTable(name)
+    old
+  }
+
   /** The FIXTURES.md layout in one call — the exact distribution the
     * reference's regression schema declares (multi_create_table.sql:
     * lineitem+orders hash-distributed on the order key and COLOCATED;

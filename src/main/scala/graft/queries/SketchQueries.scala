@@ -118,6 +118,49 @@ object SketchQueries extends QueryModule {
         AS weighted_avg_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Approximate set INTERSECTION cardinality from HLL sketches by
+    * inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|) — the standard trick
+    * for sketch-rollup tables where only per-segment HLL columns are
+    * stored (the citus HLL workflow, minus re-reading raw data).
+    * Error compounds vs plain union, so the verdict tolerance is an
+    * ABSOLUTE fraction of the union size, not of the (possibly tiny)
+    * intersection. Customers with orders in BOTH status classes ≙
+    * A∩B; everything distributes as grouped sketch aggregates. */
+  private val hllIntersection = GraftQuery(
+    "sketch_hll_intersection",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      def sideEst(status: String, as: String) =
+        o.filter(col("o_orderstatus") === status)
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))")
+            .as(as))
+      val unionEst = o.filter(col("o_orderstatus").isin("O", "F"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))")
+          .as("est_union"))
+      val exact = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey")).intersect(
+          o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .agg(count(lit(1)).as("exact_both"))
+      val exactU = o.filter(col("o_orderstatus").isin("O", "F"))
+        .agg(countDistinct(col("o_custkey")).as("exact_union"))
+      sideEst("O", "est_o").crossJoin(sideEst("F", "est_f"))
+        .crossJoin(unionEst).crossJoin(exact).crossJoin(exactU)
+        .select(col("exact_both"), col("exact_union"),
+          (abs(col("est_o") + col("est_f") - col("est_union") -
+            col("exact_both")) <= col("exact_union") * 0.05 + 1)
+            .as("estimate_ok"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'O'),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'F')
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a WHERE o_custkey IN (SELECT o_custkey FROM b))
+            AS exact_both,
+        (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+          WHERE o_orderstatus IN ('O','F')) AS exact_union,
+        TRUE AS estimate_ok"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(topn, tdigest, hllUnion, weightedAvg)
+    Seq(topn, tdigest, hllUnion, weightedAvg, hllIntersection)
 }

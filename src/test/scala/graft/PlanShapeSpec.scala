@@ -111,4 +111,29 @@ class PlanShapeSpec extends AnyFunSuite {
         n.contains("SortMergeJoin")),
       s"expected a hash/merge join on the computed key: $nodes")
   }
+
+  test("text_pack_sequences: exactly one HASH exchange (the pack-shard " +
+      "window key) — packing itself is a single-shuffle operator") {
+    val p = plan("text_pack_sequences")
+    // the only hash repartitioning is the window key; the trailing
+    // range exchange is the oracle's presentation ORDER BY, not packing
+    val hashExchanges = collectAll(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashExchanges.size === 1,
+      s"packing must cost exactly one hash shuffle, got " +
+        s"${collectAll(p).map(_.nodeName).filter(_.contains("Exchange"))}")
+  }
+
+  test("text_bm25_rank: corpus stats broadcast, scoring is map-side, " +
+      "top-k merges (no global sort of scored docs)") {
+    val p = plan("text_bm25_rank")
+    val nodes = collectAll(p).map(_.getClass.getSimpleName)
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")) ||
+      nodes.exists(_.contains("BroadcastHashJoin")),
+      s"1-row stats must broadcast: $nodes")
+    assert(collectAll(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"top-25 must plan as TakeOrderedAndProject: $nodes")
+  }
 }

@@ -54,4 +54,29 @@ class TpchLayoutSpec extends AnyFunSuite {
       .count()
     assert(pruned.count() === expected)
   }
+
+  test("drop_old_time_partitions removes old partitions (metadata + " +
+      "files), newer data untouched") {
+    setup
+    DistributionCatalog.createTimePartitionedTable(spark,
+      Tables(spark, TestSpark.sf, "orders"), "g_orders_retention",
+      "o_orderdate", "month")
+    val cutoff = java.sql.Date.valueOf("1996-06-01")
+    val before = spark.table("g_orders_retention").count()
+    val keepExpected = Tables(spark, TestSpark.sf, "orders")
+      .filter(date_trunc("month", col("o_orderdate")) >= "1996-06-01")
+      .count()
+    val dropped = DistributionCatalog.dropOldTimePartitions(spark,
+      "g_orders_retention", cutoff)
+    assert(dropped.nonEmpty && dropped.forall(_ < "1996-06-01"))
+    val after = spark.table("g_orders_retention").count()
+    assert(after === keepExpected && after < before)
+    // the old partition directories are gone from disk too
+    val wh = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    dropped.foreach { v =>
+      assert(!new java.io.File(new java.io.File(wh, "g_orders_retention"),
+        s"__month_part=$v").exists(), s"directory for $v must be deleted")
+    }
+  }
 }
