@@ -246,7 +246,58 @@ object SimilarityQueries extends QueryModule {
         > 0.2
       ORDER BY a_id, b_id"""))
 
+  /** One Lloyd's-iteration centroid update — the IVF TRAINING step
+    * that produces `sim_ivf_assign`'s coarse quantizer: assign every
+    * vector to its nearest seed centroid (broadcast k×N scoring, no
+    * shuffle), then recompute each cell's centroid as the per-dimension
+    * mean (ONE (cell, dim) grouped aggregate). At 100 TB both stages
+    * distribute trivially: the k seed vectors broadcast, the update is
+    * a map-side-combined agg over k×d cells — the standard scalable
+    * k-means step. First 8 dimensions emitted (k×8 rows). */
+  private val kmeansUpdate = GraftQuery(
+    "sim_kmeans_update",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"),
+          struct(Similarity.dot(col("embedding"), col("c_vec")).as("score"),
+            (-col("c_id")).as("negidx")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg((-max(col("sc")).getField("negidx")).as("cell"),
+          first(col("embedding")).as("emb"))
+      assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        .groupBy(col("cell"), col("dim").cast(IntegerType).as("dim"))
+        .agg(round(avg(col("v").cast(DoubleType)), 6).as("centroid_val"))
+        .orderBy(col("cell"), col("dim"))
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        WHERE vec_id < 4),
+      scored AS (
+        SELECT vec_id, c_id,
+          list_reduce(list_transform(list_zip(embedding, c_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+          AS score
+        FROM embeddings, cents),
+      assigned AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+          FROM scored) WHERE rn = 1),
+      vals AS (
+        SELECT a.cell,
+          CAST(unnest(range(1, len(e.embedding) + 1)) AS INT) - 1 AS dim,
+          CAST(unnest(e.embedding) AS DOUBLE) AS v
+        FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id)
+      SELECT cell, dim, round(avg(v), 6) AS centroid_val
+      FROM vals WHERE dim < 8
+      GROUP BY cell, dim ORDER BY cell, dim"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cosineTopK, lshBuckets, ivfAssign, ivfTopK, embStats, minhash, simhash,
-    cosineNearDup)
+    cosineNearDup, kmeansUpdate)
 }

@@ -160,9 +160,20 @@ object PgDialect {
     })
   }
 
+  /** PG `ILIKE` / `NOT ILIKE` → case-folded LIKE. */
+  def rewriteILike(sql: String): String = {
+    val re =
+      """(('[^']*')|(\([^()]*\))|([A-Za-z_][A-Za-z0-9_.]*))\s+((?i:NOT)\s+)?(?i:ILIKE)\s+('[^']*')""".r
+    re.replaceAllIn(sql, m => {
+      val neg = if (m.group(5) != null) "NOT " else ""
+      java.util.regex.Matcher.quoteReplacement(
+        s"${neg}lower(${m.group(1)}) LIKE lower(${m.group(6)})")
+    })
+  }
+
   def translate(sql: String): String =
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
-      rewriteDistinctOn(sql)))))
+      rewriteILike(rewriteDistinctOn(sql))))))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

@@ -98,6 +98,11 @@ class ExtensionSpec extends AnyFunSuite {
     // lambda arrows survive (operator needs a key/index on the right)
     assert(PgDialect.rewriteJsonOps("SELECT forall(a, x -> y(x)) FROM e")
       === "SELECT forall(a, x -> y(x)) FROM e")
+    // ILIKE case-folds; NOT ILIKE keeps the negation
+    assert(PgDialect.rewriteILike("WHERE c_name ILIKE '%Smith%'")
+      === "WHERE lower(c_name) LIKE lower('%Smith%')")
+    assert(PgDialect.rewriteILike("WHERE a NOT ILIKE 'x%' AND b LIKE 'y'")
+      === "WHERE NOT lower(a) LIKE lower('x%') AND b LIKE 'y'")
     // end-to-end through translate incl. the paren cast
     val df = PgDialect.sql(spark,
       """SELECT (j ->> 'a')::int8 AS a, j -> 'n' ->> 'b' AS b
