@@ -138,6 +138,66 @@ object DistributionCatalog {
         "colocationid")
   }
 
+  /** The `citus_tables` user-facing view (`sql/udfs/citus_tables/` —
+    * table, citus_table_type, distribution column, colocation id,
+    * table size, shard count): [[listTables]] enriched with physical
+    * size ≙ `citus_total_relation_size`. Sizes come from the file
+    * system, not a scan. */
+  def citusTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    specs.values.toSeq.sortBy(_.table).map { s =>
+      val kind = s.method match {
+        case Hash => "distributed"
+        case Reference => "reference"
+        case RangeDist => "range-distributed"
+        case AppendDist => "append-distributed"
+      }
+      val bytes = totalRelationSize(spark, s.table)
+      (s.table, kind, s.distColumn.getOrElse(""), s.colocationId,
+        bytes, s.bucketCount)
+    }.toDF("table_name", "citus_table_type", "distribution_column",
+      "colocation_id", "table_size", "shard_count")
+  }
+
+  /** `citus_total_relation_size(rel)`: physical bytes of a cataloged
+    * table (all shards + isolated tenant parts). */
+  def totalRelationSize(spark: SparkSession, name: String): Long = {
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+        if (f.isDirectory) dirBytes(f)
+        else if (f.getName.startsWith("_")) 0L else f.length()).sum
+    val tenantBytes = isolatedTenants.getOrElse(name, Map.empty).values
+      .map(t => dirBytes(new java.io.File(warehousePath(spark, t)))).sum
+    dirBytes(new java.io.File(warehousePath(spark, name))) + tenantBytes
+  }
+
+  /** `update_distributed_table_colocation(rel, colocate_with)`
+    * (`sql/udfs/update_distributed_table_colocation/` — metadata-only
+    * colocation change; citus requires identical distribution column
+    * type + shard count): join another table's colocation group, or
+    * pass None to break away into a fresh group. No data moves —
+    * with matching bucket counts the physical layout is already
+    * compatible, which is exactly the citus precondition. */
+  def updateDistributedTableColocation(spark: SparkSession, name: String,
+      colocateWith: Option[String]): DistributionSpec = {
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a distributed table: $name"))
+    require(s.method == Hash, s"$name is not hash-distributed")
+    val newId = colocateWith match {
+      case Some(other) =>
+        val o = specs.getOrElse(other,
+          throw new IllegalArgumentException(s"no such table: $other"))
+        require(o.method == Hash && o.bucketCount == s.bucketCount,
+          s"cannot colocate: $other has ${o.bucketCount} buckets, " +
+            s"$name has ${s.bucketCount}")
+        o.colocationId
+      case None => nextColocation.getAndIncrement()
+    }
+    val spec = s.copy(colocationId = newId)
+    specs.put(name, spec)
+    spec
+  }
+
   /** Time-partitioned table (the reference's `create_time_partitions`
     * UDF family, `sql/udfs/create_time_partitions/` — range-partition
     * management) ≙ date-partitioned Parquet directories: partition
@@ -157,6 +217,55 @@ object DistributionCatalog {
     val spec = DistributionSpec(name, Hash, Some(partCol), 0, 0)
     specs.put(name, spec)
     spec
+  }
+
+  /** The `time_partitions` view (`sql/udfs/time_partitions/` —
+    * partition name, from/to range, access method): one row per
+    * partition of a time-partitioned table with its value, row count
+    * and bytes. Row counts come from one grouped metadata-cheap scan
+    * over the partition column only. */
+  def timePartitions(spark: SparkSession, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a cataloged table: $name"))
+    val partCol = s.distColumn.filter(_.startsWith("__")).getOrElse(
+      throw new IllegalArgumentException(s"$name is not time-partitioned"))
+    val counts = spark.table(name).groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val bytes = Option(new java.io.File(warehousePath(spark, name))
+        .listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(d => d.getName.split("=", 2)(1) ->
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filterNot(_.getName.startsWith("_")).map(_.length()).sum)
+      .toMap
+    import spark.implicits._
+    counts.collect()
+      .map(r => (name, r.get(0).toString, r.getLong(1),
+        bytes.getOrElse(r.get(0).toString, 0L)))
+      .sortBy(_._2).toSeq
+      .toDF("table_name", "partition_value", "n_rows", "size_bytes")
+  }
+
+  /** `get_missing_time_partition_ranges(table, interval, to, from)`:
+    * the month starts in [from, to] that have NO partition yet — the
+    * planning input `create_time_partitions` consumes. */
+  def getMissingTimePartitionRanges(spark: SparkSession, name: String,
+      from: java.sql.Date, to: java.sql.Date): Seq[String] = {
+    val existing = timePartitions(spark, name)
+      .collect().map(_.getString(1)).toSet
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    cal.setTime(from)
+    cal.set(java.util.Calendar.DAY_OF_MONTH, 1)
+    val out = Seq.newBuilder[String]
+    while (!cal.getTime.after(to)) {
+      val v = f"${cal.get(java.util.Calendar.YEAR)}%04d-" +
+        f"${cal.get(java.util.Calendar.MONTH) + 1}%02d-01"
+      if (!existing.contains(v)) out += v
+      cal.add(java.util.Calendar.MONTH, 1)
+    }
+    out.result()
   }
 
   /** `drop_old_time_partitions(table, older_than)` (`sql/udfs/

@@ -138,6 +138,19 @@ object Rebalancer {
     moves
   }
 
+  /** `citus_move_shard_placement(shardid, source, target)`: one
+    * explicit placement move, no planning — the manual override the
+    * rebalancer strategies build on. */
+  def moveShardPlacement(spark: SparkSession, table: String, shard: Int,
+      toNode: Int, nodeCount: Int): Unit = {
+    require(toNode >= 0 && toNode < nodeCount, s"no such node: $toNode")
+    val sizes = DistributionCatalog.shardSizes(spark, table)
+      .collect().filter(_.getInt(1) >= 0).map(_.getInt(1)).toSet
+    require(sizes.contains(shard), s"no such shard: $shard")
+    val current = DistributionCatalog.placements(table, nodeCount, sizes)
+    DistributionCatalog.setPlacements(table, current.updated(shard, toNode))
+  }
+
   /** Render a move list the way `get_rebalance_table_shards_plan`
     * does (table_name, shardid, shard_size, sourcename, targetname). */
   def planDF(spark: SparkSession, table: String,

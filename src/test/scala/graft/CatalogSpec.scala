@@ -411,6 +411,58 @@ class CatalogSpec extends AnyFunSuite {
     assert(DistributionCatalog.spec("d_col_orders").get.bucketCount === 2)
   }
 
+  test("citus_tables view: type, distribution column, physical size, " +
+      "shard count") {
+    setup
+    val rows = DistributionCatalog.citusTables(spark).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("d_orders").getString(1) === "distributed")
+    assert(rows("d_orders").getString(2) === "o_orderkey")
+    assert(rows("d_orders").getLong(4) > 0, "size from the filesystem")
+    assert(rows("d_orders").getInt(5) === 8)
+    assert(rows("d_nation").getString(1) === "reference")
+    assert(DistributionCatalog.totalRelationSize(spark, "d_orders") ===
+      rows("d_orders").getLong(4))
+  }
+
+  test("update colocation is metadata-only: join a group, then break " +
+      "away (update_distributed_table_colocation)") {
+    setup
+    val cust = Tables(spark, TestSpark.sf, "customer")
+    DistributionCatalog.createDistributedTable(spark, cust,
+      "d_coloc_cust", "c_custkey", buckets = 8)
+    assert(!DistributionCatalog.colocated("d_coloc_cust", "d_orders"))
+    val filesBefore = spark.table("d_coloc_cust").inputFiles.toSet
+    DistributionCatalog.updateDistributedTableColocation(spark,
+      "d_coloc_cust", Some("d_orders"))
+    assert(DistributionCatalog.colocated("d_coloc_cust", "d_orders"))
+    assert(spark.table("d_coloc_cust").inputFiles.toSet === filesBefore,
+      "no data may move")
+    DistributionCatalog.updateDistributedTableColocation(spark,
+      "d_coloc_cust", None)
+    assert(!DistributionCatalog.colocated("d_coloc_cust", "d_orders"))
+    // mismatched bucket counts refuse, like citus
+    DistributionCatalog.createDistributedTable(spark, cust,
+      "d_coloc_cust4", "c_custkey", buckets = 4)
+    intercept[IllegalArgumentException] {
+      DistributionCatalog.updateDistributedTableColocation(spark,
+        "d_coloc_cust4", Some("d_orders"))
+    }
+  }
+
+  test("explicit single placement move (citus_move_shard_placement)") {
+    import graft.catalog.Rebalancer
+    setup
+    Rebalancer.moveShardPlacement(spark, "d_orders", shard = 5,
+      toNode = 2, nodeCount = 3)
+    val placed = DistributionCatalog.shardPlacements(spark, "d_orders", 3)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(placed(5) === 2)
+    intercept[IllegalArgumentException] {
+      Rebalancer.moveShardPlacement(spark, "d_orders", 99, 0, 3)
+    }
+  }
+
   test("drain node empties its placements onto the least-loaded rest " +
       "(citus_drain_node)") {
     import graft.catalog.Rebalancer

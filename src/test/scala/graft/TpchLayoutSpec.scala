@@ -55,6 +55,31 @@ class TpchLayoutSpec extends AnyFunSuite {
     assert(pruned.count() === expected)
   }
 
+  test("time_partitions view lists per-partition rows+bytes; missing " +
+      "ranges report the gaps (get_missing_time_partition_ranges)") {
+    setup
+    DistributionCatalog.createTimePartitionedTable(spark,
+      Tables(spark, TestSpark.sf, "orders"), "g_orders_tp",
+      "o_orderdate", "month")
+    val parts = DistributionCatalog.timePartitions(spark, "g_orders_tp")
+      .collect()
+    assert(parts.nonEmpty)
+    assert(parts.map(_.getLong(2)).sum ===
+      Tables(spark, TestSpark.sf, "orders").count())
+    assert(parts.forall(_.getLong(3) > 0), "per-partition bytes")
+    // every month in the data range is present -> no gaps inside it
+    val vals = parts.map(_.getString(1)).sorted
+    val missing = DistributionCatalog.getMissingTimePartitionRanges(spark,
+      "g_orders_tp", java.sql.Date.valueOf(vals.head),
+      java.sql.Date.valueOf(vals.last))
+    assert(missing.isEmpty, s"unexpected gaps: $missing")
+    // a range extending past the data reports exactly the absent months
+    val missing2 = DistributionCatalog.getMissingTimePartitionRanges(spark,
+      "g_orders_tp", java.sql.Date.valueOf(vals.last),
+      java.sql.Date.valueOf("2002-03-01"))
+    assert(missing2.nonEmpty && missing2.forall(_ > vals.last))
+  }
+
   test("drop_old_time_partitions removes old partitions (metadata + " +
       "files), newer data untouched") {
     setup
