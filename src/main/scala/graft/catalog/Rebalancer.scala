@@ -54,21 +54,25 @@ object Rebalancer {
     var improved = true
     while (improved) {
       improved = false
-      val maxNode = loads.indices.maxBy(loads)
       val minNode = loads.indices.minBy(loads)
-      // largest shard on the max node whose move strictly shrinks the
-      // spread: after the move both endpoints stay under the old max
+      // any shard on any node that strictly improves by moving to the
+      // least-loaded node (both endpoints end under the source's old
+      // load — sum-of-squares strictly decreases, so this terminates);
+      // checking every source node, not just one argmax, matters when
+      // several nodes tie for the maximum load
       val candidates = placement.collect {
-        case (s, n) if n == maxNode &&
-          loads(minNode) + weight(s) < loads(maxNode) => s
+        case (s, n) if n != minNode &&
+          loads(minNode) + weight(s) < loads(n) => s
       }
       if (candidates.nonEmpty) {
-        val s = candidates.maxBy(s => (weight(s), -s))
+        // prefer the heaviest shard from the most-loaded source
+        val s = candidates.maxBy(s => (weight(s), loads(placement(s)), -s))
+        val src = placement(s)
         val gain = math.min(weight(s),
-          loads(maxNode) - (loads(minNode) + weight(s)))
+          loads(src) - (loads(minNode) + weight(s)))
         if (gain > improvementThreshold * mean) {
-          moves += Move(s, sizes.getOrElse(s, 0L), maxNode, minNode)
-          loads(maxNode) -= weight(s)
+          moves += Move(s, sizes.getOrElse(s, 0L), src, minNode)
+          loads(src) -= weight(s)
           loads(minNode) += weight(s)
           placement = placement.updated(s, minNode)
           improved = true

@@ -795,6 +795,56 @@ object TextQueries extends QueryModule {
           floor((cum_after - n_tokens) / 512) AS straddles
       FROM d ORDER BY doc_id"""))
 
+  /** Benchmark decontamination (the GPT-3/Lee-et-al. pipeline step:
+    * drop training docs that share any long n-gram with an eval set):
+    * benchmark docs (stand-in: doc_id ≥ 400) contribute their distinct
+    * 8-gram keys; training docs that contain ANY of them are flagged
+    * via one semi-join on the gram hash. Linear in corpus size — the
+    * gram explode is map-side, the semi-join is one key shuffle
+    * against the (much smaller) benchmark gram set, no pairwise doc
+    * comparison anywhere. At 100 TB the benchmark grams broadcast. */
+  private val decontaminate = GraftQuery(
+    "text_decontaminate",
+    (s, dir) => {
+      val G = 8
+      def grams(src: DataFrame): DataFrame = src
+        .select(col("doc_id"), tokens.as("toks"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(col("toks")) - (G - 1), lit(1))),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(G)))))).as("g"))
+      val docs = t(s, dir, "documents")
+      val trainGrams = grams(docs.filter(col("doc_id") < 400))
+      val benchGrams = grams(docs.filter(col("doc_id") >= 400))
+        .select(col("g")).distinct()
+      val contaminated = trainGrams.join(benchGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") < 400)
+        .join(contaminated.withColumn("contaminated", lit(true)),
+          Seq("doc_id"), "left")
+        .groupBy(coalesce(col("contaminated"), lit(false))
+          .as("contaminated"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("contaminated"))
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id < 400),
+        be AS (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id >= 400),
+        trg AS (SELECT doc_id,
+            md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+          FROM tr, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+        beg AS (SELECT DISTINCT
+            md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+          FROM be, unnest(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+        bad AS (SELECT DISTINCT doc_id FROM trg
+          WHERE g IN (SELECT g FROM beg))
+      SELECT (d.doc_id IN (SELECT doc_id FROM bad)) AS contaminated,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents d WHERE d.doc_id < 400
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Full BM25 ranking (extends `text_fts_rank`'s TF-only score with
     * the real IDF + length normalization; k1=1.2, b=0.75). Corpus
     * stats (N, df per term, avg doc length) are one tiny aggregate
@@ -865,5 +915,5 @@ object TextQueries extends QueryModule {
     exactSubstring, qualitySample, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
     clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats,
-    packSequences, bm25Rank)
+    packSequences, bm25Rank, decontaminate)
 }

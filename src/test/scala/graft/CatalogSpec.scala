@@ -463,6 +463,35 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("rebalancer properties over 300 seeded random instances: " +
+      "terminates, spread <= largest shard, idempotent, deterministic") {
+    import graft.catalog.Rebalancer
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { i =>
+      val nShards = 1 + rnd.nextInt(40)
+      val nodes = 1 + rnd.nextInt(8)
+      val sizes = (0 until nShards)
+        .map(s => s -> (rnd.nextInt(1000000).toLong)).toMap
+      val current = (0 until nShards)
+        .map(s => s -> rnd.nextInt(nodes)).toMap
+      val moves = Rebalancer.plan(sizes, current, nodes)
+      val after = moves.foldLeft(current)((p, m) =>
+        p.updated(m.shard, m.toNode))
+      val loads = (0 until nodes).map(n =>
+        after.collect { case (s, nn) if nn == n => sizes(s) }.sum)
+      val spread = loads.max - loads.min
+      assert(spread <= (sizes.values.maxOption.getOrElse(0L)),
+        s"case $i: spread $spread > largest shard; sizes=$sizes " +
+          s"current=$current moves=$moves")
+      assert(Rebalancer.plan(sizes, after, nodes).isEmpty,
+        s"case $i: plan must be idempotent after apply")
+      assert(Rebalancer.plan(sizes, current, nodes) === moves,
+        s"case $i: plan must be deterministic")
+      assert(moves.map(_.shard).distinct.size === moves.size ||
+        moves.size <= nShards * nodes, s"case $i: runaway move list")
+    }
+  }
+
   test("drain node empties its placements onto the least-loaded rest " +
       "(citus_drain_node)") {
     import graft.catalog.Rebalancer
