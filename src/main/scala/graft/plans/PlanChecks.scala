@@ -26,7 +26,13 @@ object PlanChecks {
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     Seq(p) ++ p.children.flatMap(collectAll) ++
-      p.subqueries.flatMap(collectAll)
+      p.subqueries.flatMap(collectAll) ++ (p match {
+        // AQE wrappers parent their real subtrees out-of-band
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectAll(q.plan)
+        case _ => Nil
+      })
 
   def countShuffles(df: DataFrame): Int =
     collectAll(executedPlan(df)).count(_.isInstanceOf[ShuffleExchangeLike])
@@ -75,5 +81,31 @@ object PlanChecks {
         (i, "aggregate", "",
           p.toString.takeWhile(_ != '\n').take(120))
     }.toDF("node", "kind", "relation", "detail")
+  }
+
+  /** EXPLAIN ANALYZE (`multi_explain.c:279`
+    * `worker_save_query_explain_analyze` — the reference captures
+    * per-task row counts and timings from the workers): execute the
+    * plan (noop sink), then report each physical node with its
+    * measured SQL metrics (rows out, spill, build sizes…). The
+    * metrics come from Spark's per-node SQLMetrics — the same
+    * executor-side accumulators the UI shows — so this is a real
+    * post-execution profile, not an estimate. */
+  def explainAnalyze(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // run THIS QueryExecution (a df.write would plan a fresh one whose
+    // metrics we'd never see); count() on the internal RDD fills the
+    // per-node SQLMetric accumulators
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    collectAll(qe.executedPlan).zipWithIndex.map { case (p, i) =>
+      val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      val interesting = p.metrics
+        .filter { case (k, m) => k != "numOutputRows" && m.value > 0 }
+        .map { case (k, m) => s"$k=${m.value}" }
+        .toSeq.sorted.take(6).mkString(" ")
+      (i, p.getClass.getSimpleName.stripSuffix("Exec"), rows, interesting)
+    }.toDF("node", "operator", "rows_out", "metrics")
   }
 }

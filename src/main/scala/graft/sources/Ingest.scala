@@ -38,6 +38,22 @@ object Ingest {
       spark, df, table, distColumn, buckets, colocateWith)
   }
 
+  /** `COPY (query) TO 'path' WITH (FORMAT ...)` — the export direction
+    * of the reference's COPY (`multi_copy.c` serves both): one
+    * distributed write stage, every partition writes its slice, no
+    * driver funnel. */
+  def copyTo(df: DataFrame, path: String, format: String = "csv",
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).options(options)
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case "parquet" => w.parquet(path)
+      case "json" => w.json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
   /** INSERT INTO target SELECT — append `rows` into an existing
     * distributed table, preserving its bucket layout. */
   def insertSelect(spark: SparkSession, rows: DataFrame,

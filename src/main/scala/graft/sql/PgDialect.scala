@@ -178,4 +178,20 @@ object PgDialect {
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =
     spark.sql(translate(pgSql))
+
+  /** PG prepared-statement execution: `$1..$N` positional parameters
+    * (the reference's corpus leans on PREPARE/EXECUTE —
+    * multi_prepare_sql.sql) become Spark named parameter markers and
+    * run through parameterized `spark.sql` — real parameter binding,
+    * no string splicing, so values never need escaping. (Cast a
+    * parameter with `CAST($1 AS ...)`, not `::` — the marker is not a
+    * dialect-level operand.) */
+  def sqlParams(spark: SparkSession, pgSql: String,
+      args: Any*): DataFrame = {
+    val text = translate(
+      """\$(\d+)""".r.replaceAllIn(pgSql, m => ":p" + m.group(1)))
+    val params = args.zipWithIndex
+      .map { case (v, i) => s"p${i + 1}" -> v }.toMap
+    spark.sql(text, params)
+  }
 }

@@ -111,6 +111,50 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r.getLong(0) === 7L && r.getString(1) === "x")
   }
 
+  test("prepared-statement parameters: $N binds as a real parameter " +
+      "(multi_prepare_sql flavor)") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val df = PgDialect.sqlParams(spark,
+      """SELECT count(*) AS n FROM orders
+         WHERE o_custkey = $1 AND o_orderstatus <> $2""", 7L, "X")
+    val n = df.collect()(0).getLong(0)
+    val exact = Tables(spark, TestSpark.sf, "orders")
+      .filter(col("o_custkey") === 7L && col("o_orderstatus") =!= "X")
+      .count()
+    assert(n === exact)
+    // binding, not splicing: a quote in the value cannot break the query
+    val safe = PgDialect.sqlParams(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = $1",
+      "O' OR '1'='1")
+    assert(safe.collect()(0).getLong(0) === 0L)
+  }
+
+  test("COPY TO exports a query result; round-trips through the " +
+      "written files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-copyto")
+      .toString
+    val src = Tables(spark, TestSpark.sf, "nation")
+    Ingest.copyTo(src, s"$dir/nation_csv", "csv")
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/nation_csv")
+    assert(back.count() === src.count())
+    assert(back.columns.sorted.toSeq === src.columns.sorted.toSeq)
+  }
+
+  test("explain analyze reports measured per-node metrics " +
+      "(worker_save_query_explain_analyze)") {
+    val df = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).count()
+    val report = PlanChecks.explainAnalyze(df).collect()
+    assert(report.nonEmpty)
+    val scans = report.filter(_.getString(1).contains("FileSourceScan"))
+    assert(scans.nonEmpty && scans.forall(_.getLong(2) > 0),
+      "scan must report measured rows out")
+    assert(report.exists(r => r.getString(1).contains("HashAggregate") &&
+      r.getLong(2) > 0), "aggregate must report measured rows out")
+  }
+
   test("PG array operators rewrite: @> / <@ / && and ARRAY literals") {
     assert(PgDialect.rewriteArrayOps("WHERE tags @> ARRAY['a','b']")
       === "WHERE forall(array('a','b'), __x -> array_contains(tags, __x))")
