@@ -130,6 +130,28 @@ object DmlQueries extends QueryModule {
       SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM s
       WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey)"""))
 
+  /** UPDATE ... FROM (join update against a reference table — the
+    * multi-shard modify + REFERENCE_JOIN case the reference's
+    * multi_modifications corpus exercises). Source is unique on the
+    * join key, so the update is deterministic. */
+  private val dmlUpdateFrom = GraftQuery(
+    "dml_update_from",
+    (s, dir) =>
+      Dml.updateFrom(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice")),
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("o_custkey") % 25 === col("n_nationkey") &&
+          col("o_totalprice") > 3000,
+        Map("o_orderpriority" -> concat(lit("N-"), col("s.n_name")))),
+    Some("""SELECT o.o_orderkey, o.o_custkey,
+        CASE WHEN n.n_nationkey IS NOT NULL THEN 'N-' || n.n_name
+             ELSE o.o_orderpriority END AS o_orderpriority,
+        o.o_totalprice
+      FROM orders o LEFT JOIN nation n
+        ON o.o_custkey % 25 = n.n_nationkey AND o.o_totalprice > 3000"""))
+
   override val queries: Seq[GraftQuery] =
-    Seq(dmlMerge, dmlUpdate, dmlDelete, dmlConflictNothing, dmlConflictUpdate)
+    Seq(dmlMerge, dmlUpdate, dmlDelete, dmlConflictNothing,
+      dmlConflictUpdate, dmlUpdateFrom)
 }

@@ -220,7 +220,28 @@ object PgExtraQueries extends QueryModule {
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** string_agg(DISTINCT x ORDER BY x) — PG's distinct ordered
+    * aggregate ≙ sorted collect_set joined (dedup before format,
+    * order-free partials). */
+  private val stringAggDistinct = GraftQuery(
+    "agg_string_agg_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ";")
+            .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_distinct"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+        string_agg(DISTINCT o_orderpriority, ';' ORDER BY o_orderpriority)
+          AS priorities,
+        COUNT(DISTINCT o_orderpriority) AS n_distinct
+      FROM orders WHERE o_custkey < 200
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
-      dialectRoundtrip, jsonOps)
+      dialectRoundtrip, jsonOps, stringAggDistinct)
 }

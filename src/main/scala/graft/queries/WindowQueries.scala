@@ -247,7 +247,44 @@ object WindowQueries extends QueryModule {
                    EXCLUDE CURRENT ROW)
       ORDER BY o_orderstatus, o_orderkey"""))
 
+  /** IGNORE NULLS in navigation window functions (PG/standard SQL;
+    * window_functions.sql corpus) — Spark's lag/lead/first/last all
+    * take an ignoreNulls flag, DuckDB runs the genuine
+    * `f(x IGNORE NULLS)` syntax. Nullable input derived with a CASE
+    * so both engines see identical NULL positions. */
+  private val ignoreNulls = GraftQuery(
+    "window_ignore_nulls",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .withColumn("p",
+          when(col("o_totalprice") > 2000, col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("p"), 1, null, ignoreNulls = true).over(w)
+            .as("prev_big"),
+          lead(col("p"), 1, null, ignoreNulls = true).over(w)
+            .as("next_big"),
+          first(col("p"), ignoreNulls = true).over(wf).as("first_big"),
+          last(col("p"), ignoreNulls = true).over(wf).as("last_big"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      LAG(p IGNORE NULLS) OVER w AS prev_big,
+      LEAD(p IGNORE NULLS) OVER w AS next_big,
+      FIRST_VALUE(p IGNORE NULLS) OVER wf AS first_big,
+      LAST_VALUE(p IGNORE NULLS) OVER wf AS last_big
+      FROM (SELECT *, CASE WHEN o_totalprice > 2000 THEN o_totalprice END
+            AS p FROM orders WHERE o_custkey < 100)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     ranking, runningSum, lagLead, rangeFrame, shareOfTotal, groupsFrame,
-    filterClause, excludeCurrent)
+    filterClause, excludeCurrent, ignoreNulls)
 }

@@ -37,6 +37,26 @@ object Dml {
     }: _*)
   }
 
+  /** UPDATE target SET ... FROM source WHERE cond — PG's join update
+    * (the reference plans these as multi-shard updates with a
+    * reference/colocated join, `multi_router_planner.c` +
+    * `multi_modifications.sql`). Set expressions may read the matched
+    * source row via the `s.` alias and the old target row via `t.`.
+    * Unmatched target rows pass through. Deterministic when the join
+    * is at-most-one source row per target row (PG itself is
+    * nondeterministic otherwise — keep source keys unique). */
+  def updateFrom(target: DataFrame, source: DataFrame, cond: Column,
+      set: Map[String, Column]): DataFrame = {
+    val t = target.alias("t")
+    val s = source.withColumn("__s", lit(true)).alias("s")
+    val joined = t.join(s, cond, "left")
+    val hit = coalesce(col("__s"), lit(false))
+    joined.select(target.columns.map { c =>
+      set.get(c).map(v => when(hit, v).otherwise(col(s"t.$c")).as(c))
+        .getOrElse(col(s"t.$c"))
+    }: _*)
+  }
+
   /** DELETE FROM target WHERE cond — rows where `cond` is NULL survive
     * (PG semantics), which plain `filter(!cond)` would drop. */
   def deleteWhere(target: DataFrame, cond: Column): DataFrame =
