@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, QueryModule, Tables}
 import graft.operators.{Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -297,7 +297,68 @@ object SimilarityQueries extends QueryModule {
       FROM vals WHERE dim < 8
       GROUP BY cell, dim ORDER BY cell, dim"""))
 
+  /** Product-quantization encode (the IVF+PQ compression path: split
+    * each 64-dim vector into 8 subvectors of 8 dims; each subvector
+    * quantizes to its nearest sub-codebook entry, here seeded from
+    * vectors 0-3). The code is 8 crumbs ≈ 2 bytes per vector vs 256
+    * bytes raw — the memory ratio that makes billion-vector ANN fit.
+    * Assignment is a broadcast join on the sub-index; the fold order
+    * of the L2 distance is fixed (sequential over 8 dims) so the
+    * argmin is bit-deterministic and oracle-exact. */
+  private val pqEncode = GraftQuery(
+    "sim_pq_codes",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def subvecs(src: DataFrame, idCol: String) = src
+        .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
+          col("embedding"))
+        .select(col(idCol), col("j"),
+          slice(col("embedding"), col("j") * 8 + 1, lit(8)).as("sv"))
+      def l2(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+        }), lit(0.0), (acc, v) => acc + v)
+      val subs = subvecs(e.filter(col("vec_id") < 50), "vec_id")
+      val cents = subvecs(e.filter(col("vec_id") < 4)
+          .withColumnRenamed("vec_id", "c_id"), "c_id")
+        .withColumnRenamed("sv", "cv")
+      subs.join(broadcast(cents), "j")
+        .select(col("vec_id"), col("j"),
+          struct((-l2(col("sv"), col("cv"))).as("negd"),
+            (-col("c_id")).as("negc")).as("sc"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg((-max(col("sc")).getField("negc")).as("code"))
+        .groupBy(col("vec_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("code")))),
+          x => x.getField("code").cast(StringType)), "").as("pq_code"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH subs AS (
+        SELECT vec_id, CAST(j AS INT) AS j,
+          list_slice(embedding, j*8 + 1, j*8 + 8) AS sv
+        FROM embeddings, unnest(range(0, 8)) AS u(j) WHERE vec_id < 50),
+      cents AS (
+        SELECT vec_id AS c_id, CAST(j AS INT) AS j,
+          list_slice(embedding, j*8 + 1, j*8 + 8) AS cv
+        FROM embeddings, unnest(range(0, 8)) AS u(j) WHERE vec_id < 4),
+      scored AS (
+        SELECT s.vec_id, s.j, c.c_id,
+          list_reduce(list_transform(list_zip(s.sv, c.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+                 (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b) AS d
+        FROM subs s JOIN cents c USING (j)),
+      coded AS (
+        SELECT vec_id, j, c_id AS code FROM (
+          SELECT vec_id, j, c_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, j ORDER BY d, c_id) AS rn
+          FROM scored) WHERE rn = 1)
+      SELECT vec_id,
+        string_agg(CAST(code AS VARCHAR), '' ORDER BY j) AS pq_code
+      FROM coded GROUP BY vec_id ORDER BY vec_id"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cosineTopK, lshBuckets, ivfAssign, ivfTopK, embStats, minhash, simhash,
-    cosineNearDup, kmeansUpdate)
+    cosineNearDup, kmeansUpdate, pqEncode)
 }

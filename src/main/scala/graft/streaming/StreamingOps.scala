@@ -56,6 +56,22 @@ object StreamingOps {
         .as("approx_users"))
       .select(col("w.start").as("window_start"), col("approx_users"))
 
+  /** Streaming corpus intake — the LLM-pipeline front door as an
+    * incremental stream: normalize (ws-collapse + casefold) → quality
+    * gate (length floor) → exact dedup on the content hash with
+    * bounded state (`dropDuplicatesWithinWatermark`: hashes older
+    * than the watermark are evicted, so state is proportional to the
+    * watermark window, not corpus history — the only way streaming
+    * dedup survives an unbounded corpus). */
+  def docIntake(docs: DataFrame): DataFrame = docs
+    .withWatermark("ts", "1 hour")
+    .withColumn("norm",
+      lower(regexp_replace(col("text"), "\\s+", " ")))
+    .filter(length(col("norm")) >= 20)
+    .withColumn("content_hash", md5(col("norm")))
+    .dropDuplicatesWithinWatermark("content_hash")
+    .select(col("doc_id"), col("ts"), col("content_hash"))
+
   /** Stream-static dimension enrich: the canonical REFERENCE_JOIN in
     * streaming form — every micro-batch joins the (small, static)
     * dimension by broadcast, so the stream side never shuffles and no

@@ -48,6 +48,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus intake: normalize -> quality gate -> dedup " +
+      "with bounded state; cross-batch replays drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def doc(id: Long, minute: Int, text: String) =
+      (id, new java.sql.Timestamp(base + minute * 60000L), text)
+    val batch1 = Seq(
+      doc(1, 0, "The  quick brown fox jumps over the lazy dog"),
+      doc(2, 1, "THE QUICK BROWN  FOX jumps over the lazy dog"), // dup of 1
+      doc(3, 2, "short"), // fails the quality gate
+      doc(4, 3, "a completely different document body right here"))
+    val batch2 = Seq(
+      doc(5, 10, "the quick brown fox jumps over the lazy dog"), // replay
+      doc(6, 11, "yet another novel document with enough length"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.docIntake(
+        stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("intake_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      val kept = spark.table("intake_out").collect()
+        .map(r => r.getLong(0)).toSet
+      // 2 dups of 1 (same batch), 5 replays it (later batch, inside the
+      // watermark), 3 too short -> 1, 4, 6 survive
+      assert(kept === Set(1L, 4L, 6L), s"got $kept")
+      // batch semantics agree on the surviving hash set
+      // (dropDuplicatesWithinWatermark is streaming-only; the batch
+      // reference is plain normalize -> gate -> distinct hash)
+      val batchHashes = (batch1 ++ batch2).toDF("doc_id", "ts", "text")
+        .withColumn("norm",
+          lower(regexp_replace(col("text"), "\\s+", " ")))
+        .filter(length(col("norm")) >= 20)
+        .select(md5(col("norm")).as("content_hash")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val streamHashes = spark.table("intake_out").collect()
+        .map(_.getString(2)).toSet
+      assert(streamHashes === batchHashes)
+    } finally q.stop()
+  }
+
   test("stream-static dimension enrich: broadcast join per micro-batch " +
       "equals the batch join (REFERENCE_JOIN, streaming form)") {
     import spark.implicits._
