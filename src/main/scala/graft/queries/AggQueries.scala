@@ -537,9 +537,35 @@ object AggQueries extends QueryModule {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY gid, returnflag, linestatus"""))
 
+  /** Aggregates over an EMPTY input: a global aggregate yields exactly
+    * one row (count 0, everything else NULL) while a grouped aggregate
+    * yields zero rows — the SQL-semantics corner every engine must get
+    * right (and the partial/final split must preserve). */
+  private val emptyInput = GraftQuery(
+    "agg_empty_input",
+    (s, dir) => {
+      val none = t(s, dir, "lineitem").filter(lit(false))
+      val global = none.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        avg(col("l_quantity")).as("avg_qty"))
+      val grouped = none.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"))
+      global.crossJoin(grouped)
+    },
+    Some("""SELECT
+        (SELECT COUNT(*) FROM lineitem WHERE FALSE) AS n,
+        (SELECT SUM(l_quantity) FROM lineitem WHERE FALSE) AS sum_qty,
+        (SELECT MIN(l_quantity) FROM lineitem WHERE FALSE) AS min_qty,
+        (SELECT AVG(l_quantity) FROM lineitem WHERE FALSE) AS avg_qty,
+        (SELECT COUNT(*) FROM (SELECT l_returnflag FROM lineitem
+          WHERE FALSE GROUP BY l_returnflag)) AS n_groups"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     basic, countDist, approxDist, boolBit, arrayAgg, anyVal, argMinMax,
     having, distinctQ, distinctOn, aggFilter, rollupQ, cubeQ, groupingSets,
     stddevVar, percentileExact, percentileApprox, pivotQ, sampleHashMod,
-    orderedSet, sampleBottomK, groupingFn)
+    orderedSet, sampleBottomK, groupingFn, emptyInput)
 }

@@ -188,7 +188,30 @@ object SubqueryQueries extends QueryModule {
         WHERE c2.c_nationkey = c.c_nationkey)
       ORDER BY c_nationkey, c_custkey"""))
 
+  /** NOT IN whose subquery yields a NULL: three-valued logic makes
+    * `x NOT IN (..., NULL)` never TRUE, so the result is empty — the
+    * classic null-aware anti-join trap (Spark plans a null-aware
+    * BroadcastHashJoin; engines that rewrite to a plain anti join get
+    * this wrong). The non-null control column proves the same query
+    * shape returns rows when NULLs are absent. */
+  private val notInNulls = GraftQuery(
+    "subquery_not_in_nulls",
+    sql("""SELECT
+        (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+          (SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_partkey END
+           FROM lineitem)) AS n_with_null,
+        (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM lineitem WHERE l_quantity <= 45))
+          AS n_without_null"""),
+    Some("""SELECT
+        (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+          (SELECT CASE WHEN l_quantity > 45 THEN NULL ELSE l_partkey END
+           FROM lineitem)) AS n_with_null,
+        (SELECT COUNT(*) FROM part WHERE p_partkey NOT IN
+          (SELECT l_partkey FROM lineitem WHERE l_quantity <= 45))
+          AS n_without_null"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     scalarSub, correlated, inSub, fromSub, cteChain, notIn, existsCombo,
-    lateralSub, anyAll)
+    lateralSub, anyAll, notInNulls)
 }
