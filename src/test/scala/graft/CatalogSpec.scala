@@ -492,6 +492,29 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk skipping: row-group min/max prunes a selective range " +
+      "scan on sorted data (ColumnChunkSkipNode ≙ parquet stats)") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    // sorted layout + small row groups = many skippable chunks
+    orders.sort("o_orderkey").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (32 * 1024).toString)
+      .saveAsTable("d_skip_orders")
+    val total = orders.count()
+    val narrow = spark.table("d_skip_orders")
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") <= 200)
+    val report = PlanChecks.explainAnalyze(narrow).collect()
+    val scanRows = report
+      .filter(_.getString(1).contains("FileSourceScan"))
+      .map(_.getLong(2)).sum
+    // the scan must emit far fewer rows than the table holds: the
+    // filter is applied at the reader level against row-group stats
+    assert(scanRows < total / 2,
+      s"expected chunk skipping, scan emitted $scanRows of $total")
+    assert(narrow.count() > 0)
+  }
+
   test("drain node empties its placements onto the least-loaded rest " +
       "(citus_drain_node)") {
     import graft.catalog.Rebalancer
