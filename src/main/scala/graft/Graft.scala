@@ -82,4 +82,22 @@ object Graft {
   def explainReport(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     plans.PlanChecks.explainReport(df)
+
+  val rebalancer: graft.catalog.Rebalancer.type = graft.catalog.Rebalancer
+
+  /** `citus_stat_statements` analogue — install on a session, read the
+    * per-statement stats view, reset. */
+  val stats: graft.plans.QueryStats.type = graft.plans.QueryStats
+
+  /** PG-dialect SQL with `$1..$N` positional parameters bound through
+    * Spark's parameterized sql (PREPARE/EXECUTE analogue). */
+  def pgSqlParams(spark: SparkSession, pg: String, args: Any*)
+      : org.apache.spark.sql.DataFrame =
+    sql.PgDialect.sqlParams(spark, pg, args: _*)
+
+  /** EXPLAIN ANALYZE: run the plan and report measured per-node
+    * metrics (`worker_save_query_explain_analyze` analogue). */
+  def explainAnalyze(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    plans.PlanChecks.explainAnalyze(df)
 }

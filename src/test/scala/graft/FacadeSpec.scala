@@ -25,7 +25,23 @@ class FacadeSpec extends AnyFunSuite {
       Graft.similarity != null && Graft.asof != null &&
       Graft.skew != null && Graft.dml != null && Graft.ingest != null &&
       Graft.streaming != null && Graft.multimodal != null &&
-      Graft.rangeJoin != null)
+      Graft.rangeJoin != null && Graft.rebalancer != null &&
+      Graft.stats != null)
+
+    // parameterized PG SQL binds through the facade
+    val p = Graft.pgSqlParams(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_custkey = $1", 7L)
+    assert(p.collect()(0).getLong(0) ===
+      Tables(spark, TestSpark.sf, "orders")
+        .filter(col("o_custkey") === 7L).count())
+  }
+
+  test("explainAnalyze reports measured rows per node through the facade") {
+    val df = Tables(spark, TestSpark.sf, "orders")
+      .groupBy("o_orderstatus").count()
+    val rep = Graft.explainAnalyze(df).collect()
+    assert(rep.exists(r => r.getString(1).contains("FileSourceScan") &&
+      r.getLong(2) > 0))
   }
 
   test("explainReport surfaces scans+pushdown, broadcasts, shuffles") {
