@@ -268,6 +268,48 @@ object DistributionCatalog {
     out.result()
   }
 
+  /** `alter_old_partitions_set_access_method(table, older_than,
+    * 'columnar')` (`sql/udfs/alter_old_partitions_set_access_method/`
+    * — the citus time-series pattern: recent partitions stay row/fast
+    * storage, old partitions compress to columnar): rewrite ONLY the
+    * partitions older than the cutoff under the given codec (dynamic
+    * partition overwrite — untouched partitions keep their files).
+    * Cost ∝ the old partitions being compressed, never the table. */
+  def compressOldTimePartitions(spark: SparkSession, name: String,
+      olderThan: java.sql.Date, codec: String = "zstd"): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val s = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"not a cataloged table: $name"))
+    val partCol = s.distColumn.filter(_.startsWith("__")).getOrElse(
+      throw new IllegalArgumentException(s"$name is not time-partitioned"))
+    val old = spark.table(name).select(col(partCol)).distinct()
+      .filter(col(partCol) < olderThan)
+      .collect().map(_.get(0).toString).sorted.toSeq
+    if (old.nonEmpty) {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val rows = spark.table(name)
+          .filter(col(partCol) < olderThan)
+          .localCheckpoint(eager = true)
+        // path write (not insertInto): the parquet writer honors the
+        // codec option, and dynamic overwrite touches only the
+        // partitions present in `rows`
+        rows.write.mode("overwrite").partitionBy(partCol)
+          .option("compression", codec)
+          .parquet(warehousePath(spark, name))
+      } finally prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshTable(name)
+    }
+    old
+  }
+
   /** `drop_old_time_partitions(table, older_than)` (`sql/udfs/
     * drop_old_time_partitions/` — retention maintenance for
     * time-partitioned tables): drop every partition strictly older

@@ -230,7 +230,44 @@ object EventQueries extends QueryModule {
         ON e.ts >= iv.wstart AND e.ts < iv.wstart + INTERVAL 3 DAY
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Ordered multi-step funnel (view → click → purchase, each step
+    * strictly after the previous one's FIRST occurrence): the product
+    * analytics staple. Three grouped mins chained through two
+    * broadcast-friendly per-user joins — every stage distributes by
+    * user_id, no window over the whole event stream, so the shuffle
+    * key is stable across stages (one co-partitioned lineage at
+    * scale). */
+  private val funnelSteps = GraftQuery(
+    "events_funnel_steps",
+    (s, dir) => {
+      val e = ev(s, dir)
+      def firstOf(tpe: String) = e.filter(col("event_type") === tpe)
+        .groupBy(col("user_id")).agg(min(col("ts")).as(s"ts_$tpe"))
+      val s1 = firstOf("view")
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("ts_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("ts_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("ts_purchase"))
+      val n1 = s1.agg(count(lit(1)).as("n_viewed"))
+      val n2 = s2.agg(count(lit(1)).as("n_clicked_after_view"))
+      val n3 = s3.agg(count(lit(1)).as("n_purchased_after_click"))
+      n1.crossJoin(n2).crossJoin(n3)
+    },
+    Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS ts_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS ts_click FROM events e
+          JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts_view
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase FROM events e
+          JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts_click
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+        (SELECT COUNT(*) FROM s2) AS n_clicked_after_view,
+        (SELECT COUNT(*) FROM s3) AS n_purchased_after_click"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(tumbling, windowApproxUsers, sliding, sessions, sessionize, funnel,
-      asof, retention, intervalJoin)
+      asof, retention, intervalJoin, funnelSteps)
 }

@@ -80,6 +80,42 @@ class TpchLayoutSpec extends AnyFunSuite {
     assert(missing2.nonEmpty && missing2.forall(_ > vals.last))
   }
 
+  test("compress old time partitions: only old partitions rewrite " +
+      "under the new codec (alter_old_partitions_set_access_method)") {
+    import scala.jdk.CollectionConverters._
+    setup
+    DistributionCatalog.createTimePartitionedTable(spark,
+      Tables(spark, TestSpark.sf, "orders"), "g_orders_compress",
+      "o_orderdate", "month")
+    val total = spark.table("g_orders_compress").count()
+    val cutoff = java.sql.Date.valueOf("1996-06-01")
+    def codecOf(dir: String): Set[String] = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val d = new java.io.File(new java.io.File(wh, "g_orders_compress"),
+        dir)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration))
+        try r.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala).map(_.getCodec.toString)
+        finally r.close()
+      }.toSet
+    }
+    val newPartCodecs = codecOf("__month_part=1996-08-01")
+    val compressed = DistributionCatalog.compressOldTimePartitions(spark,
+      "g_orders_compress", cutoff, codec = "snappy")
+    assert(compressed.nonEmpty && compressed.forall(_ < "1996-06-01"))
+    assert(spark.table("g_orders_compress").count() === total,
+      "no rows lost")
+    assert(codecOf(s"__month_part=${compressed.head}") === Set("SNAPPY"),
+      "old partition must be rewritten under the new codec")
+    assert(codecOf("__month_part=1996-08-01") === newPartCodecs,
+      "newer partitions keep their original files")
+  }
+
   test("drop_old_time_partitions removes old partitions (metadata + " +
       "files), newer data untouched") {
     setup
