@@ -1,0 +1,145 @@
+package graft
+
+import graft.sql.PgDialect
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's OWN TPC-H regression SQL
+  * (`src/test/regress/sql/multi_tpch_query*.sql`), read from the
+  * reference tree at test time and executed VERBATIM through the PG
+  * dialect front end against the registered tables — the "a user of
+  * the reference could run every query they run today" claim, tested
+  * on the reference's own statements rather than our adaptations.
+  * (The reference files carry TPC-H predicates dated for dbgen data;
+  * on the synthetic corpus some select empty ranges — those still
+  * must parse, plan, and execute.) The flagship Q1 is additionally
+  * compared against an independent DataFrame computation with fp
+  * tolerance (the raw double sums in the original SQL are
+  * order-dependent, so bit-exact hashing is the wrong check). */
+class ReferenceSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val refDir = new java.io.File(
+    "/root/reference/src/test/regress/sql")
+
+  /** SELECT statements of one regression file, comments stripped. */
+  private def selectsOf(file: String): Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath))
+    text.linesIterator
+      .filterNot(_.trim.startsWith("--"))
+      .mkString("\n")
+      .split(";")
+      .map(_.trim)
+      .filter(s => s.toUpperCase.startsWith("SELECT"))
+      .toSeq
+  }
+
+  private val files = Seq(
+    "multi_tpch_query1.sql", "multi_tpch_query3.sql",
+    "multi_tpch_query6.sql", "multi_tpch_query7.sql",
+    "multi_tpch_query10.sql", "multi_tpch_query12.sql",
+    "multi_tpch_query14.sql", "multi_tpch_query19.sql")
+
+  /** The synthetic corpus carries a SUBSET of the TPC-H columns; the
+    * reference SQL references the full schema. Register compat views
+    * deriving the missing columns deterministically (hash-picked
+    * categorical values, shipdate-anchored commit/receipt dates) so
+    * the statements run verbatim. */
+  private def registerTpchCompat(): Unit = {
+    Tables.registerAll(spark, TestSpark.sf)
+    def pick(values: Seq[String], key: org.apache.spark.sql.Column) =
+      element_at(array(values.map(lit): _*),
+        (pmod(hash(key), lit(values.size)) + 1).cast("int"))
+    Tables(spark, TestSpark.sf, "orders")
+      .withColumn("o_shippriority", lit(0))
+      .withColumn("o_clerk",
+        concat(lit("Clerk#"), col("o_orderkey") % 1000))
+      .withColumn("o_comment", lit(""))
+      .createOrReplaceTempView("orders")
+    Tables(spark, TestSpark.sf, "lineitem")
+      .withColumn("l_shipmode", pick(Seq("AIR", "MAIL", "SHIP", "TRUCK",
+        "RAIL", "FOB", "REG AIR"), col("l_orderkey") * 7 + col("l_linenumber")))
+      .withColumn("l_shipinstruct", pick(Seq("DELIVER IN PERSON",
+        "COLLECT COD", "NONE", "TAKE BACK RETURN"),
+        col("l_orderkey") + col("l_linenumber")))
+      .withColumn("l_commitdate",
+        col("l_shipdate") - expr("INTERVAL 5 DAYS"))
+      .withColumn("l_receiptdate",
+        col("l_shipdate") + expr("INTERVAL 3 DAYS"))
+      .withColumn("l_comment", lit(""))
+      .createOrReplaceTempView("lineitem")
+    Tables(spark, TestSpark.sf, "customer")
+      .withColumn("c_address", concat(lit("addr-"), col("c_custkey")))
+      .withColumn("c_phone", concat(lit("27-"), col("c_custkey")))
+      .withColumn("c_comment", lit(""))
+      .createOrReplaceTempView("customer")
+    Tables(spark, TestSpark.sf, "part")
+      .withColumn("p_container", pick(Seq("SM CASE", "SM BOX", "SM PACK",
+        "SM PKG", "MED BAG", "MED BOX", "MED PKG", "MED PACK",
+        "LG CASE", "LG BOX", "LG PACK", "LG PKG"), col("p_partkey")))
+      .withColumn("p_mfgr", concat(lit("Mfgr#"), col("p_partkey") % 5))
+      .createOrReplaceTempView("part")
+    Tables(spark, TestSpark.sf, "supplier")
+      .withColumn("s_address", concat(lit("saddr-"), col("s_suppkey")))
+      .withColumn("s_phone", concat(lit("11-"), col("s_suppkey")))
+      .withColumn("s_comment", lit(""))
+      .createOrReplaceTempView("supplier")
+  }
+
+  test("every SELECT in the reference's multi_tpch_query*.sql files " +
+      "parses, plans, and executes through the dialect front end " +
+      "(verbatim, over TPC-H-compat views)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    val results = files.flatMap { f =>
+      selectsOf(f).map { stmt =>
+        val rows = PgDialect.sql(spark, stmt).count()
+        (f, rows)
+      }
+    }
+    assert(results.nonEmpty && results.size >= files.size)
+    // the in-range statements actually select data on this corpus
+    val byFile = results.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(byFile("multi_tpch_query1.sql") > 0)
+    assert(byFile("multi_tpch_query3.sql") > 0)
+  }
+
+  test("reference Q1 verbatim == independent DataFrame computation " +
+      "(fp tolerance; raw double sums are order-dependent by design)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    Tables.registerAll(spark, TestSpark.sf)
+    val stmt = selectsOf("multi_tpch_query1.sql").head
+    val got = PgDialect.sql(spark, stmt)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r)
+      .toMap
+    val li = Tables(spark, TestSpark.sf, "lineitem")
+      .filter(col("l_shipdate") <=
+        to_date(lit("1998-12-01")).cast("timestamp") - expr("INTERVAL 90 DAYS"))
+    val exp = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .collect()
+    assert(exp.nonEmpty && exp.length === got.size)
+    exp.foreach { r =>
+      val g = got((r.getString(0), r.getString(1)))
+      // doubles agree to relative 1e-9; counts exactly
+      (2 to 8).foreach { i =>
+        val a = r.getDouble(i); val b = g.getDouble(i)
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+          s"col $i: $a vs $b")
+      }
+      assert(r.getLong(9) === g.getLong(9))
+    }
+  }
+}
