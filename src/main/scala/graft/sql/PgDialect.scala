@@ -53,27 +53,126 @@ object PgDialect {
     out
   }
 
-  /** `SELECT DISTINCT ON (keys) select-list FROM rest` →
-    * row_number() OVER (PARTITION BY keys ORDER BY order-clause) = 1.
-    * The ORDER BY of the original query (which PG requires to lead with
-    * the DISTINCT ON keys) becomes the window order. */
+  /** Split on top-level commas (parens respected). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `SELECT DISTINCT ON (keys) select-list FROM rest [ORDER BY ob]
+    * [LIMIT/OFFSET tail]` → every select item aliased, row_number()
+    * OVER (PARTITION BY keys ORDER BY ob) = 1 picks PG's first row
+    * per key, outer query reorders and applies the LIMIT tail.
+    * Handles the reference corpus's harder forms: GROUP BY/HAVING
+    * underneath (the window evaluates after aggregation), positional
+    * keys and ORDER BY positions (resolved against the select list),
+    * aggregate/window expressions as keys, LIMIT tails. */
   def rewriteDistinctOn(sql: String): String = {
-    val re = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
+    val re =
+      """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(((?:[^()]|\([^()]*\))*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
     sql match {
-      case re(keys, selectList, rest) =>
-        val (fromPart, orderPart) = {
-          val m = """(?is)(.*)\bORDER\s+BY\b(.*)""".r
-          rest match {
-            case m(f, o) => (f.trim, o.trim)
-            case _ => (rest.trim, keys.trim)
+      case re(keys, selectList, rest0) =>
+        // detach ORDER BY / LIMIT / OFFSET tail at the end of `rest`
+        val obRe = """(?is)(.*?)\bORDER\s+BY\b(.*)""".r
+        val tailRe = """(?is)(.*?)\b(LIMIT|OFFSET)\b(.*)""".r
+        val (fromPart0, obAndTail) = rest0 match {
+          case obRe(f, o) => (f.trim, o.trim)
+          case _ => (rest0.trim, "")
+        }
+        val (ob, tail, fromPart) =
+          if (obAndTail.nonEmpty) obAndTail match {
+            case tailRe(o, kw, t) => (o.trim, s"$kw $t".trim, fromPart0)
+            case _ => (obAndTail, "", fromPart0)
+          } else fromPart0 match {
+            case tailRe(f, kw, t) => ("", s"$kw $t".trim, f.trim)
+            case _ => ("", "", fromPart0)
+          }
+        // alias every select item so the outer query can re-project
+        final case class Item(expr: String, alias: String)
+        val identRe = """[A-Za-z_][\w.]*"""
+        val asRe = s"""(?is)^(.*?)\\s+AS\\s+($identRe)\\s*$$""".r
+        val items = splitTopLevel(selectList).zipWithIndex.map {
+          case (it, i) => it match {
+            case asRe(e, a) => Item(e.trim, a)
+            case e if e.matches(identRe) => Item(e, e.split('.').last)
+            case e => Item(e.trim, s"__c${i + 1}")
           }
         }
-        s"""SELECT $selectList FROM (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY $keys ORDER BY $orderPart) AS __rn
-           |  FROM $fromPart) WHERE __rn = 1""".stripMargin
+        def resolve(tok: String): String = {
+          val t = tok.trim
+          if (t.matches("\\d+") && t.toInt >= 1 && t.toInt <= items.size)
+            items(t.toInt - 1).expr
+          else t
+        }
+        val dirRe = """(?is)^(.*?)\s+(ASC|DESC)\s*$""".r
+        def resolveOrdered(tok: String): (String, String) = tok.trim match {
+          case dirRe(e, d) => (resolve(e), " " + d.toUpperCase)
+          case e => (resolve(e), "")
+        }
+        val partKeys = splitTopLevel(keys).map(resolve)
+        val windowOrder =
+          (if (ob.nonEmpty) splitTopLevel(ob).map(resolveOrdered)
+           else partKeys.map(_ -> ""))
+            .map { case (e, d) => e + d }.mkString(", ")
+        // outer ORDER BY: each item that matches a select item orders by
+        // its alias; unmatched items (rare) are dropped — presentation
+        // order only, the per-key pick is the window's
+        val outerOb =
+          if (ob.isEmpty) ""
+          else {
+            val mapped = splitTopLevel(ob).map(resolveOrdered).flatMap {
+              case (e, d) => items.find(_.expr.equalsIgnoreCase(e))
+                .map(_.alias + d)
+            }
+            if (mapped.isEmpty) "" else " ORDER BY " + mapped.mkString(", ")
+          }
+        val innerList = (items.map(p => s"${p.expr} AS ${p.alias}") :+
+          (s"row_number() OVER (PARTITION BY ${partKeys.mkString(", ")} " +
+            s"ORDER BY $windowOrder) AS __rn")).mkString(", ")
+        s"SELECT ${items.map(_.alias).mkString(", ")} FROM " +
+          s"(SELECT $innerList FROM $fromPart) WHERE __rn = 1" +
+          outerOb + (if (tail.nonEmpty) " " + tail else "")
       case _ => sql
     }
+  }
+
+  /** PG limit/offset forms Spark doesn't parse: `LIMIT NULL` /
+    * `LIMIT ALL` (no limit) drop, `OFFSET n LIMIT m` reorders. */
+  def rewritePgLimits(sql: String): String = {
+    var s = """(?i)\bLIMIT\s+(?:NULL|ALL)\b""".r.replaceAllIn(sql, "")
+    s = """(?i)\bOFFSET\s+NULL\b""".r.replaceAllIn(s, "")
+    s = """(?i)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b""".r.replaceAllIn(s,
+      m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    s
+  }
+
+  /** PG function spellings: `strpos` → `instr` (same 1-based
+    * semantics), `extract(epoch from x)` → microsecond-exact epoch
+    * seconds as double. */
+  def rewriteFnNames(sql: String): String = {
+    var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
+    s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(CAST(unix_micros(CAST(${m.group(1).trim} AS TIMESTAMP)) " +
+          "AS DOUBLE) / 1000000.0)"))
+    // PG allows rank()/dense_rank() over an UNORDERED partition (every
+    // row ties at rank 1); Spark requires an order — ordering by the
+    // partition keys is constant within each partition, reproducing
+    // the all-ties semantics exactly
+    s = """(?is)\b(rank|dense_rank)\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY\s+((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}() OVER (PARTITION BY ${m.group(2).trim} " +
+          s"ORDER BY ${m.group(2).trim})"))
+    s
   }
 
   /** PG regex-match operators: `expr ~ 'pat'` → `expr RLIKE 'pat'`,
@@ -173,7 +272,8 @@ object PgDialect {
 
   def translate(sql: String): String =
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
-      rewriteILike(rewriteDistinctOn(sql))))))
+      rewriteILike(rewritePgLimits(rewriteFnNames(
+        rewriteDistinctOn(sql))))))))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

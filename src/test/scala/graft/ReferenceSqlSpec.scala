@@ -105,6 +105,54 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(byFile("multi_tpch_query3.sql") > 0)
   }
 
+  test("reference LIMIT and SELECT DISTINCT corpora run verbatim " +
+      "(multi_limit_clause.sql, multi_select_distinct.sql)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the reference's fixture tables are the same TPC-H relations under
+    // distribution-specific names — alias them
+    Seq("lineitem_hash", "lineitem_range", "lineitem_hash_part",
+      "lineitem_hash_partitioned").foreach(a =>
+      spark.table("lineitem").createOrReplaceTempView(a))
+    Seq("orders_hash", "orders_hash_part", "orders_hash_partitioned",
+      "orders_range").foreach(a =>
+      spark.table("orders").createOrReplaceTempView(a))
+    spark.table("nation").createOrReplaceTempView("nation_hash")
+    val perFile = Seq("multi_limit_clause.sql", "multi_select_distinct.sql")
+      .map { f =>
+        // keep QUERIES: management-UDF calls (create_distributed_table
+        // etc.), EXPLAIN-helper wrappers ($Q$/coordinator_plan) and
+        // statements over the file's own temp fixtures are not the
+        // query surface under test
+        val stmts = selectsOf(f).filterNot(s =>
+          s.contains("create_distributed_table") ||
+            s.contains("master_") || s.contains("citus_") ||
+            s.contains("$Q$") || s.contains("coordinator_plan") ||
+            s.contains("temp_orderkeys"))
+        val outcomes = stmts.map { s =>
+          try { PgDialect.sql(spark, s).count(); true }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"REFFAIL[$f]: " +
+                s.split('\n').map(_.trim).mkString(" ").take(140) +
+                "  => " + e.getMessage.split('\n').head.take(120))
+            false
+          }
+        }
+        (f, outcomes.count(identity), outcomes.size)
+      }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 60, s"expected a large corpus, got $allTotal")
+    // remaining failures are documented engine differences: PG's
+    // unordered RANK() windows, non-foldable LIMIT expressions,
+    // correlated HAVING subqueries, SELECT * with positional GROUP BY
+    assert(okTotal.toDouble / allTotal >= 0.85,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   test("reference Q1 verbatim == independent DataFrame computation " +
       "(fp tolerance; raw double sums are order-dependent by design)") {
     assume(refDir.isDirectory, "reference tree not present")
