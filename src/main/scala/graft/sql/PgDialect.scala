@@ -36,19 +36,77 @@ object PgDialect {
     * or parenthesized expression. */
   def rewriteCasts(sql: String): String = {
     // the paren operand allows one nesting level, so a rewritten json
-    // accessor — `(get_json_object(col, '$.k'))::int8` — still casts
+    // accessor — `(get_json_object(col, '$.k'))::int8` — still casts;
+    // the function-call alternative handles `random()::int`
     val castRe =
-      """(('[^']*')|("[^"]*")|(\((?:[^()]|\([^()]*\))*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
+      """(('[^']*')|("[^"]*")|([A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(\((?:[^()]|\([^()]*\))*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
     var out = sql
     var changed = true
     while (changed) {
       val next = castRe.replaceAllIn(out, m => {
         val operand = m.group(1)
-        val tpe = mapType(m.group(8))
+        val tpe = mapType(m.group(9))
         java.util.regex.Matcher.quoteReplacement(s"CAST($operand AS $tpe)")
       })
       changed = next != out
       out = next
+    }
+    out
+  }
+
+  /** First occurrence of keyword `kw` at paren depth 0, outside string
+    * literals; -1 if absent. */
+  private def topLevelIndex(s: String, kw: String): Int = {
+    val upper = s.toUpperCase
+    val kwRe = ("""\b""" + kw.replace(" ", """\s+""") + """\b""").r
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case _ if depth == 0 =>
+          val m = kwRe.findPrefixMatchOf(upper.substring(i))
+          if (m.isDefined &&
+              (i == 0 || !upper.charAt(i - 1).isLetterOrDigit))
+            return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** PG named windows (`... WINDOW w AS (spec), w2 AS (spec2) ...`) —
+    * Spark has no WINDOW clause; inline each definition at its
+    * `OVER name` use sites and drop the clause. */
+  def rewriteNamedWindows(sql: String): String = {
+    val wi = topLevelIndex(sql, "WINDOW")
+    if (wi < 0) return sql
+    val head = sql.substring(0, wi)
+    var rest = sql.substring(wi + "WINDOW".length)
+    val defRe =
+      """(?is)^\s*([A-Za-z_]\w*)\s+AS\s+\(((?:[^()]|\([^()]*\))*)\)\s*""".r
+    var defs = List.empty[(String, String)]
+    var more = true
+    while (more) {
+      defRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          defs ::= (m.group(1) -> m.group(2).trim)
+          rest = rest.substring(m.end)
+          if (rest.startsWith(",")) rest = rest.substring(1)
+          else more = false
+        case None => more = false
+      }
+    }
+    if (defs.isEmpty) return sql
+    var out = head + " " + rest
+    defs.foreach { case (n, spec) =>
+      out = ("""(?i)\bOVER\s+""" + n + """\b""").r.replaceAllIn(out,
+        java.util.regex.Matcher.quoteReplacement(s"OVER ($spec)"))
     }
     out
   }
@@ -81,20 +139,30 @@ object PgDialect {
       """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(((?:[^()]|\([^()]*\))*)\)\s*(.*?)\s+FROM\s+(.*)$""".r
     sql match {
       case re(keys, selectList, rest0) =>
-        // detach ORDER BY / LIMIT / OFFSET tail at the end of `rest`
-        val obRe = """(?is)(.*?)\bORDER\s+BY\b(.*)""".r
-        val tailRe = """(?is)(.*?)\b(LIMIT|OFFSET)\b(.*)""".r
-        val (fromPart0, obAndTail) = rest0 match {
-          case obRe(f, o) => (f.trim, o.trim)
-          case _ => (rest0.trim, "")
+        // detach ORDER BY / LIMIT / OFFSET at PAREN DEPTH 0 only — an
+        // ORDER BY inside a WINDOW definition or a LIMIT inside a
+        // derived-table subquery belongs to the FROM part
+        val obIdx = topLevelIndex(rest0, "ORDER BY")
+        val (fromPart0, obAndTail) =
+          if (obIdx >= 0)
+            (rest0.substring(0, obIdx).trim,
+              rest0.substring(obIdx + "ORDER".length)
+                .replaceFirst("(?is)^\\s*BY\\b", "").trim)
+          else (rest0.trim, "")
+        def splitTail(s: String): (String, String) = {
+          val li = topLevelIndex(s, "LIMIT")
+          val oi = topLevelIndex(s, "OFFSET")
+          val cut = Seq(li, oi).filter(_ >= 0).sorted.headOption
+          cut match {
+            case Some(c) => (s.substring(0, c).trim, s.substring(c).trim)
+            case None => (s.trim, "")
+          }
         }
         val (ob, tail, fromPart) =
-          if (obAndTail.nonEmpty) obAndTail match {
-            case tailRe(o, kw, t) => (o.trim, s"$kw $t".trim, fromPart0)
-            case _ => (obAndTail, "", fromPart0)
-          } else fromPart0 match {
-            case tailRe(f, kw, t) => ("", s"$kw $t".trim, f.trim)
-            case _ => ("", "", fromPart0)
+          if (obAndTail.nonEmpty) {
+            val (o, t) = splitTail(obAndTail); (o, t, fromPart0)
+          } else {
+            val (f, t) = splitTail(fromPart0); ("", t, f)
           }
         // alias every select item so the outer query can re-project
         final case class Item(expr: String, alias: String)
@@ -107,39 +175,54 @@ object PgDialect {
             case e => Item(e.trim, s"__c${i + 1}")
           }
         }
-        def resolve(tok: String): String = {
+        // resolve a key/ORDER BY token into ALIAS space (evaluated one
+        // level above the select list, so keys may be positions,
+        // aliases, repeated item expressions — incl. window functions
+        // and aggregates — or fresh expressions, which become hidden
+        // computed columns of the inner query)
+        val hidden = scala.collection.mutable.ArrayBuffer.empty[Item]
+        def norm(e: String) = e.replaceAll("\\s+", " ").trim.toLowerCase
+        def resolveAlias(tok: String): String = {
           val t = tok.trim
           if (t.matches("\\d+") && t.toInt >= 1 && t.toInt <= items.size)
-            items(t.toInt - 1).expr
-          else t
+            items(t.toInt - 1).alias
+          else items.find(i => i.alias.equalsIgnoreCase(t) ||
+              norm(i.expr) == norm(t))
+            .map(_.alias)
+            .getOrElse {
+              hidden.find(h => norm(h.expr) == norm(t)) match {
+                case Some(h) => h.alias
+                case None =>
+                  val h = Item(t, s"__k${hidden.size + 1}")
+                  hidden += h; h.alias
+              }
+            }
         }
-        val dirRe = """(?is)^(.*?)\s+(ASC|DESC)\s*$""".r
-        def resolveOrdered(tok: String): (String, String) = tok.trim match {
-          case dirRe(e, d) => (resolve(e), " " + d.toUpperCase)
-          case e => (resolve(e), "")
+        val dirRe =
+          """(?is)^(.*?)((\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?)\s*$""".r
+        def resolveOrdered(tok: String): String = tok.trim match {
+          case dirRe(e, suffix, _, _, _, _) if suffix.trim.nonEmpty =>
+            resolveAlias(e) + " " + suffix.trim.toUpperCase
+          case e => resolveAlias(e)
         }
-        val partKeys = splitTopLevel(keys).map(resolve)
+        val partKeys = splitTopLevel(keys).map(resolveAlias)
         val windowOrder =
           (if (ob.nonEmpty) splitTopLevel(ob).map(resolveOrdered)
-           else partKeys.map(_ -> ""))
-            .map { case (e, d) => e + d }.mkString(", ")
-        // outer ORDER BY: each item that matches a select item orders by
-        // its alias; unmatched items (rare) are dropped — presentation
-        // order only, the per-key pick is the window's
+           else partKeys).mkString(", ")
         val outerOb =
           if (ob.isEmpty) ""
-          else {
-            val mapped = splitTopLevel(ob).map(resolveOrdered).flatMap {
-              case (e, d) => items.find(_.expr.equalsIgnoreCase(e))
-                .map(_.alias + d)
-            }
-            if (mapped.isEmpty) "" else " ORDER BY " + mapped.mkString(", ")
-          }
-        val innerList = (items.map(p => s"${p.expr} AS ${p.alias}") :+
-          (s"row_number() OVER (PARTITION BY ${partKeys.mkString(", ")} " +
-            s"ORDER BY $windowOrder) AS __rn")).mkString(", ")
+          else " ORDER BY " + splitTopLevel(ob).map(resolveOrdered)
+            .mkString(", ")
+        // inner1 evaluates the select list (+ hidden keys) over the
+        // original FROM/WHERE/GROUP BY/HAVING/WINDOW; inner2 ranks in
+        // alias space; the outer picks rank 1, reorders, limits
+        val inner1 = (items ++ hidden)
+          .map(p => s"${p.expr} AS ${p.alias}").mkString(", ")
         s"SELECT ${items.map(_.alias).mkString(", ")} FROM " +
-          s"(SELECT $innerList FROM $fromPart) WHERE __rn = 1" +
+          s"(SELECT *, row_number() OVER " +
+          s"(PARTITION BY ${partKeys.mkString(", ")} " +
+          s"ORDER BY $windowOrder) AS __rn FROM " +
+          s"(SELECT $inner1 FROM $fromPart)) WHERE __rn = 1" +
           outerOb + (if (tail.nonEmpty) " " + tail else "")
       case _ => sql
     }
@@ -164,14 +247,40 @@ object PgDialect {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(CAST(unix_micros(CAST(${m.group(1).trim} AS TIMESTAMP)) " +
           "AS DOUBLE) / 1000000.0)"))
+    // PG's default schema qualifier is a no-op here
+    s = """(?i)\bpublic\.""".r.replaceAllIn(s, "")
+    // PG array_length(arr, 1) → size
+    s = """(?is)\barray_length\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"size(${m.group(1).trim})"))
+    // ordered array_agg: `array_agg(v ORDER BY k[, k2...])` → sort by
+    // the key(s) through a struct, then project the value back out
+    // (ASC keys only — the common form; DESC stays unsupported)
+    s = """(?is)\barray_agg\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)\s*\)""".r
+      .replaceAllIn(s, m => {
+        val (v, k) = (m.group(1).trim, m.group(2).trim)
+        if (k.toUpperCase.contains("DESC")) m.matched
+        else java.util.regex.Matcher.quoteReplacement(
+          s"transform(array_sort(collect_list(struct($k, $v AS __v))), " +
+            "__s -> __s.__v)")
+      })
     // PG allows rank()/dense_rank() over an UNORDERED partition (every
     // row ties at rank 1); Spark requires an order — ordering by the
     // partition keys is constant within each partition, reproducing
-    // the all-ties semantics exactly
-    s = """(?is)\b(rank|dense_rank)\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY\s+((?:[^()]|\([^()]*\))*)\)""".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)}() OVER (PARTITION BY ${m.group(2).trim} " +
-          s"ORDER BY ${m.group(2).trim})"))
+    // the all-ties semantics exactly. A trailing frame clause (which
+    // PG permits and rank ignores) is preserved after the injected
+    // ORDER BY.
+    s = """(?is)\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY\s+((?:[^()]|\([^()]*\))*?)(\s+(?:ROWS|RANGE|GROUPS)\b(?:[^()]|\([^()]*\))*)?\)""".r
+      .replaceAllIn(s, m => {
+        val keys = m.group(2).trim
+        // only windows with NO order of their own; the frame clause
+        // (group 3) is DROPPED — rank-family functions never read it
+        // in PG and Spark rejects them with an explicit frame
+        if ("""(?i)\border\s+by\b""".r.findFirstIn(keys).isDefined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}() OVER (PARTITION BY $keys ORDER BY $keys)")
+      })
     s
   }
 
@@ -273,7 +382,7 @@ object PgDialect {
   def translate(sql: String): String =
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
       rewriteILike(rewritePgLimits(rewriteFnNames(
-        rewriteDistinctOn(sql))))))))
+        rewriteDistinctOn(rewriteNamedWindows(sql)))))))))
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

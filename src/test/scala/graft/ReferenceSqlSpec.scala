@@ -153,6 +153,75 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  /** Load the reference's OWN behavioral-analytics fixtures — the
+    * same `data/users_table.data` / `data/events_table.data` CSVs its
+    * regression schedule COPYs (multi_behavioral_analytics_create_
+    * table.sql:12-23) — so its subquery/window/limit corpora run on
+    * identical data. */
+  private def registerBehavioralFixtures(): Unit = {
+    val dataDir = "/root/reference/src/test/regress/data"
+    spark.read
+      .schema("user_id int, time timestamp, value_1 int, value_2 int, " +
+        "value_3 double, value_4 bigint")
+      .csv(s"$dataDir/users_table.data")
+      .createOrReplaceTempView("users_table")
+    spark.read
+      .schema("user_id int, time timestamp, event_type int, " +
+        "value_2 int, value_3 double, value_4 bigint")
+      .csv(s"$dataDir/events_table.data")
+      .createOrReplaceTempView("events_table")
+    // the small reference table is INSERTed inline in the fixture file
+    import spark.implicits._
+    (1 to 6).map(i => (i, s"User_$i", 44 + i))
+      .toDF("id", "it_name", "k_no")
+      .createOrReplaceTempView("users_ref_test_table")
+  }
+
+  test("reference behavioral-analytics corpora run on the reference's " +
+      "own fixture data (orderby-limit pushdown, window functions, " +
+      "subqueries)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerBehavioralFixtures()
+    // multi_subquery's TPC-H fixtures are the same relations renamed
+    spark.table("lineitem").createOrReplaceTempView("lineitem_subquery")
+    spark.table("orders").createOrReplaceTempView("orders_subquery")
+    spark.table("users_table")
+      .createOrReplaceTempView("users_reference_table")
+    val perFile = Seq("multi_orderby_limit_pushdown.sql",
+      "window_functions.sql", "multi_subquery.sql").map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("$Q$") || s.contains("coordinator_plan") ||
+          s.contains("explain_filter") ||
+          // fixtures this corpus creates in-file or that carry columns
+          // no shipped fixture has (tenant_id behavioral examples)
+          s.contains("window_view") || s.contains("users_view") ||
+          s.contains("subquery_pruning_varchar_test_table") ||
+          s.contains("keyvalref") || s.contains("tenant_id") ||
+          s.contains("run_command_on_workers"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"REFFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + e.getMessage.linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 80, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.6,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   test("reference Q1 verbatim == independent DataFrame computation " +
       "(fp tolerance; raw double sums are order-dependent by design)") {
     assume(refDir.isDirectory, "reference tree not present")
