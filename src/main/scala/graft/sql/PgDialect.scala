@@ -249,6 +249,23 @@ object PgDialect {
           "AS DOUBLE) / 1000000.0)"))
     // PG's default schema qualifier is a no-op here
     s = """(?i)\bpublic\.""".r.replaceAllIn(s, "")
+    // PG CTE materialization hints: Spark decides itself
+    s = """(?i)\bAS\s+(NOT\s+)?MATERIALIZED\s*\(""".r
+      .replaceAllIn(s, "AS (")
+    // row-locking clause: no locks in an analytics engine
+    s = """(?i)\bFOR\s+UPDATE\b""".r.replaceAllIn(s, "")
+    // SRF in FROM: generate_series(a,b[,step]) alias → a lateral-free
+    // explode subquery exposing the alias as the column name
+    s = """(?i)\bgenerate_series\s*\(([^()]*)\)\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(2)}) " +
+          m.group(2)))
+    // PG unnest in the select list multiplies rows like explode
+    s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
+    // rank-family over an empty window: every row ties in PG; a
+    // constant ordering reproduces that
+    s = """(?is)\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(\s*\)\s*OVER\s*\(\s*\)""".r
+      .replaceAllIn(s, m => s"${m.group(1)}() OVER (ORDER BY 1)")
     // PG array_length(arr, 1) → size
     s = """(?is)\barray_length\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(

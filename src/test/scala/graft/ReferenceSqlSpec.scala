@@ -31,7 +31,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .mkString("\n")
       .split(";")
       .map(_.trim)
-      .filter(s => s.toUpperCase.startsWith("SELECT"))
+      .filter(s => s.toUpperCase.startsWith("SELECT") ||
+        s.toUpperCase.startsWith("WITH"))
       .toSeq
   }
 
@@ -189,7 +190,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     spark.table("users_table")
       .createOrReplaceTempView("users_reference_table")
     val perFile = Seq("multi_orderby_limit_pushdown.sql",
-      "window_functions.sql", "multi_subquery.sql").map { f =>
+      "window_functions.sql", "multi_subquery.sql",
+      "with_basics.sql", "with_where.sql", "with_join.sql").map { f =>
       val stmts = selectsOf(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("master_") || s.contains("citus_") ||
@@ -198,6 +200,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
           // fixtures this corpus creates in-file or that carry columns
           // no shipped fixture has (tenant_id behavioral examples)
           s.contains("window_view") || s.contains("users_view") ||
+          s.contains("basic_view") || s.contains("cte_view") ||
+          s.contains("test_cte") || s.contains("create_reference_table") ||
+          s.contains("reference_table") || s.contains("reference_1") ||
+          s.contains("reference_2") || s.contains("distributed_1") ||
           s.contains("subquery_pruning_varchar_test_table") ||
           s.contains("keyvalref") || s.contains("tenant_id") ||
           s.contains("run_command_on_workers"))
