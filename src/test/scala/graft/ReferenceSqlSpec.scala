@@ -189,9 +189,18 @@ class ReferenceSqlSpec extends AnyFunSuite {
     spark.table("orders").createOrReplaceTempView("orders_subquery")
     spark.table("users_table")
       .createOrReplaceTempView("users_reference_table")
+    // set_operations' tiny fixtures are INSERTed in-file (test(x,y) =
+    // (1,1),(2,2); ref(a,b) = (2,2),(3,3)); replicate them
+    locally {
+      import spark.implicits._
+      Seq((1, 1), (2, 2)).toDF("x", "y").createOrReplaceTempView("test")
+      Seq((2, 2), (3, 3)).toDF("a", "b").createOrReplaceTempView("ref")
+      spark.table("test").createOrReplaceTempView("test_not_colocated")
+    }
     val perFile = Seq("multi_orderby_limit_pushdown.sql",
       "window_functions.sql", "multi_subquery.sql",
-      "with_basics.sql", "with_where.sql", "with_join.sql").map { f =>
+      "with_basics.sql", "with_where.sql", "with_join.sql",
+      "multi_having_pushdown.sql", "set_operations.sql").map { f =>
       val stmts = selectsOf(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("master_") || s.contains("citus_") ||
