@@ -187,6 +187,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // multi_subquery's TPC-H fixtures are the same relations renamed
     spark.table("lineitem").createOrReplaceTempView("lineitem_subquery")
     spark.table("orders").createOrReplaceTempView("orders_subquery")
+    Seq("lineitem_hash", "lineitem_range").foreach(a =>
+      spark.table("lineitem").createOrReplaceTempView(a))
     spark.table("users_table")
       .createOrReplaceTempView("users_reference_table")
     // set_operations' tiny fixtures are INSERTed in-file (test(x,y) =
@@ -200,7 +202,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val perFile = Seq("multi_orderby_limit_pushdown.sql",
       "window_functions.sql", "multi_subquery.sql",
       "with_basics.sql", "with_where.sql", "with_join.sql",
-      "multi_having_pushdown.sql", "set_operations.sql").map { f =>
+      "multi_having_pushdown.sql", "set_operations.sql",
+      "multi_agg_distinct.sql").map { f =>
       val stmts = selectsOf(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("master_") || s.contains("citus_") ||
@@ -211,6 +214,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
           s.contains("window_view") || s.contains("users_view") ||
           s.contains("basic_view") || s.contains("cte_view") ||
           s.contains("test_cte") || s.contains("create_reference_table") ||
+          s.contains("hash_results") ||
           s.contains("reference_table") || s.contains("reference_1") ||
           s.contains("reference_2") || s.contains("distributed_1") ||
           s.contains("subquery_pruning_varchar_test_table") ||
