@@ -255,11 +255,15 @@ object PgDialect {
     // row-locking clause: no locks in an analytics engine
     s = """(?i)\bFOR\s+UPDATE\b""".r.replaceAllIn(s, "")
     // SRF in FROM: generate_series(a,b[,step]) alias → a lateral-free
-    // explode subquery exposing the alias as the column name
+    // explode subquery exposing the alias as the column name; the
+    // alias-less form exposes PG's default column name
     s = """(?i)\bgenerate_series\s*\(([^()]*)\)\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(2)}) " +
           m.group(2)))
+    s = """(?i)\bgenerate_series\s*\(([^()]*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
     // rank-family over an empty window: every row ties in PG; a
