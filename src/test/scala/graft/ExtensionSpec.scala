@@ -155,6 +155,39 @@ class ExtensionSpec extends AnyFunSuite {
       r.getLong(2) > 0), "aggregate must report measured rows out")
   }
 
+  test("dialect v3 rewrites: named windows, MATERIALIZED, limits, " +
+      "generate_series, epoch, unordered rank") {
+    assert(PgDialect.rewriteNamedWindows(
+      "SELECT rank() OVER w FROM t WINDOW w AS (PARTITION BY a ORDER BY b)")
+      .trim === "SELECT rank() OVER (PARTITION BY a ORDER BY b) FROM t")
+    assert(PgDialect.rewriteFnNames("WITH c AS MATERIALIZED (SELECT 1) " +
+      "SELECT * FROM c").contains("AS (SELECT 1)"))
+    assert(PgDialect.rewritePgLimits("SELECT 1 LIMIT ALL").trim
+      === "SELECT 1")
+    assert(PgDialect.rewritePgLimits("SELECT 1 OFFSET 2 LIMIT 3")
+      === "SELECT 1 LIMIT 3 OFFSET 2")
+    assert(PgDialect.rewriteFnNames("FROM generate_series(1,5) s")
+      .contains("explode(sequence(1,5)) AS s"))
+    assert(PgDialect.rewriteFnNames("SELECT strpos(a, 'x')")
+      === "SELECT instr(a, 'x')")
+    assert(PgDialect.rewriteFnNames(
+      "SELECT rank() OVER (PARTITION BY k)")
+      === "SELECT rank() OVER (PARTITION BY k ORDER BY k)")
+    // rewritten PG epoch matches Spark's native second-level epoch
+    val ep = PgDialect.sql(spark,
+      "SELECT extract(epoch from timestamp '2024-01-02 03:04:05') AS e")
+      .collect()(0).getDouble(0)
+    assert(ep === 1704164645.0)
+    // DISTINCT ON with GROUP BY underneath and a LIMIT tail
+    Tables.registerAll(spark, TestSpark.sf)
+    val don = PgDialect.sql(spark,
+      """SELECT DISTINCT ON (o_orderstatus) o_orderstatus, count(*)
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, count(*) DESC LIMIT 2""").collect()
+    assert(don.length === 2 &&
+      don.map(_.getString(0)).distinct.length === 2)
+  }
+
   test("PG array operators rewrite: @> / <@ / && and ARRAY literals") {
     assert(PgDialect.rewriteArrayOps("WHERE tags @> ARRAY['a','b']")
       === "WHERE forall(array('a','b'), __x -> array_contains(tags, __x))")
