@@ -121,6 +121,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components vs union-find ground truth over seeded " +
+      "random graphs (both algorithms, 6 instances)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { k =>
+      val n = 20 + rnd.nextInt(60)
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      // driver-side union-find ground truth (min label per component)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      val minLabel = truth.groupBy(_._2).flatMap { case (_, m) =>
+        val lbl = m.keys.min; m.keys.map(_ -> lbl)
+      }
+      val df = edges.toDF("a", "b")
+      Seq(
+        "prop" -> Dedup.connectedComponents(df, maxIter = 60),
+        "star" -> Dedup.connectedComponentsLogRounds(df)).foreach {
+        case (name, out) =>
+          val got = out.collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          minLabel.foreach { case (id, lbl) =>
+            assert(got(id) === lbl,
+              s"instance $k/$name node $id: got ${got(id)}, want $lbl")
+          }
+          assert(got.size === minLabel.size, s"instance $k/$name size")
+      }
+    }
+  }
+
   test("exact-substring stats: shared 8-token windows counted once per " +
       "doc, unique docs absent, repeats within one doc not double-counted") {
     import spark.implicits._
