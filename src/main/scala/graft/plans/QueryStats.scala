@@ -37,7 +37,10 @@ object QueryStats {
   private[plans] def queryId(qe: QueryExecution): Long = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val canon = qe.analyzed.canonicalized.transformAllExpressions {
-      case l: Literal => Literal.default(l.dataType)
+      // erase literal VALUES; types without a default (exotic nested
+      // literals) keep their literal — still a stable fingerprint
+      case l: Literal =>
+        try Literal.default(l.dataType) catch { case _: Throwable => l }
     }
     // stable across JVMs for the same plan shape
     scala.util.hashing.MurmurHash3.stringHash(canon.toString).toLong

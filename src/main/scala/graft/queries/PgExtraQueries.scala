@@ -241,7 +241,37 @@ object PgExtraQueries extends QueryModule {
       FROM orders WHERE o_custkey < 200
       GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Equi-width histogram (PG `width_bucket` family): data-driven
+    * [min,max) from one tiny aggregate broadcast, then a map-side
+    * bucket assignment + one grouped count — the two-pass histogram
+    * every OLAP engine ships. Bucket math in integer-exact arithmetic
+    * (cents) so the oracle matches bit-for-bit. */
+  private val histogram = GraftQuery(
+    "agg_histogram",
+    (s, dir) => {
+      val B = 10
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 100).cast("long").as("cents"))
+      val bounds = o.agg(min(col("cents")).as("lo"),
+        (max(col("cents")) + 1).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(lit(B - 1),
+          floor((col("cents") - col("lo")) * B /
+            (col("hi") - col("lo")))).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH c AS (SELECT o_orderkey,
+          CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders),
+        b AS (SELECT MIN(cents) AS lo, MAX(cents) + 1 AS hi FROM c)
+      SELECT CAST(least(9, floor((cents - lo) * 10 / (hi - lo))) AS INT)
+          AS bucket,
+        COUNT(*) AS n
+      FROM c, b GROUP BY 1 ORDER BY 1"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
-      dialectRoundtrip, jsonOps, stringAggDistinct)
+      dialectRoundtrip, jsonOps, stringAggDistinct, histogram)
 }
