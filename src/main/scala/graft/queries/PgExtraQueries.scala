@@ -271,7 +271,36 @@ object PgExtraQueries extends QueryModule {
         COUNT(*) AS n
       FROM c, b GROUP BY 1 ORDER BY 1"""))
 
+  /** A statement from the reference's OWN regression corpus
+    * (multi_orderby_limit_pushdown.sql), on the reference's OWN
+    * shipped fixture data (data/users_table.data), inside the
+    * hash-checked oracle gate: Spark runs it through the dialect,
+    * DuckDB reads the same CSV — both engines, same query, same
+    * bytes. Wrapped in a column-aliasing derived table because the
+    * two engines name unaliased computed columns differently. */
+  private val refVerbatim = GraftQuery(
+    "ref_verbatim_orderby_limit",
+    (s, dir) => {
+      s.read.schema("user_id int, time timestamp, value_1 int, " +
+          "value_2 int, value_3 double, value_4 bigint")
+        .csv("/root/reference/src/test/regress/data/users_table.data")
+        .createOrReplaceTempView("ref_users_table")
+      graft.sql.PgDialect.sql(s,
+        """SELECT * FROM (SELECT user_id, sum(value_1) + sum(value_2)
+           FROM ref_users_table GROUP BY user_id
+           ORDER BY 2 DESC LIMIT 1) AS v(user_id, total)""")
+    },
+    Some("""SELECT user_id, CAST(total AS BIGINT) AS total FROM (
+        SELECT user_id, sum(value_1) + sum(value_2) AS total
+        FROM read_csv(
+          '/root/reference/src/test/regress/data/users_table.data',
+          header=false,
+          columns={'user_id':'INT','time':'TIMESTAMP','value_1':'INT',
+                   'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'})
+        GROUP BY user_id ORDER BY 2 DESC LIMIT 1)"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
-      dialectRoundtrip, jsonOps, stringAggDistinct, histogram)
+      dialectRoundtrip, jsonOps, stringAggDistinct, histogram,
+      refVerbatim)
 }
