@@ -299,8 +299,52 @@ object PgExtraQueries extends QueryModule {
                    'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'})
         GROUP BY user_id ORDER BY 2 DESC LIMIT 1)"""))
 
+  /** A second reference-verbatim gate statement, this one stacking
+    * DISTINCT ON + a named WINDOW + a join + a LIMIT tail
+    * (window_functions.sql) over both reference fixture CSVs —
+    * DuckDB runs its native DISTINCT ON/WINDOW syntax, Spark runs the
+    * dialect's two-level rewrite with the window inlined. */
+  private val refVerbatimWin = GraftQuery(
+    "ref_verbatim_window_distinct_on",
+    (s, dir) => {
+      val d = "/root/reference/src/test/regress/data"
+      s.read.schema("user_id int, time timestamp, value_1 int, " +
+          "value_2 int, value_3 double, value_4 bigint")
+        .csv(s"$d/users_table.data")
+        .createOrReplaceTempView("users_table")
+      s.read.schema("user_id int, time timestamp, event_type int, " +
+          "value_2 int, value_3 double, value_4 bigint")
+        .csv(s"$d/events_table.data")
+        .createOrReplaceTempView("events_table")
+      graft.sql.PgDialect.sql(s,
+        """SELECT DISTINCT ON (events_table.user_id, rnk)
+             events_table.user_id, rank() OVER my_win AS rnk
+           FROM events_table, users_table
+           WHERE users_table.user_id = events_table.user_id
+           WINDOW my_win AS (PARTITION BY events_table.user_id,
+             users_table.value_1 ORDER BY events_table.time DESC)
+           ORDER BY rnk DESC, 1 DESC LIMIT 10""")
+    },
+    Some("""WITH users_table AS (SELECT * FROM read_csv(
+          '/root/reference/src/test/regress/data/users_table.data',
+          header=false,
+          columns={'user_id':'INT','time':'TIMESTAMP','value_1':'INT',
+                   'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'})),
+        events_table AS (SELECT * FROM read_csv(
+          '/root/reference/src/test/regress/data/events_table.data',
+          header=false,
+          columns={'user_id':'INT','time':'TIMESTAMP','event_type':'INT',
+                   'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'}))
+      SELECT DISTINCT ON (events_table.user_id, rnk)
+        events_table.user_id, rank() OVER my_win AS rnk
+      FROM events_table, users_table
+      WHERE users_table.user_id = events_table.user_id
+      WINDOW my_win AS (PARTITION BY events_table.user_id,
+        users_table.value_1 ORDER BY events_table.time DESC)
+      ORDER BY rnk DESC, 1 DESC LIMIT 10"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, stringAggDistinct, histogram,
-      refVerbatim)
+      refVerbatim, refVerbatimWin)
 }
