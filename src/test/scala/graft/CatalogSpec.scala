@@ -220,6 +220,36 @@ class CatalogSpec extends AnyFunSuite {
       .filter(col("o_custkey") === hotKey).count() === hotRows)
   }
 
+  test("window partitioned by the distribution column runs without " +
+      "shuffle on the bucketed layout (SafeToPushdownWindowFunction)") {
+    setup
+    // citus pushes a window to the shards only when PARTITION BY
+    // includes the distribution column (query_pushdown_planning.c:
+    // 428-472); Spark's equivalent: the bucketed scan already provides
+    // the required hash distribution, so EnsureRequirements inserts
+    // NO exchange
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("o_orderdate"))
+      val df = spark.table("d_orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          sum(col("o_totalprice")).over(w).as("run_total"))
+      assert(PlanChecks.countShuffles(df) === 0,
+        "dist-column window must not shuffle a bucketed table")
+      assert(df.count() > 0)
+      // a window on a NON-distribution column still shuffles
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      val df2 = spark.table("d_orders")
+        .select(col("o_custkey"), row_number().over(w2).as("rn"))
+      assert(PlanChecks.countShuffles(df2) > 0)
+    } finally spark.conf.unset(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("range-distributed table: interval pruning reads only overlapping " +
       "shard directories (DISTRIBUTE_BY_RANGE + PruneShards)") {
     setup
