@@ -596,8 +596,14 @@ object DistributionCatalog {
     * node set. */
   def placements(table: String, nodeCount: Int,
       shards: Set[Int]): Map[Int, Int] =
-    placementMap.getOrElse(table,
-      shards.map(s => s -> (s % nodeCount)).toMap)
+    placementMap.get(table) match {
+      // Reconcile against the live shard set: splitShard /
+      // alterDistributedTable can change it under a stored placement,
+      // so drop entries for shards that no longer exist and give new
+      // shards the default round-robin home.
+      case Some(p) => shards.map(s => s -> p.getOrElse(s, s % nodeCount)).toMap
+      case None => shards.map(s => s -> (s % nodeCount)).toMap
+    }
 
   private[catalog] def setPlacements(table: String,
       p: Map[Int, Int]): Unit = placementMap.put(table, p)
@@ -819,7 +825,13 @@ object DistributionCatalog {
       chunkRows: Option[Int] = None): Unit = {
     val s = specs.getOrElse(name,
       throw new IllegalArgumentException(s"not a cataloged table: $name"))
-    val data = table(spark, name).localCheckpoint(eager = true)
+    val sharded = s.method == RangeDist || s.method == AppendDist
+    // Range/append layouts live in the __shard partition column, which
+    // table() strips as non-user schema — read the raw catalog table so
+    // the rewrite keeps it and the shard map stays valid.
+    val raw = if (sharded) spark.table(name)
+              else table(spark, name)
+    val data = raw.localCheckpoint(eager = true)
     dropTenantParts(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS $name")
     var w = data.write.mode("overwrite")
@@ -832,9 +844,12 @@ object DistributionCatalog {
     s match {
       case DistributionSpec(_, Hash, Some(dc), b, _) if b > 0 =>
         w.bucketBy(b, dc).sortBy(dc).saveAsTable(name)
+      case _ if sharded => w.partitionBy("__shard").saveAsTable(name)
       case _ => w.saveAsTable(name)
     }
     specs.put(name, s)
+    if (sharded) s.distColumn.foreach(dc =>
+      recordIntervals(spark, name, dc, replace = true))
   }
 
   /** `citus_update_table_statistics(rel)` (`sql/udfs/

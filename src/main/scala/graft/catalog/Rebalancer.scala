@@ -122,19 +122,21 @@ object Rebalancer {
   def drainNode(spark: SparkSession, table: String, node: Int,
       nodeCount: Int): Seq[Move] = {
     require(node >= 0 && node < nodeCount, s"no such node: $node")
+    require(nodeCount > 1, "draining the only node leaves shards homeless")
     val sizes = DistributionCatalog.shardSizes(spark, table)
       .collect().filter(_.getInt(1) >= 0)
       .map(r => r.getInt(1) -> r.getLong(2)).toMap
     val current = DistributionCatalog.placements(table, nodeCount,
       sizes.keySet)
+    def sizeOf(s: Int): Long = sizes.getOrElse(s, 0L)
     val loads = Array.fill(nodeCount)(0L)
-    current.foreach { case (s, n) => if (n != node) loads(n) += sizes(s) }
+    current.foreach { case (s, n) => if (n != node) loads(n) += sizeOf(s) }
     val moves = current.toSeq.collect { case (s, n) if n == node => s }
-      .sortBy(s => (-sizes(s), s))
+      .sortBy(s => (-sizeOf(s), s))
       .map { s =>
         val target = loads.indices.filter(_ != node).minBy(loads)
-        loads(target) += sizes(s)
-        Move(s, sizes(s), node, target)
+        loads(target) += sizeOf(s)
+        Move(s, sizeOf(s), node, target)
       }
     val updated = moves.foldLeft(current)((p, m) =>
       p.updated(m.shard, m.toNode))

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.catalog.DistributionCatalog
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -45,19 +45,32 @@ object RepartitionJoinGuard extends Rule[LogicalPlan] {
           .exists(_.method == DistributionCatalog.Reference)) => ()
     }.nonEmpty
 
-  /** Does the equi-condition join the two distribution columns? */
-  private def joinsOnDistColumns(cond: Option[Expression], a: String,
-      b: String): Boolean = {
+  /** Top-level AND conjuncts only — an equality buried inside an OR
+    * or NOT branch does not guarantee colocated execution. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Does the equi-condition join the two distribution columns?
+    * Attributes are resolved by exprId against the side that scans
+    * each table, so a name-colliding non-key column on the other side
+    * cannot satisfy the check. */
+  private def joinsOnDistColumns(j: Join, a: String, b: String): Boolean = {
     val colA = DistributionCatalog.spec(a).flatMap(_.distColumn)
     val colB = DistributionCatalog.spec(b).flatMap(_.distColumn)
     (colA, colB) match {
       case (Some(ca), Some(cb)) =>
-        cond.exists(_.collectFirst {
-          case EqualTo(l: AttributeReference, r: AttributeReference)
-            if Set(l.name, r.name) == Set(ca, cb) ||
-              (l.name == ca && r.name == cb) ||
-              (l.name == cb && r.name == ca) => ()
-        }.nonEmpty)
+        val leftOut = j.left.outputSet
+        val rightOut = j.right.outputSet
+        def distPair(x: AttributeReference, y: AttributeReference) =
+          leftOut.contains(x) && x.name.equalsIgnoreCase(ca) &&
+            rightOut.contains(y) && y.name.equalsIgnoreCase(cb)
+        j.condition.exists(c => conjuncts(c).exists {
+          case EqualTo(l: AttributeReference, r: AttributeReference) =>
+            distPair(l, r) || distPair(r, l)
+          case _ => false
+        })
       case _ => false
     }
   }
@@ -73,7 +86,7 @@ object RepartitionJoinGuard extends Rule[LogicalPlan] {
         (lt, rt) match {
           case (Seq(a), Seq(b)) if !refSide =>
             val colocatedKeyJoin = DistributionCatalog.colocated(a, b) &&
-              joinsOnDistColumns(j.condition, a, b)
+              joinsOnDistColumns(j, a, b)
             if (!colocatedKeyJoin) {
               throw new UnsupportedOperationException(
                 s"the query contains a join between distributed tables " +

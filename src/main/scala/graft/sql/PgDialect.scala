@@ -249,10 +249,33 @@ object PgDialect {
     s
   }
 
+  /** Run `f` over `sql` with single-quoted string literals masked
+    * behind identifier-like placeholders, restoring them afterwards —
+    * textual rewrites must never mutate literal text ('public.users'
+    * stays 'public.users'). */
+  private def withMaskedLiterals(sql: String)(f: String => String): String = {
+    val literals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = "'[^']*'".r.replaceAllIn(sql, m => {
+      literals += m.matched
+      s"__GRAFT_LIT_${literals.size - 1}__"
+    })
+    """__GRAFT_LIT_(\d+)__""".r.replaceAllIn(f(masked), m =>
+      java.util.regex.Matcher.quoteReplacement(literals(m.group(1).toInt)))
+  }
+
+  /** Keywords that may directly follow a FROM item and must never be
+    * mistaken for its alias. */
+  private val NonAliasKw =
+    "ORDER|WHERE|LIMIT|OFFSET|GROUP|HAVING|JOIN|ON|UNION|EXCEPT|" +
+      "INTERSECT|CROSS|INNER|LEFT|RIGHT|FULL|NATURAL|AND|OR|SELECT|" +
+      "FROM|USING|WINDOW|WITH|FOR|FETCH|QUALIFY"
+
   /** PG function spellings: `strpos` → `instr` (same 1-based
     * semantics), `extract(epoch from x)` → microsecond-exact epoch
-    * seconds as double. */
-  def rewriteFnNames(sql: String): String = {
+    * seconds as double. String literals are masked for the duration —
+    * these are textual rewrites and literal text must ride through
+    * untouched. */
+  def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
     s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
@@ -267,11 +290,16 @@ object PgDialect {
     s = """(?i)\bFOR\s+UPDATE\b""".r.replaceAllIn(s, "")
     // SRF in FROM: generate_series(a,b[,step]) alias → a lateral-free
     // explode subquery exposing the alias as the column name; the
-    // alias-less form exposes PG's default column name
-    s = """(?i)\bgenerate_series\s*\(([^()]*)\)\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(2)}) " +
-          m.group(2)))
+    // alias-less form exposes PG's default column name. A bare
+    // trailing keyword (ORDER/WHERE/LIMIT/JOIN...) is a clause, not an
+    // alias — only an explicit AS may claim a keyword as alias.
+    s = ("""(?i)\bgenerate_series\s*\(([^()]*)\)\s+""" +
+      s"""(?:AS\\s+([A-Za-z_]\\w*)|(?!(?:$NonAliasKw)\\b)([A-Za-z_]\\w*))""").r
+      .replaceAllIn(s, m => {
+        val alias = Option(m.group(2)).getOrElse(m.group(3))
+        java.util.regex.Matcher.quoteReplacement(
+          s"(SELECT explode(sequence(${m.group(1)})) AS $alias) " + alias)
+      })
     s = """(?i)\bgenerate_series\s*\(([^()]*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS generate_series)"))

@@ -557,4 +557,56 @@ class CatalogSpec extends AnyFunSuite {
     assert(placed.size === 8, "every shard still placed")
     assert(!placed.values.exists(_ == 0), "node 0 must end empty")
   }
+
+  test("columnar rewrite of a range-distributed table keeps the __shard " +
+      "layout and a fresh shard map") {
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createRangeDistributedTable(spark, orders,
+      "d_col_range", "o_custkey", splitPoints = Seq(40, 80, 120))
+    DistributionCatalog.setColumnarOptions(spark, "d_col_range",
+      compression = Some("snappy"))
+    assert(spark.table("d_col_range").count() === orders.count())
+    // physical layout survived: interval reads still prune by directory
+    val pruned = DistributionCatalog.rangeScan(spark, "d_col_range",
+      lo = Some(0), hi = Some(30))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("__shard=0")),
+      "rangeScan must still prune to the overlapping shard directory")
+    assert(pruned.count() === orders
+      .filter(col("o_custkey") >= 0 && col("o_custkey") <= 30).count())
+    // user-facing reads still hide the shard column
+    assert(!DistributionCatalog.table(spark, "d_col_range")
+      .columns.contains("__shard"))
+  }
+
+  test("placements reconcile against the live shard set after " +
+      "alter_distributed_table; drainNode survives stale placement ids " +
+      "and refuses nodeCount=1") {
+    import graft.catalog.Rebalancer
+    setup
+    val orders = Tables(spark, TestSpark.sf, "orders")
+    DistributionCatalog.createDistributedTable(spark, orders,
+      "d_stale_orders", "o_orderkey", buckets = 8)
+    // store a placement over the 8-shard layout
+    Rebalancer.rebalance(spark, "d_stale_orders", nodeCount = 3)
+    // shrink to 4 shards: stored placements for shards 4..7 are stale
+    DistributionCatalog.alterDistributedTable(spark, "d_stale_orders",
+      buckets = Some(4))
+    val placed = DistributionCatalog.shardPlacements(
+      spark, "d_stale_orders", 3).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(placed.keySet === Set(0, 1, 2, 3),
+      s"stale shards 4..7 must drop: $placed")
+    // drainNode plans over the reconciled set instead of throwing
+    val drains = Rebalancer.drainNode(spark, "d_stale_orders", 0,
+      nodeCount = 3)
+    val after = DistributionCatalog.shardPlacements(
+      spark, "d_stale_orders", 3).collect().map(_.getInt(2))
+    assert(!after.contains(0), "node 0 must end empty")
+    assert(drains.forall(_.fromNode == 0))
+    intercept[IllegalArgumentException] {
+      Rebalancer.drainNode(spark, "d_stale_orders", 0, nodeCount = 1)
+    }
+  }
 }

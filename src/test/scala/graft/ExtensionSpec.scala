@@ -60,6 +60,43 @@ class ExtensionSpec extends AnyFunSuite {
       === "SELECT CAST((a+b) AS numeric(12,2)) FROM t")
   }
 
+  test("generate_series: a trailing keyword is a clause, not an alias; " +
+      "only explicit AS may claim a keyword") {
+    val s1 = PgDialect.rewriteFnNames(
+      "SELECT * FROM generate_series(1,3) ORDER BY 1")
+    assert(s1.contains("AS generate_series") &&
+      s1.toUpperCase.endsWith("ORDER BY 1"), s1)
+    val s2 = PgDialect.rewriteFnNames(
+      "SELECT g FROM generate_series(1,3) g WHERE g > 1")
+    assert(s2.contains("AS g) g WHERE g > 1"), s2)
+    val s3 = PgDialect.rewriteFnNames(
+      "SELECT i FROM generate_series(1,3) AS i LIMIT 2")
+    assert(s3.contains("AS i) i LIMIT 2"), s3)
+    // end-to-end through the full translator
+    Tables.registerAll(spark, TestSpark.sf)
+    assert(PgDialect.sql(spark,
+      "SELECT * FROM generate_series(1,3) ORDER BY 1 LIMIT 2")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2))
+  }
+
+  test("fn-name rewrites never mutate string literals") {
+    val s1 = PgDialect.rewriteFnNames(
+      "SELECT 'public.users' AS lit, x FROM public.users")
+    assert(s1.contains("'public.users'"), s1)
+    assert(s1.endsWith("FROM users"), s1)
+    val s2 = PgDialect.rewriteFnNames(
+      "SELECT 'use strpos(a) here' FROM t WHERE strpos(x, 'y') > 0")
+    assert(s2.contains("'use strpos(a) here'") &&
+      s2.contains("instr(x, 'y')"), s2)
+    val s3 = PgDialect.rewriteFnNames(
+      "SELECT 'locked FOR UPDATE' FROM t FOR UPDATE")
+    assert(s3.contains("'locked FOR UPDATE'") && s3.trim.endsWith("FROM t"),
+      s3)
+    val s4 = PgDialect.rewriteFnNames(
+      "SELECT 'unnest(a)' FROM t WHERE unnest(b) IS NOT NULL")
+    assert(s4.contains("'unnest(a)'") && s4.contains("explode(b)"), s4)
+  }
+
   test("pg regex operators rewrite to RLIKE") {
     assert(PgDialect.rewriteRegexOps("SELECT * FROM t WHERE x ~ '^ab.*c$'")
       === "SELECT * FROM t WHERE x RLIKE '^ab.*c$'")
@@ -384,6 +421,16 @@ class ExtensionSpec extends AnyFunSuite {
             Option(e.getMessage).toSeq ++ allMsgs(e.getCause))
         assert(allMsgs(ex).exists(_.contains("requires repartitioning")),
           s"unexpected failure: $ex")
+        // a dist-key equality hidden inside an OR disjunct does NOT
+        // guarantee colocated execution — the guard must still raise
+        val lo = extSpark.table("ext_orders")
+        val li = extSpark.table("ext_lineitem")
+        val orJoin = lo.join(li,
+          lo("o_orderkey") === li("o_orderkey") ||
+            lo("o_custkey") === li("l_partkey"))
+        val ex2 = intercept[Throwable] { orJoin.count() }
+        assert(allMsgs(ex2).exists(_.contains("requires repartitioning")),
+          s"OR-disjunct join must not pass the guard: $ex2")
       } finally extSpark.conf.set(RepartitionJoinGuard.ConfKey, "true")
     } finally {
       // do NOT stop extSpark — it shares the one SparkContext
