@@ -37,7 +37,9 @@ object PgDialect {
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
     "numeric" -> "DECIMAL(38,18)", "text" -> "STRING",
     "varchar" -> "STRING", "bpchar" -> "STRING",
-    "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN")
+    "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN",
+    // no JSON type on Spark: JSON values ride as their text form
+    "json" -> "STRING", "jsonb" -> "STRING")
 
   private def mapType(t: String): String =
     typeMap.getOrElse(t.trim.toLowerCase, t.trim)
@@ -49,8 +51,21 @@ object PgDialect {
     // the paren operand allows one nesting level, so a rewritten json
     // accessor — `(get_json_object(col, '$.k'))::int8` — still casts;
     // the function-call alternative handles `random()::int`
+    // paren nesting to 4 levels so chained casts survive: each pass
+    // wraps in CAST(...), which the next pass must re-match as an
+    // operand (`x::int::bool::text::bool`)
+    val nested = {
+      var body = """[^()]*"""
+      (1 to 4).foreach(_ => body = s"""(?:[^()]|\\($body\\))*""")
+      body
+    }
+    // the (?<!:) guard keeps a chain's TYPE name (`x::int::bool` —
+    // "int" sits right after ::) from being taken as the next cast's
+    // operand; each loop pass then peels exactly one cast off the
+    // chain, left to right
     val castRe =
-      """(('[^']*')|("[^"]*")|([A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(\((?:[^()]|\([^()]*\))*\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\.[0-9]+)?))\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""".r
+      (s"""(?<![:\\w])(('[^']*')|("[^"]*")|([A-Za-z_][A-Za-z0-9_.]*\\($nested\\))|(\\($nested\\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\\.[0-9]+)?))""" +
+        """\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""").r
     var out = sql
     var changed = true
     while (changed) {
@@ -313,6 +328,56 @@ object PgDialect {
     s = """(?is)\barray_length\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"size(${m.group(1).trim})"))
+    // PG json aggregates (`multi_json_agg.sql` /
+    // `multi_json_object_agg.sql` flavor): Spark has no JSON type, so
+    // the natural carriers are its native collections — json_agg →
+    // ARRAY (an ORDER BY inside falls through to the ordered-array_agg
+    // rewrite below), json_object_agg → MAP; wrap with to_json where
+    // JSON text is required.
+    s = """(?is)\bjson_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"array_agg(${m.group(1)})"))
+    s = """(?is)\bjson_object_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"map_from_entries(array_agg(struct(${m.group(1)})))"))
+    // citus's array_cat_agg (concatenate collected arrays, NULLs
+    // skipped — collect_list shares that)
+    s = """(?is)\barray_cat_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"flatten(collect_list(${m.group(1)}))"))
+    // PG ROW(...) constructor → struct (same lexicographic comparison)
+    s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")
+    // json_array_length over the ARRAY carrier
+    s = """(?i)\bjson_array_length\s*\(""".r.replaceAllIn(s, "size(")
+    // PG to_json over a bare scalar column renders the value's JSON
+    // text — for scalars that's the plain text form
+    s = """(?i)\bto_json\s*\(\s*([A-Za-z_][\w.]*)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS STRING)"))
+    // json_build_array: heterogeneous elements ride as their text form
+    s = """(?is)\bjson_build_array\s*\(([^()]*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        "array(" + m.group(1).split(",")
+          .map(a => s"CAST(${a.trim} AS STRING)").mkString(", ") + ")"))
+    // whole-row DISTINCT: count(DISTINCT t.*) → one struct value per row
+    s = """(?is)\bDISTINCT\s+([A-Za-z_]\w*)\.\*""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"DISTINCT struct(${m.group(1)}.*)"))
+    // isfinite: no infinity timestamps/dates on Spark — finite unless
+    // NULL
+    s = """(?is)\bisfinite\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"((${m.group(1)}) IS NOT NULL)"))
+    // `array_agg(DISTINCT x ORDER BY x)` (same expression both
+    // places — the only DISTINCT+ORDER combination PG accepts) →
+    // sorted distinct set
+    s = """(?is)\barray_agg\s*\(\s*DISTINCT\s+([^()]+?)\s+ORDER\s+BY\s+([^()]+?)\s*\)""".r
+      .replaceAllIn(s, m => {
+        val (v, k) = (m.group(1).trim, m.group(2).trim)
+        java.util.regex.Matcher.quoteReplacement(
+          if (k.equalsIgnoreCase(v)) s"array_sort(collect_set($v))"
+          else m.matched)
+      })
     // ordered array_agg: `array_agg(v ORDER BY k[, k2...])` → sort by
     // the key(s) through a struct, then project the value back out
     // (ASC keys only — the common form; DESC stays unsupported)
@@ -381,9 +446,26 @@ object PgDialect {
     })
     val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(masked, m =>
       java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    // quantified comparisons over arrays: `x = ANY(arr)` (membership),
+    // `x <> ALL(arr)` (its negation), `x = ALL(arr)` / `x <> ANY(arr)`
+    val scalarOperand =
+      """((?:[A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][A-Za-z0-9_.]*)|(?:[0-9]+(?:\.[0-9]+)?))"""
+    val arrOperand = """((?:array\([^()]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
+    val quantified = (scalarOperand +
+      """\s*(=|<>|!=)\s*(?i:(ANY|ALL))\s*\(\s*""" + arrOperand + """\s*\)""").r
+    val quant = quantified.replaceAllIn(lit, m => {
+      val (x, op, q, arr) =
+        (m.group(1), m.group(2), m.group(3).toUpperCase, m.group(4))
+      java.util.regex.Matcher.quoteReplacement((op, q) match {
+        case ("=", "ANY") => s"array_contains($arr, $x)"
+        case ("=", "ALL") => s"forall($arr, __x -> __x = $x)"
+        case (_, "ANY")   => s"exists($arr, __x -> __x != $x)"
+        case _            => s"(NOT array_contains($arr, $x))"
+      })
+    })
     val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val opRe = (operand + """\s*(@>|<@|&&)\s*""" + operand).r
-    val rewritten = opRe.replaceAllIn(lit, m => {
+    val rewritten = opRe.replaceAllIn(quant, m => {
       val (a, op, b) = (m.group(1), m.group(2), m.group(3))
       java.util.regex.Matcher.quoteReplacement(op match {
         case "@>" => s"forall($b, __x -> array_contains($a, __x))"

@@ -253,6 +253,80 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("reference aggregate & expression corpora run verbatim " +
+      "(complex expressions, array/json aggregates, count distinct, " +
+      "bool/bit aggregates, type conversions)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerBehavioralFixtures()
+    spark.table("lineitem").createOrReplaceTempView("lineitem_hash")
+    // PG json_object_agg keeps later duplicates; map building must not
+    // throw on them
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    locally {
+      import spark.implicits._
+      // bool_agg.sql's in-file fixture
+      Seq((1, 1, true, 99), (2, 2, false, 99), (2, 3, true, 88))
+        .toDF("id", "val", "flag", "kind")
+        .createOrReplaceTempView("bool_test")
+      // expression_reference_join.sql's in-file fixtures
+      Seq((2, 2), (4, 4)).toDF("a", "b").createOrReplaceTempView("ref")
+      Seq((1, 2), (2, 2)).toDF("x", "y").createOrReplaceTempView("test")
+    }
+    // multi_agg_type_conversion's appended fixture file (tab-separated;
+    // the interval column holds plain seconds)
+    spark.read.option("sep", "\t")
+      .schema("float_value double, double_value double, " +
+        "interval_value double")
+      .csv("/root/reference/src/test/regress/data/agg_type.data")
+      .createOrReplaceTempView("aggregate_type")
+    val perFile = Seq("multi_complex_expressions.sql",
+      "multi_array_agg.sql", "multi_json_agg.sql",
+      "multi_json_object_agg.sql", "multi_complex_count_distinct.sql",
+      "bool_agg.sql", "multi_average_expression.sql",
+      "multi_agg_type_conversion.sql",
+      "expression_reference_join.sql").map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("$Q$") || s.contains("coordinator_plan") ||
+          s.contains("run_command") ||
+          s.contains("create_reference_table") ||
+          // fixtures with types the shipped corpus lacks
+          s.contains("test_count_distinct_array") ||
+          s.contains("interval_value"))
+        // inline the corpus' OWN in-file helpers: array_sort_citus /
+        // array_sort-over-json = ascending sort (native array_sort on
+        // the dialect's ARRAY carrier), keys_sort = key-normalized
+        // object (the MAP carrier needs no normalizing), count_keys =
+        // key count, json_cat_agg = concatenation of json arrays
+        .map(_.replaceAll("(?i)\\barray_sort_citus\\s*\\(", "array_sort(")
+          .replaceAll("(?i)\\bkeys_sort\\s*\\(", "(")
+          .replaceAll("(?i)\\bcount_keys\\s*\\(", "size(")
+          .replaceAll("(?i)\\bjson_cat_agg\\s*\\(([^()]*)\\)",
+            "flatten(collect_list(from_json($1, 'array<string>')))"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"REFFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + e.getMessage.linesIterator
+                .filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 100, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.7,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   test("reference Q1 verbatim == independent DataFrame computation " +
       "(fp tolerance; raw double sums are order-dependent by design)") {
     assume(refDir.isDirectory, "reference tree not present")
