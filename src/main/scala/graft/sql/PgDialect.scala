@@ -349,6 +349,25 @@ object PgDialect {
     s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")
     // json_array_length over the ARRAY carrier
     s = """(?i)\bjson_array_length\s*\(""".r.replaceAllIn(s, "size(")
+    // PG allows 1-argument GREATEST/LEAST (identity); Spark wants
+    // >= 2. Single argument = no top-level comma (commas inside
+    // nested calls don't count); loop because a replacement can
+    // expose another single-arg call it contained.
+    locally {
+      val glRe =
+        """(?is)\b(greatest|least)\s*\(\s*((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+?)\s*\)""".r
+      var changed = true
+      while (changed) {
+        val next = glRe.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(s"(${m.group(2)})"))
+        changed = next != s
+        s = next
+      }
+    }
+    // arrays here are 1-dimensional (the ARRAY carrier)
+    s = """(?is)\barray_ndims\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(CASE WHEN (${m.group(1)}) IS NULL THEN NULL ELSE 1 END)"))
     // PG to_json over a bare scalar column renders the value's JSON
     // text — for scalars that's the plain text form
     s = """(?i)\bto_json\s*\(\s*([A-Za-z_][\w.]*)\s*\)""".r
@@ -378,16 +397,52 @@ object PgDialect {
           if (k.equalsIgnoreCase(v)) s"array_sort(collect_set($v))"
           else m.matched)
       })
-    // ordered array_agg: `array_agg(v ORDER BY k[, k2...])` → sort by
-    // the key(s) through a struct, then project the value back out
-    // (ASC keys only — the common form; DESC stays unsupported)
-    s = """(?is)\barray_agg\s*\(\s*([^()]+?)\s+ORDER\s+BY\s+([^()]+?)\s*\)""".r
+    // ordered array_agg: `array_agg(v ORDER BY k1 [ASC|DESC] [NULLS
+    // FIRST|LAST], ...)` → sort the collected (keys, value) structs,
+    // then project the value back out. All-ASC keys ride the natural
+    // struct ordering; mixed directions generate an array_sort
+    // comparator with PG's null placement (ASC → NULLS LAST, DESC →
+    // NULLS FIRST unless spelled out).
+    s = """(?is)\barray_agg\s*\(\s*((?:[^()]|\([^()]*\))+?)\s+ORDER\s+BY\s+((?:[^()]|\([^()]*\))+?)\s*\)""".r
       .replaceAllIn(s, m => {
-        val (v, k) = (m.group(1).trim, m.group(2).trim)
-        if (k.toUpperCase.contains("DESC")) m.matched
-        else java.util.regex.Matcher.quoteReplacement(
-          s"transform(array_sort(collect_list(struct($k, $v AS __v))), " +
-            "__s -> __s.__v)")
+        val v = m.group(1).trim
+        case class Key(expr: String, desc: Boolean, nullsFirst: Boolean)
+        val keyRe =
+          """(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$""".r
+        val keys = splitTopLevel(m.group(2)).map {
+          case keyRe(e, dir, nulls) =>
+            val desc = dir != null && dir.equalsIgnoreCase("DESC")
+            val nf = if (nulls != null) nulls.equalsIgnoreCase("FIRST")
+                     else desc
+            Key(e.trim, desc, nf)
+        }
+        val rewritten =
+          if (keys.forall(k => !k.desc && !k.nullsFirst))
+            s"transform(array_sort(collect_list(struct(" +
+              s"${keys.map(_.expr).mkString(", ")}, $v AS __v)))" +
+              ", __s -> __s.__v)"
+          else {
+            val fields = keys.zipWithIndex
+              .map { case (k, i) => s"${k.expr} AS __k$i" }
+            def cmp(i: Int): String =
+              if (i >= keys.length) "0"
+              else {
+                val k = keys(i)
+                val (lt, gt) = if (k.desc) (1, -1) else (-1, 1)
+                val (nl, nr) = if (k.nullsFirst) (-1, 1) else (1, -1)
+                s"CASE WHEN l.__k$i IS NULL AND r.__k$i IS NULL " +
+                  s"THEN ${cmp(i + 1)} " +
+                  s"WHEN l.__k$i IS NULL THEN $nl " +
+                  s"WHEN r.__k$i IS NULL THEN $nr " +
+                  s"WHEN l.__k$i < r.__k$i THEN $lt " +
+                  s"WHEN l.__k$i > r.__k$i THEN $gt " +
+                  s"ELSE ${cmp(i + 1)} END"
+              }
+            s"transform(array_sort(collect_list(struct(" +
+              s"${fields.mkString(", ")}, $v AS __v)), " +
+              s"(l, r) -> ${cmp(0)}), __s -> __s.__v)"
+          }
+        java.util.regex.Matcher.quoteReplacement(rewritten)
       })
     // PG allows rank()/dense_rank() over an UNORDERED partition (every
     // row ties at rank 1); Spark requires an order — ordering by the
@@ -521,10 +576,145 @@ object PgDialect {
     })
   }
 
-  def translate(sql: String): String =
+  /** Apply `f` to every parenthesized subquery body, innermost first
+    * (string literals ride through untouched). The enclosing statement
+    * itself is NOT passed to `f` — run statement-level rewrites
+    * separately. */
+  private def mapSubqueryBodies(s: String,
+      f: String => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        val end = if (j < 0) s.length - 1 else j
+        sb.append(s.substring(i, end + 1)); i = end + 1
+      } else if (c == '(') {
+        var depth = 0; var j = i; var inStr = false; var close = -1
+        while (j < s.length && close < 0) {
+          val ch = s.charAt(j)
+          if (ch == '\'') inStr = !inStr
+          else if (!inStr && ch == '(') depth += 1
+          else if (!inStr && ch == ')') {
+            depth -= 1; if (depth == 0) close = j
+          }
+          j += 1
+        }
+        if (close < 0) { sb.append(s.substring(i)); i = s.length }
+        else {
+          val body = mapSubqueryBodies(s.substring(i + 1, close), f)
+          val out = if (body.trim.toUpperCase.startsWith("SELECT"))
+            f(body) else body
+          sb.append('(').append(out).append(')')
+          i = close + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Aggregate / window functions whose unaliased select items PG
+    * names after the function itself (`SELECT sum(x) ...` → column
+    * `sum`) — names the reference corpus reads from enclosing
+    * queries. */
+  private val DefaultNameFns = Set("sum", "avg", "min", "max", "count",
+    "rank", "dense_rank", "row_number", "ntile", "lag", "lead",
+    "first_value", "last_value", "percent_rank", "cume_dist", "stddev",
+    "variance", "stddev_samp", "var_samp", "bool_and", "bool_or",
+    "every", "bit_and", "bit_or", "string_agg", "array_agg", "median",
+    "mode")
+
+  /** The PG default name of a bare `fn(...)` / `fn(...) OVER ...`
+    * select item; None when the item is not such a call or already
+    * carries an alias. */
+  private def defaultAlias(item: String): Option[String] = {
+    val t = item.trim
+    val m = """(?s)^([A-Za-z_]\w*)\s*\(""".r.findFirstMatchIn(t)
+    m.filter(_.start == 0).flatMap { mm =>
+      val fn = mm.group(1).toLowerCase
+      if (!DefaultNameFns.contains(fn)) None
+      else {
+        var depth = 0; var i = mm.end - 1; var close = -1
+        while (i < t.length && close < 0) {
+          t.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (close < 0) None
+        else {
+          val rest = t.substring(close + 1).trim
+          val overParen =
+            """(?is)^OVER\s*\(((?:[^()]|\([^()]*\))*)\)$""".r
+          val overName = """(?is)^OVER\s+[A-Za-z_]\w*$""".r
+          if (rest.isEmpty || overParen.findFirstIn(rest).isDefined ||
+            overName.findFirstIn(rest).isDefined) Some(fn)
+          else None
+        }
+      }
+    }
+  }
+
+  /** Alias bare aggregate/window select items with PG's default
+    * column name (function name). Run on SUBQUERY bodies, where an
+    * enclosing query resolves columns by those names. */
+  def rewriteDefaultAggAliases(body: String): String =
+    withMaskedLiterals(body) { t =>
+      val up = t.toUpperCase
+      if (!up.trim.startsWith("SELECT")) t
+      else {
+        val selStart = up.indexOf("SELECT") + "SELECT".length
+        val fromIdx = topLevelIndex(t, "FROM")
+        if (fromIdx < 0) t
+        else {
+          val afterSel = t.substring(selStart, fromIdx)
+          val lead = afterSel.toUpperCase.dropWhile(_.isWhitespace)
+          // DISTINCT ON has its own rewrite; skip past plain DISTINCT
+          if (lead.startsWith("DISTINCT ON")) t
+          else {
+            val listStart =
+              if (lead.startsWith("DISTINCT"))
+                selStart + afterSel.toUpperCase.indexOf("DISTINCT") +
+                  "DISTINCT".length
+              else selStart
+            val items = splitTopLevel(t.substring(listStart, fromIdx))
+            if (items.isEmpty) t
+            else {
+              val renamed = items.map(it => defaultAlias(it) match {
+                case Some(a) => s"${it.trim} AS $a"
+                case None => it.trim
+              })
+              t.substring(0, listStart) + " " +
+                renamed.mkString(", ") + " " + t.substring(fromIdx)
+            }
+          }
+        }
+      }
+    }
+
+  /** PG double-quoted identifiers → Spark backticks. In PG, double
+    * quotes ALWAYS delimit identifiers (strings are single-quoted), so
+    * the swap is unconditional once string literals are masked;
+    * embedded `""` escapes a quote, matching backtick doubling on
+    * neither side (left verbatim — unseen in the corpus). */
+  def rewriteQuotedIdents(sql: String): String =
+    withMaskedLiterals(sql) { s =>
+      """"([^"]+)"""".r.replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}`"))
+    }
+
+  def translate(sql: String): String = {
+    // statement-scoped rewrites (named windows, DISTINCT ON, PG
+    // default column names) apply inside every subquery body too
+    val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
+      rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
       rewriteILike(rewritePgLimits(rewriteFnNames(
-        rewriteDistinctOn(rewriteNamedWindows(sql)))))))))
+        rewriteDistinctOn(rewriteNamedWindows(scoped)))))))))
+  }
 
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame =

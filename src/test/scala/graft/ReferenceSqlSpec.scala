@@ -253,6 +253,72 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("reference subquery-pushdown corpora run verbatim on the " +
+      "reference's own fixture data (union, window, in-where, misc, " +
+      "complex)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerBehavioralFixtures()
+    spark.table("users_table")
+      .createOrReplaceTempView("users_reference_table")
+    spark.table("events_table")
+      .createOrReplaceTempView("events_reference_table")
+    /** The behavioral-analytics files stage their funnel queries as
+      * `INSERT INTO agg_results ... SELECT`; the SELECT body is the
+      * query surface under test — run it directly. */
+    def selectsAndInsertBodies(file: String): Seq[String] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(refDir, file).toPath))
+      text.linesIterator.filterNot(_.trim.startsWith("--"))
+        .mkString("\n").split(";").map(_.trim)
+        .flatMap { s =>
+          val up = s.toUpperCase
+          if (up.startsWith("SELECT") || up.startsWith("WITH")) Some(s)
+          else if (up.startsWith("INSERT INTO AGG_RESULTS")) {
+            val i = up.indexOf("SELECT")
+            if (i > 0) Some(s.substring(i)) else None
+          } else None
+        }.toSeq
+    }
+    val perFile = Seq("multi_subquery_union.sql",
+      "multi_subquery_window_functions.sql",
+      "multi_subquery_in_where_clause.sql",
+      "multi_subquery_misc.sql",
+      "multi_subquery_complex_queries.sql",
+      "multi_behavioral_analytics_basics.sql").map { f =>
+      val stmts = selectsAndInsertBodies(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("$Q$") || s.contains("coordinator_plan") ||
+          s.contains("run_command") ||
+          s.contains("create_reference_table") ||
+          s.contains("events_regular_table") ||
+          s.contains("users_regular_table") ||
+          // plpgsql / UDF fixtures and result-staging reads
+          s.contains("plpgsql") || s.contains("_udf") ||
+          s.contains("FROM agg_results"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"REFFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 150, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.6,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   test("reference aggregate & expression corpora run verbatim " +
       "(complex expressions, array/json aggregates, count distinct, " +
       "bool/bit aggregates, type conversions)") {
