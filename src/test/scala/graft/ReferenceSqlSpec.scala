@@ -176,6 +176,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
     (1 to 6).map(i => (i, s"User_$i", 44 + i))
       .toDF("id", "it_name", "k_no")
       .createOrReplaceTempView("users_ref_test_table")
+    // subquery_and_cte.sql's in-file fixtures (generate_series loads)
+    (1 to 10).toDF("a").createOrReplaceTempView("ref_table_1")
+    (1 to 10).toDF("a").createOrReplaceTempView("ref_table_2")
+    (1 to 10).map(i => (i, null: String)).toDF("a", "b")
+      .createOrReplaceTempView("dist")
+    Seq((1, 2), (2, 3), (3, 4)).toDF("id", "value")
+      .createOrReplaceTempView("dist_table")
   }
 
   test("reference behavioral-analytics corpora run on the reference's " +
@@ -391,6 +398,59 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal > 100, s"expected a large corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.7,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("reference view corpus: CREATE VIEW statements execute through " +
+      "the dialect and the view-stacked queries run (multi_view.sql)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerBehavioralFixtures()
+    spark.table("orders").createOrReplaceTempView("orders_hash_part")
+    spark.table("lineitem").createOrReplaceTempView("lineitem_hash_part")
+    val full = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, "multi_view.sql").toPath))
+    // the tail section tests INSERT-through-view DML on its own local
+    // fixtures — out of the SELECT surface under test
+    val text = full.substring(0, full.indexOf("CREATE TABLE large"))
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+    val createRe =
+      """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.*)$""".r
+    var views = 0; var ran = 0; var total = 0
+    text.split(";").map(_.trim).filter(_.nonEmpty).foreach { s =>
+      val up = s.toUpperCase
+      s match {
+        case createRe(name, body) =>
+          try { PgDialect.sql(spark, body).createOrReplaceTempView(name)
+            views += 1 }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"REFFAIL[multi_view.sql CREATE $name]: " +
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString.take(160)) }
+        case _ if up.startsWith("DROP VIEW") =>
+          """[A-Za-z_]\w*""".r.findAllIn(s.substring("DROP VIEW".length))
+            .foreach(v => spark.catalog.dropTempView(v))
+        case _ if (up.startsWith("SELECT") || up.startsWith("WITH")) &&
+          !s.contains("create_distributed_table") &&
+          !s.contains("master_") && !s.contains("citus_") &&
+          !s.contains("run_command") && !s.contains("pg_") &&
+          !s.contains("$Q$") && !s.contains("coordinator_plan") =>
+          total += 1
+          try { PgDialect.sql(spark, s).count(); ran += 1 }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"REFFAIL[multi_view.sql]: " +
+                s.split('\n').map(_.trim).mkString(" ").take(200) +
+                "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160)) }
+        case _ => ()
+      }
+    }
+    info(s"multi_view.sql: $views views created, $ran/$total queries run")
+    assert(views >= 12, s"expected the view stack to build, got $views")
+    assert(total > 40, s"expected a large corpus, got $total")
+    assert(ran.toDouble / total >= 0.6,
+      s"only $ran/$total view-corpus statements ran")
   }
 
   test("reference Q1 verbatim == independent DataFrame computation " +
