@@ -270,6 +270,30 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .createOrReplaceTempView("users_reference_table")
     spark.table("events_table")
       .createOrReplaceTempView("events_reference_table")
+    // multi_outer_join.sql's fixtures: the reference's shipped TPC-H
+    // customer slices, |-delimited, loaded under l_/r_/t_ prefixes
+    // (final COPY state; the file re-loads some slices mid-run)
+    locally {
+      val dataDir = "/root/reference/src/test/regress/data"
+      def cust(view: String, p: String, files: Seq[String]): Unit =
+        spark.read.option("sep", "|")
+          .schema(s"${p}_custkey int, ${p}_name string, " +
+            s"${p}_address string, ${p}_nationkey int, " +
+            s"${p}_phone string, ${p}_acctbal double, " +
+            s"${p}_mktsegment string, ${p}_comment string")
+          .csv(files.map(f => s"$dataDir/$f"): _*)
+          .createOrReplaceTempView(view)
+      cust("multi_outer_join_left", "l", Seq("customer-1-10.data",
+        "customer-11-20.data", "customer-subset-11-20.data",
+        "customer-21-30.data"))
+      cust("multi_outer_join_right", "r",
+        Seq("customer-1-15.data", "customer-21-30.data"))
+      cust("multi_outer_join_right_reference", "r",
+        Seq("customer-1-15.data"))
+      cust("multi_outer_join_third", "t", Seq("customer-1-30.data"))
+      cust("multi_outer_join_third_reference", "t",
+        Seq("customer-1-30.data"))
+    }
     /** The behavioral-analytics files stage their funnel queries as
       * `INSERT INTO agg_results ... SELECT`; the SELECT body is the
       * query surface under test — run it directly. */
@@ -287,7 +311,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
           } else None
         }.toSeq
     }
-    val perFile = Seq("multi_subquery_union.sql",
+    val perFile = Seq("multi_outer_join.sql",
+      "multi_subquery_union.sql",
       "multi_subquery_window_functions.sql",
       "multi_subquery_in_where_clause.sql",
       "multi_subquery_misc.sql",
