@@ -97,7 +97,8 @@ object PgDialect {
         case _ if depth == 0 =>
           val m = kwRe.findPrefixMatchOf(upper.substring(i))
           if (m.isDefined &&
-              (i == 0 || !upper.charAt(i - 1).isLetterOrDigit))
+              (i == 0 || (!upper.charAt(i - 1).isLetterOrDigit &&
+                upper.charAt(i - 1) != '_')))
             return i
         case _ => ()
       }
@@ -121,7 +122,17 @@ object PgDialect {
     while (more) {
       defRe.findPrefixMatchOf(rest) match {
         case Some(m) =>
-          defs ::= (m.group(1) -> m.group(2).trim)
+          // window inheritance: a spec may START with an
+          // earlier-defined window's name (`w1 AS (w ORDER BY x)`) —
+          // substitute the parent's spec in place
+          var spec = m.group(2).trim
+          """^([A-Za-z_]\w*)\b([\s\S]*)$""".r.findFirstMatchIn(spec)
+            .foreach { sm =>
+              defs.find(_._1.equalsIgnoreCase(sm.group(1))).foreach {
+                case (_, parent) => spec = (parent + sm.group(2)).trim
+              }
+            }
+          defs ::= (m.group(1) -> spec)
           rest = rest.substring(m.end)
           if (rest.startsWith(",")) rest = rest.substring(1)
           else more = false
@@ -444,6 +455,12 @@ object PgDialect {
           }
         java.util.regex.Matcher.quoteReplacement(rewritten)
       })
+    // rank-family functions never read their frame in PG (it's
+    // accepted and ignored); Spark rejects an explicit one — drop it,
+    // keeping the partition/order spec
+    s = """(?is)\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(\s*\)\s*OVER\s*\(((?:[^()]|\([^()]*\))*?)\s+(?:ROWS|RANGE|GROUPS)\s+(?:[^()]|\([^()]*\))*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}() OVER (${m.group(2)})"))
     // PG allows rank()/dense_rank() over an UNORDERED partition (every
     // row ties at rank 1); Spark requires an order — ordering by the
     // partition keys is constant within each partition, reproducing
