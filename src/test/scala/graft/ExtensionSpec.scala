@@ -97,6 +97,57 @@ class ExtensionSpec extends AnyFunSuite {
     assert(s4.contains("'unnest(a)'") && s4.contains("explode(b)"), s4)
   }
 
+  test("round-3 dialect rewrites: chained casts, quoted identifiers, " +
+      "ordered array_agg with DESC keys, quantified array comparisons, " +
+      "PG default column names in subqueries") {
+    import org.apache.spark.sql.Row
+    // chained :: casts peel left-to-right
+    assert(PgDialect.rewriteCasts("SELECT (x/100)::int::bool::text::bool")
+      === "SELECT CAST(CAST(CAST(CAST((x/100) AS int) AS BOOLEAN) " +
+        "AS STRING) AS BOOLEAN)")
+    // PG double-quoted identifiers become backticks; literals survive
+    assert(PgDialect.rewriteQuotedIdents(
+      """SELECT "t"."a", 'keep "this"' FROM "t"""")
+      === "SELECT `t`.`a`, 'keep \"this\"' FROM `t`")
+    Tables.registerAll(spark, TestSpark.sf)
+    // ordered array_agg with a DESC key sorts via generated comparator
+    val desc = PgDialect.sql(spark,
+      """SELECT array_agg(n_name ORDER BY n_nationkey DESC) AS names
+         FROM nation WHERE n_nationkey < 3""").collect()(0)
+      .getSeq[String](0)
+    val asc = PgDialect.sql(spark,
+      """SELECT array_agg(n_name ORDER BY n_nationkey) AS names
+         FROM nation WHERE n_nationkey < 3""").collect()(0)
+      .getSeq[String](0)
+    assert(desc === asc.reverse && asc.length === 3)
+    // quantified comparisons over array literals
+    assert(PgDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE n_nationkey = " +
+        "ANY(ARRAY[1, 2, 3])").collect()(0).getLong(0) === 3L)
+    assert(PgDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE n_nationkey = " +
+        "ALL(ARRAY[2])").collect()(0).getLong(0) === 1L)
+    // PG default output names: a subquery's bare sum(x) is column
+    // `sum` to the enclosing query
+    val viaDefault = PgDialect.sql(spark,
+      """SELECT max(sum) AS m FROM (
+           SELECT n_regionkey, sum(n_nationkey) FROM nation
+           GROUP BY n_regionkey) s""").collect()(0)
+    assert(viaDefault.getLong(0) > 0)
+    // rank-family frames drop even when the window is ordered
+    val ranked = PgDialect.sql(spark,
+      """SELECT n_nationkey, percent_rank() OVER (ORDER BY n_nationkey
+           RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS pr FROM nation WHERE n_nationkey < 4""")
+    assert(ranked.count() === 4)
+    // window inheritance: w1 builds on w
+    val inh = PgDialect.sql(spark,
+      """SELECT n_regionkey, rank() OVER w1 AS r FROM nation
+         WINDOW w AS (PARTITION BY n_regionkey),
+                w1 AS (w ORDER BY n_nationkey)""")
+    assert(inh.count() === 25)
+  }
+
   test("pg regex operators rewrite to RLIKE") {
     assert(PgDialect.rewriteRegexOps("SELECT * FROM t WHERE x ~ '^ab.*c$'")
       === "SELECT * FROM t WHERE x RLIKE '^ab.*c$'")
