@@ -425,6 +425,95 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("reference INSERT..SELECT pushdown corpus: the SELECT bodies " +
+      "run verbatim (multi_insert_select.sql)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    locally {
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2017-08-09 10:00:00")
+      val raw = (1 to 6).map(i =>
+        (i, t0, i * 10, i * 100, i * 1000 + 0.1, i * 10000L))
+        .toDF("user_id", "time", "value_1", "value_2", "value_3",
+          "value_4")
+      raw.createOrReplaceTempView("raw_events_first")
+      raw.createOrReplaceTempView("raw_events_second")
+      Seq((1, 10, 100, 1000.1, 10000L, t0))
+        .toDF("user_id", "value_1_agg", "value_2_agg", "value_3_agg",
+          "value_4_agg", "agg_time")
+        .createOrReplaceTempView("agg_events")
+      (1 to 3).toDF("user_id").createOrReplaceTempView("reference_table")
+      Seq(("key-1", 1), ("key-2", 2)).toDF("key", "value")
+        .createOrReplaceTempView("insert_select_varchar_test")
+    }
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, "multi_insert_select.sql").toPath))
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+    val knownTables = Set("raw_events_first", "raw_events_second",
+      "agg_events", "reference_table", "insert_select_varchar_test",
+      "users_table", "events_table")
+    val insertRe =
+      """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(?:\([^)]*\)\s*)?(SELECT\b[\s\S]*|WITH\b[\s\S]*)$""".r
+    val stmts = text.split(";").map(_.trim).flatMap { s =>
+      val up = s.toUpperCase
+      if (up.startsWith("SELECT") || up.startsWith("WITH")) Some(s)
+      else s match {
+        case insertRe(tbl, body)
+          if knownTables(tbl.split('.').last.toLowerCase) =>
+          // the INSERT target is storage plumbing; the SELECT body is
+          // the pushdown shape under test. ON CONFLICT / RETURNING
+          // tails belong to the INSERT, not the query.
+          Some("""(?is)\s+ON\s+CONFLICT[\s\S]*$""".r.replaceFirstIn(
+            """(?is)\s+RETURNING[\s\S]*$""".r.replaceFirstIn(body, ""),
+            ""))
+        case _ => None
+      }
+    }.filterNot(s =>
+      s.contains("create_distributed_table") || s.contains("master_") ||
+        s.contains("citus_") || s.contains("run_command") ||
+        s.contains("$Q$") || s.contains("coordinator_plan") ||
+        s.contains("pg_") ||
+        // fixtures other corpora own, or this file creates later in
+        // schemas we don't replicate
+        s.contains("table_with_defaults") || s.contains("table_with_serial") ||
+        s.contains("raw_table") || s.contains("summary_table") ||
+        s.contains("daily_uniques") || s.contains("new_jsonb_table") ||
+        s.contains("jsonb_table") || s.contains("composite_key") ||
+        s.contains("initial_copy") || s.contains("expect") ||
+        s.contains("text_table") || s.contains("char_table") ||
+        s.contains("table_with_starts_with_defaults") ||
+        s.contains("fist_table_agg") || s.contains("agg_events_2") ||
+        s.contains("dist_table_with_sequence") ||
+        s.contains("dist_table_with_user_sequence") ||
+        s.contains("non_colocated") || s.contains("local_table") ||
+        s.contains("coerce_") || s.contains("drop_col_table") ||
+        s.contains("dist_table_1") || s.contains("dist_table_2") ||
+        s.contains("dist_table_3") || s.contains("dist_table_4") ||
+        s.contains("create_reference_table") || s.contains("nextval") ||
+        s.contains("test_view") || s.contains("ref_table") ||
+        s.contains("raw_events_first_local") ||
+        s.contains("evaluate_on_master") || s.contains("version_") ||
+        // data-modifying WITH: the INSERT is the statement, not a query
+        (s.toUpperCase.startsWith("WITH") &&
+          s.toUpperCase.contains("INSERT INTO")))
+    var ran = 0
+    val total = stmts.length
+    stmts.foreach { s =>
+      try { PgDialect.sql(spark, s).count(); ran += 1 }
+      catch { case e: Throwable =>
+        if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+          println("REFFAIL[multi_insert_select.sql]: " +
+            s.split('\n').map(_.trim).mkString(" ").take(200) +
+            "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+      }
+    }
+    info(s"multi_insert_select.sql: $ran/$total statements run")
+    assert(total > 80, s"expected a large corpus, got $total")
+    assert(ran.toDouble / total >= 0.6,
+      s"only $ran/$total reference statements ran")
+  }
+
   test("reference view corpus: CREATE VIEW statements execute through " +
       "the dialect and the view-stacked queries run (multi_view.sql)") {
     assume(refDir.isDirectory, "reference tree not present")
