@@ -795,6 +795,49 @@ object TextQueries extends QueryModule {
           floor((cum_after - n_tokens) / 512) AS straddles
       FROM d ORDER BY doc_id"""))
 
+  /** Mixture sampling to a per-source token budget (training-corpus
+    * data mixing: each source/domain contributes a capped token
+    * share). Deterministic shuffle = md5(doc_id) ordering; one window
+    * cumsum per source admits docs while the running token total fits
+    * the budget, then per-source accounting sums the admitted share.
+    * At 100 TB: one shuffle on the source key, map-side token counts,
+    * and the budget check is a per-row comparison against the running
+    * sum — the standard scalable mixture-weights pass (budgets per
+    * source arrive as a broadcast map). */
+  private val mixtureSample = GraftQuery(
+    "text_mixture_sample",
+    (s, dir) => {
+      val B = 3000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens).cast(LongType).as("n_tokens"),
+          md5(col("doc_id").cast(StringType)).as("h"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= B)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_taken"),
+          sum(col("n_tokens")).as("tokens_taken"),
+          min(col("h")).as("first_pick"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+      c AS (
+        SELECT source, n_tokens, h,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_taken,
+        CAST(SUM(n_tokens) AS BIGINT) AS tokens_taken,
+        MIN(h) AS first_pick
+      FROM c WHERE cum <= 3000 GROUP BY source ORDER BY source"""))
+
   /** Benchmark decontamination (the GPT-3/Lee-et-al. pipeline step:
     * drop training docs that share any long n-gram with an eval set):
     * benchmark docs (stand-in: doc_id ≥ 400) contribute their distinct
@@ -915,5 +958,5 @@ object TextQueries extends QueryModule {
     exactSubstring, qualitySample, ngramJaccard,
     normalize, piiMask, minhashExact, simhashExact, pipelineFunnel,
     clusterComponents, chunkWindows, trigramSim, ftsRank, repetitionStats,
-    packSequences, bm25Rank, decontaminate)
+    packSequences, bm25Rank, decontaminate, mixtureSample)
 }
