@@ -314,6 +314,39 @@ object PgDialect {
       .replaceAllIn(s, "AS (")
     // row-locking clause: no locks in an analytics engine
     s = """(?i)\bFOR\s+UPDATE\b""".r.replaceAllIn(s, "")
+    // PG groups chained joins right-to-left when the inner pair's ON
+    // comes first: `A FULL JOIN B b INNER JOIN C c ON c1 ON c2` is
+    // A FULL JOIN (B b JOIN C c ON c1) ON c2. Spark's grammar needs
+    // the parens spelled out — detect the double-ON shape and add
+    // them. (reference: multi_subquery_complex_reference_clause.sql)
+    locally {
+      val tbl = """[A-Za-z_][\w.]*(?:\s+(?!(?:ON|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|WHERE|GROUP|ORDER|LIMIT|UNION|USING|AS)\b)[A-Za-z_]\w*)?"""
+      val nested = ("""(?is)\b(FULL|LEFT|RIGHT)\s+(?:OUTER\s+)?JOIN\s+""" +
+        s"""($tbl)\\s+((?:INNER\\s+|LEFT\\s+(?:OUTER\\s+)?|RIGHT\\s+(?:OUTER\\s+)?)?JOIN)\\s+($tbl)\\s+ON\\s+((?:[^()]|\\([^()]*\\))+?)\\s+ON\\s+""").r
+      var changed = true
+      while (changed) {
+        val next = nested.replaceAllIn(s, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)} JOIN (${m.group(2)} ${m.group(3)} " +
+              s"${m.group(4)} ON ${m.group(5).trim}) ON "))
+        changed = next != s
+        s = next
+      }
+    }
+    // PG names an unaliased `random()` select item `random`; outer
+    // queries reference it by that name. Alias the directly-before-
+    // FROM form (the only place the bare name can leak out).
+    s = """(?is)\brandom\s*\(\s*\)\s+(FROM\b)""".r
+      .replaceAllIn(s, "random() AS random $1")
+    // row-source TVF `JOIN random() AS t(c)`: one row, one double
+    s = """(?is)\bJOIN\s+random\s*\(\s*\)\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"JOIN (SELECT random() AS ${m.group(2)}) ${m.group(1)}"))
+    // generate_series with a table+column alias — `AS t(c)` — in any
+    // FROM/JOIN position (args may hold calls like random()::int)
+    s = """(?is)\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
     // SRF in FROM: generate_series(a,b[,step]) alias → a lateral-free
     // explode subquery exposing the alias as the column name; the
     // alias-less form exposes PG's default column name. A bare
@@ -358,6 +391,16 @@ object PgDialect {
         s"flatten(collect_list(${m.group(1)}))"))
     // PG ROW(...) constructor → struct (same lexicographic comparison)
     s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")
+    // quantified subqueries with IN-equivalent semantics:
+    // `x = ANY(SELECT ...)` ≡ IN, `x <> ALL(SELECT ...)` ≡ NOT IN
+    s = """(?is)=\s*ANY\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(s"IN (${m.group(1)}"))
+    s = """(?is)(?:<>|!=)\s*ALL\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(s"NOT IN (${m.group(1)}"))
+    // PG internal comparison operators spelled as functions
+    s = """(?is)\bint[248]eq\s*\(((?:[^(),]|\([^()]*\))+),\s*((?:[^(),]|\([^()]*\))+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"((${m.group(1).trim}) = (${m.group(2).trim}))"))
     // json_array_length over the ARRAY carrier
     s = """(?i)\bjson_array_length\s*\(""".r.replaceAllIn(s, "size(")
     // PG allows 1-argument GREATEST/LEAST (identity); Spark wants
@@ -640,7 +683,15 @@ object PgDialect {
     "first_value", "last_value", "percent_rank", "cume_dist", "stddev",
     "variance", "stddev_samp", "var_samp", "bool_and", "bool_or",
     "every", "bit_and", "bit_or", "string_agg", "array_agg", "median",
-    "mode")
+    "mode",
+    // PG default-names ANY bare fn(...) select item with the fn name;
+    // the common scalar calls the reference corpus leans on
+    "abs", "round", "floor", "ceil", "ceiling", "length", "lower",
+    "upper", "coalesce", "concat", "date_trunc", "date_part",
+    "greatest", "least", "nullif", "power", "sqrt", "exp", "ln",
+    "log", "mod", "trunc", "char_length", "substring", "replace",
+    "split_part", "btrim", "ltrim", "rtrim", "initcap", "reverse",
+    "strpos", "md5", "random")
 
   /** The PG default name of a bare `fn(...)` / `fn(...) OVER ...`
     * select item; None when the item is not such a call or already
@@ -733,9 +784,94 @@ object PgDialect {
         rewriteDistinctOn(rewriteNamedWindows(scoped)))))))))
   }
 
+  /** PG column-alias lists on FROM items may rename just a PREFIX of
+    * the columns — `(A JOIN B ON ...) AS t(c1, c2)` keeps the
+    * remaining columns under their own names — while Spark requires
+    * the full arity. Resolution-assisted fix-up: probe each aliased
+    * relation's schema with a LIMIT-0 query and pad the alias list
+    * positionally (de-duplicating tail names, which PG would only
+    * let you reference when unambiguous anyway).
+    * (reference: multi_subquery_complex_queries.sql,
+    * multi_outer_join.sql join-alias sections) */
+  private def padColumnAliases(spark: SparkSession, sql: String): String = {
+    val aliasRe =
+      """(?:\bAS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)""".r
+    var out = sql
+    var search = 0
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val next = aliasRe.findFirstMatchIn(out.substring(search)) match {
+        case None => return out
+        case Some(m) =>
+          val mStart = search + m.start
+          val mEnd = search + m.end
+          // the alias list must directly follow a parenthesized
+          // relation: scan back over whitespace to ')', then match
+          // its balanced open paren
+          var j = mStart - 1
+          while (j >= 0 && out.charAt(j).isWhitespace) j -= 1
+          if (j < 0 || out.charAt(j) != ')') { search = mEnd; None }
+          else {
+            val close = j
+            var depth = 0; var open = -1; var k = close
+            while (k >= 0 && open < 0) {
+              out.charAt(k) match {
+                case ')' => depth += 1
+                case '(' => depth -= 1; if (depth == 0) open = k
+                case _ => ()
+              }
+              k -= 1
+            }
+            val inner = if (open >= 0)
+              out.substring(open + 1, close) else ""
+            if (open < 0 ||
+              !"""(?is)\bJOIN\b|^\s*SELECT\b""".r
+                .findFirstIn(inner).isDefined) { search = mEnd; None }
+            else {
+              val cols = m.group(2).split(",").map(_.trim)
+              val probe =
+                if ("""(?is)^\s*SELECT\b""".r.findFirstIn(inner).isDefined)
+                  s"SELECT * FROM ($inner) __graft_probe LIMIT 0"
+                else s"SELECT * FROM $inner LIMIT 0"
+              val schema =
+                try spark.sql(probe).schema.fieldNames.toSeq
+                catch { case _: Throwable => Seq.empty }
+              if (schema.length <= cols.length) { search = mEnd; None }
+              else {
+                val seen = collection.mutable.Set(
+                  cols.map(_.toLowerCase).toSeq: _*)
+                val tail = schema.drop(cols.length).map { n =>
+                  var cand = n; var i = 1
+                  while (seen.contains(cand.toLowerCase)) {
+                    cand = s"${n}__$i"; i += 1 }
+                  seen += cand.toLowerCase; cand
+                }
+                val full = (cols ++ tail).mkString(", ")
+                Some(out.substring(0, mStart) +
+                  s"AS ${m.group(1)}($full)" + out.substring(mEnd))
+              }
+            }
+          }
+      }
+      next.foreach { n => out = n }
+    }
+    out
+  }
+
   /** Translate a PG-dialect query and run it on Spark. */
-  def sql(spark: SparkSession, pgSql: String): DataFrame =
-    spark.sql(translate(pgSql))
+  def sql(spark: SparkSession, pgSql: String): DataFrame = {
+    val text = translate(pgSql)
+    try spark.sql(text)
+    catch {
+      case e: Throwable
+        if Option(e.getMessage)
+          .exists(_.contains("ASSIGNMENT_ARITY_MISMATCH")) =>
+        val padded = padColumnAliases(spark, text)
+        if (padded == text) throw e
+        spark.sql(padded)
+    }
+  }
 
   /** PG prepared-statement execution: `$1..$N` positional parameters
     * (the reference's corpus leans on PREPARE/EXECUTE —

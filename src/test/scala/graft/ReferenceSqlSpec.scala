@@ -176,6 +176,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
     (1 to 6).map(i => (i, s"User_$i", 44 + i))
       .toDF("id", "it_name", "k_no")
       .createOrReplaceTempView("users_ref_test_table")
+    // multi_subquery_*_reference_clause fixtures (in-file INSERTs)
+    Seq((1, 2, 1), (2, 3, 4), (3, 4, 2), (7, 5, 2))
+      .toDF("user_id", "item_id", "buy_count")
+      .createOrReplaceTempView("user_buy_test_table")
+    Seq((4, 1, 1), (1, 3, 1), (3, 2, 2))
+      .toDF("user_id", "item_id", "buy_count")
+      .createOrReplaceTempView("users_return_test_table")
     // subquery_and_cte.sql's in-file fixtures (generate_series loads)
     (1 to 10).toDF("a").createOrReplaceTempView("ref_table_1")
     (1 to 10).toDF("a").createOrReplaceTempView("ref_table_2")
@@ -317,6 +324,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "multi_subquery_in_where_clause.sql",
       "multi_subquery_misc.sql",
       "multi_subquery_complex_queries.sql",
+      "multi_subquery_complex_reference_clause.sql",
+      "multi_subquery_in_where_reference_clause.sql",
       "multi_behavioral_analytics_basics.sql").map { f =>
       val stmts = selectsAndInsertBodies(f).filterNot(s =>
         s.contains("create_distributed_table") ||
@@ -328,6 +337,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
           s.contains("users_regular_table") ||
           // plpgsql / UDF fixtures and result-staging reads
           s.contains("plpgsql") || s.contains("_udf") ||
+          s.contains("read_intermediate_result") ||
+          s.contains("broadcast_intermediate_result") ||
           s.contains("FROM agg_results"))
       val outcomes = stmts.map { s =>
         try { PgDialect.sql(spark, s).count(); true }
