@@ -148,6 +148,57 @@ class ExtensionSpec extends AnyFunSuite {
     assert(inh.count() === 25)
   }
 
+  test("round-3 dialect rewrites v2: nested-join double-ON grouping, " +
+      "partial column-alias padding, TVFs in JOIN position, " +
+      "quantified subqueries, scalar default names") {
+    Tables.registerAll(spark, TestSpark.sf)
+    // PG's right-grouped join tree (double ON) gets explicit parens
+    val j = PgDialect.rewriteFnNames("SELECT count(*) FROM a FULL JOIN " +
+      "b ref1 INNER JOIN c ref2 on ref1.id = ref2.id ON true")
+    assert(j.contains(
+      "FULL JOIN (b ref1 INNER JOIN ref2 ON") === false, j) // sanity
+    assert(j.contains("FULL JOIN (b ref1 INNER JOIN c ref2 " +
+      "ON ref1.id = ref2.id) ON true"), j)
+    // quantified subqueries: = ANY ≡ IN, <> ALL ≡ NOT IN
+    assert(PgDialect.rewriteFnNames(
+      "SELECT * FROM t WHERE x = ANY(SELECT y FROM u)")
+      .contains("IN (SELECT y FROM u)"))
+    assert(PgDialect.rewriteFnNames(
+      "SELECT * FROM t WHERE x <> ALL (SELECT y FROM u)")
+      .contains("NOT IN (SELECT y FROM u)"))
+    // unaliased random() select item carries PG's default column name
+    assert(PgDialect.rewriteFnNames("SELECT *, random() FROM t")
+      .contains("random() AS random FROM"))
+    // TVFs in JOIN position
+    val tv = PgDialect.rewriteFnNames(
+      "SELECT * FROM t JOIN random() AS r(id) ON t.i > r.id")
+    assert(tv.contains("JOIN (SELECT random() AS id) r"), tv)
+    val gs = PgDialect.rewriteFnNames(
+      "SELECT * FROM t JOIN generate_series(1,10) AS g(i) ON t.i = g.i")
+    assert(gs.contains("(SELECT explode(sequence(1,10)) AS i) g"), gs)
+    // PG internal comparison fns
+    assert(PgDialect.rewriteFnNames("SELECT 1 FROM t WHERE int4eq(a, 5)")
+      .contains("((a) = (5))"))
+    // scalar calls get PG's fn-name default column name in subqueries
+    val abs = PgDialect.sql(spark,
+      "SELECT * FROM (SELECT n_nationkey, abs(n_nationkey - 3) " +
+        "FROM nation WHERE n_nationkey < 5) a ORDER BY abs, n_nationkey")
+    assert(abs.columns.toSeq === Seq("n_nationkey", "abs"))
+    assert(abs.collect().map(_.getInt(0)).toSeq === Seq(3, 2, 4, 1, 0))
+    // partial column-alias lists pad to full arity via schema probe
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .createOrReplaceTempView("pad_l")
+    Seq((1, 9L), (3, 8L)).toDF("id", "w")
+      .createOrReplaceTempView("pad_r")
+    val padded = PgDialect.sql(spark,
+      "SELECT c1, w FROM (pad_l JOIN pad_r USING (id)) AS t(c1) " +
+        "ORDER BY c1")
+    assert(padded.columns.toSeq === Seq("c1", "w"))
+    assert(padded.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      === Seq((1, 9L)))
+  }
+
   test("pg regex operators rewrite to RLIKE") {
     assert(PgDialect.rewriteRegexOps("SELECT * FROM t WHERE x ~ '^ab.*c$'")
       === "SELECT * FROM t WHERE x RLIKE '^ab.*c$'")
