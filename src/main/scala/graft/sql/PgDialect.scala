@@ -352,7 +352,8 @@ object PgDialect {
     // alias-less form exposes PG's default column name. A bare
     // trailing keyword (ORDER/WHERE/LIMIT/JOIN...) is a clause, not an
     // alias — only an explicit AS may claim a keyword as alias.
-    s = ("""(?i)\bgenerate_series\s*\(([^()]*)\)\s+""" +
+    // PG allows the alias to abut the close paren (`generate_series(0,100)i`)
+    s = ("""(?i)\bgenerate_series\s*\(([^()]*)\)\s*""" +
       s"""(?:AS\\s+([A-Za-z_]\\w*)|(?!(?:$NonAliasKw)\\b)([A-Za-z_]\\w*))""").r
       .replaceAllIn(s, m => {
         val alias = Option(m.group(2)).getOrElse(m.group(3))
@@ -397,10 +398,89 @@ object PgDialect {
       java.util.regex.Matcher.quoteReplacement(s"IN (${m.group(1)}"))
     s = """(?is)(?:<>|!=)\s*ALL\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"NOT IN (${m.group(1)}"))
+    // general quantified comparisons over subqueries (Spark only has
+    // IN/EXISTS): rewrite to the WHERE-context-faithful EXISTS forms.
+    //   e op ANY(SELECT q ...)  ≡ EXISTS(... WHERE e op q)
+    //   e op ALL(SELECT q ...)  ≡ NOT EXISTS(... WHERE NOT(e op q)
+    //                                OR q IS NULL OR e IS NULL)
+    // (the NULL disjuncts reproduce PG's NULL≈false WHERE semantics:
+    // a NULL comparison blocks ALL from holding but never proves ANY)
+    locally {
+      val lhs = """([A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)|\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*|[0-9]+(?:\.[0-9]+)?|'[^']*')"""
+      val op = """(<=|>=|<|>|=|<>|!=)"""
+      val sub = """\(\s*(SELECT\b(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)"""
+      val qRe = (s"""(?is)$lhs\\s*$op\\s*(ANY|SOME|ALL)\\s*$sub""").r
+      s = qRe.replaceAllIn(s, m => {
+        val (e, o, q) = (m.group(1).trim, m.group(2), m.group(4).trim)
+        val quant = m.group(3).toUpperCase
+        val fromIdx = topLevelIndex(q, "FROM")
+        if (!q.toUpperCase.startsWith("SELECT") || fromIdx < 0)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          // alias the (single) select item; DISTINCT is a no-op under
+          // a quantifier
+          val item0 = q.substring("SELECT".length, fromIdx).trim
+          val item = """(?is)^DISTINCT\s+""".r.replaceFirstIn(item0, "")
+          val aliased =
+            s"SELECT ($item) AS __qv ${q.substring(fromIdx)}"
+          java.util.regex.Matcher.quoteReplacement(
+            if (quant == "ALL")
+              s"NOT EXISTS (SELECT 1 FROM ($aliased) __qt WHERE " +
+                s"NOT (($e) $o __qt.__qv) OR __qt.__qv IS NULL " +
+                s"OR ($e) IS NULL)"
+            else
+              s"EXISTS (SELECT 1 FROM ($aliased) __qt " +
+                s"WHERE ($e) $o __qt.__qv)")
+        }
+      })
+    }
     // PG internal comparison operators spelled as functions
     s = """(?is)\bint[248]eq\s*\(((?:[^(),]|\([^()]*\))+),\s*((?:[^(),]|\([^()]*\))+)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"((${m.group(1).trim}) = (${m.group(2).trim}))"))
+    s = """(?is)\bdate_(ne|eq)_timestamp\s*\(((?:[^(),]|\([^()]*\))+),\s*((?:[^(),]|\([^()]*\))+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"((CAST(${m.group(2).trim} AS TIMESTAMP)) " +
+          s"${if (m.group(1) == "ne") "<>" else "="} (${m.group(3).trim}))"))
+    // PG TABLESAMPLE methods: SYSTEM is page-level, BERNOULLI row-level;
+    // Spark's percent sampling is the row-level form for both
+    s = """(?is)\bTABLESAMPLE\s+(?:SYSTEM|BERNOULLI)\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"TABLESAMPLE (${m.group(1).trim} PERCENT)"))
+    // SQL-standard position(sub IN str) → two-arg form
+    s = """(?is)\bposition\s*\(((?:[^(),]|\([^()]*\))+?)\s+IN\s+((?:[^(),]|\([^()]*\))+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"position(${m.group(1).trim}, ${m.group(2).trim})"))
+    // ... and as a FROM item (PG SRFs return one row there): a scalar
+    // call directly after `FROM tbl [alias],` becomes a 1-row subquery
+    // named by PG's default column name
+    s = """(?is)(\bFROM\s+[A-Za-z_][\w.]*(?:\s+(?!WHERE\b|ORDER\b|GROUP\b|LIMIT\b)[A-Za-z_]\w*)?\s*,\s*)position\s*\(([^()]*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(SELECT position(${m.group(2)}) AS position)"))
+    // PG's zero-column select list (`SELECT FROM t`)
+    s = """(?is)\bSELECT\s+(?=FROM\b)""".r.replaceAllIn(s, "SELECT 1 ")
+    // PG accepts a bare NULL WHERE condition (never true)
+    s = """(?is)\bWHERE\s+NULL\s*(?=$|\)|ORDER\b|GROUP\b|LIMIT\b|UNION\b)""".r
+      .replaceAllIn(s, "WHERE CAST(NULL AS BOOLEAN) ")
+    // Spark inline tables must be foldable; PG VALUES rows may hold
+    // volatile calls (random()) — those become a UNION ALL of SELECTs
+    locally {
+      val valuesRe =
+        """(?is)\(\s*VALUES\s*((?:\((?:[^()]|\([^()]*\))*\)\s*,?\s*)+)\)""".r
+      s = valuesRe.replaceAllIn(s, m => {
+        val body = m.group(1)
+        if (!"""(?i)\b(random|rand|now)\s*\(""".r
+            .findFirstIn(body).isDefined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val tuples = splitTopLevel(body).map(_.trim)
+            .filter(t => t.startsWith("(") && t.endsWith(")"))
+            .map(t => "SELECT " + t.substring(1, t.length - 1))
+          java.util.regex.Matcher.quoteReplacement(
+            tuples.mkString("(", " UNION ALL ", ")"))
+        }
+      })
+    }
     // json_array_length over the ARRAY carrier
     s = """(?i)\bjson_array_length\s*\(""".r.replaceAllIn(s, "size(")
     // PG allows 1-argument GREATEST/LEAST (identity); Spark wants

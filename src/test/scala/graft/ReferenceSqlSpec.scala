@@ -192,6 +192,119 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .createOrReplaceTempView("dist_table")
   }
 
+  /** Execute a regression file's OWN inline fixtures: `CREATE TABLE`
+    * column definitions plus `INSERT INTO ... VALUES` rows (and
+    * `INSERT INTO ... SELECT` loads, run through the dialect) become
+    * registered temp views carrying the declared schema — the
+    * router-planner corpora build their articles/authors data this
+    * way (multi_router_planner.sql:15-100). */
+  private def registerInlineFixtures(file: String): Unit = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath))
+    val stmts = text.linesIterator.filterNot(_.trim.startsWith("--"))
+      .mkString("\n").split(";").map(_.trim).filter(_.nonEmpty)
+    def splitTop(s: String): Seq[String] = {
+      val out = collection.mutable.Buffer[String]()
+      var depth = 0; var cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
+        case c => cur += c
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    def sparkType(pg: String): String = {
+      val t = pg.trim.toLowerCase
+      if (t.startsWith("bigint") || t.startsWith("int8") ||
+        t.startsWith("bigserial")) "BIGINT"
+      else if (t.startsWith("smallint") || t.startsWith("int2")) "SMALLINT"
+      else if (t.startsWith("int") || t.startsWith("serial")) "INT"
+      else if (t.startsWith("double") || t.startsWith("float8")) "DOUBLE"
+      else if (t.startsWith("real") || t.startsWith("float4")) "FLOAT"
+      else if (t.startsWith("numeric") || t.startsWith("decimal"))
+        "DECIMAL(20,4)"
+      else if (t.startsWith("bool")) "BOOLEAN"
+      else if (t.startsWith("date")) "DATE"
+      else if (t.startsWith("timestamp")) "TIMESTAMP"
+      else "STRING" // text / varchar / char / jsonb / uuid ride as text
+    }
+    val constraintKw = Set("primary", "unique", "check", "constraint",
+      "foreign", "exclude")
+    val schemas =
+      collection.mutable.LinkedHashMap[String, Seq[(String, String)]]()
+    val data = collection.mutable.Map[String,
+      Vector[org.apache.spark.sql.DataFrame]]().withDefaultValue(Vector())
+    val createRe =
+      """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)[^)]*$""".r
+    val likeRe = """(?is)^\s*LIKE\s+([A-Za-z_][\w.]*).*$""".r
+    val insertRe =
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
+    val viewRe =
+      """(?is)^CREATE\s+(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
+    val views = collection.mutable.Buffer[(String, String)]()
+    def strip(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
+    stmts.foreach {
+      case createRe(name, body) =>
+        val items = splitTop(body)
+        items match {
+          case Seq(likeRe(src)) =>
+            schemas.get(strip(src)).foreach(schemas(strip(name)) = _)
+          case _ =>
+            val cols = items.flatMap { it =>
+              val parts = it.trim.split("\\s+", 2)
+              if (parts.length < 2 ||
+                constraintKw.contains(parts(0).toLowerCase)) None
+              else Some(parts(0) -> sparkType(parts(1)))
+            }
+            if (cols.nonEmpty) schemas(strip(name)) = cols
+        }
+      case insertRe(name, colList, rest) if schemas.contains(strip(name)) =>
+        val schema = schemas(strip(name))
+        val given = Option(colList)
+          .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+          .getOrElse(schema.map(_._1.toLowerCase))
+        try {
+          val src =
+            if (rest.toUpperCase.startsWith("VALUES")) {
+              val tuples = rest.substring("VALUES".length).trim
+              val vcols = given.zipWithIndex.map { case (_, i) => s"__c$i" }
+              PgDialect.sql(spark,
+                s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
+            } else PgDialect.sql(spark, rest)
+          // project to the declared schema: positional for the given
+          // columns, NULL for the rest, each cast to the declared type
+          val srcCols = src.columns
+          val proj = schema.map { case (n, t) =>
+            val i = given.indexOf(n.toLowerCase)
+            if (i >= 0 && i < srcCols.length)
+              col("`" + srcCols(i) + "`").cast(t).as(n)
+            else lit(null).cast(t).as(n)
+          }
+          data(strip(name)) = data(strip(name)) :+ src.select(proj: _*)
+        } catch { case _: Throwable => () } // non-translatable load
+      case viewRe(name, body) => views += strip(name) -> body
+      case _ => ()
+    }
+    schemas.foreach { case (name, schema) =>
+      val dfs = data(name)
+      val df =
+        if (dfs.isEmpty) {
+          val proj = schema.map { case (n, t) =>
+            lit(null).cast(t).as(n) }
+          spark.range(0).select(proj: _*)
+        } else dfs.reduce(_ unionAll _)
+      df.createOrReplaceTempView(name)
+    }
+    // (materialized) views replay once the base tables exist; ones over
+    // server catalogs (pg_database etc.) have no analogue and skip
+    views.foreach { case (name, body) =>
+      try PgDialect.sql(spark, body).createOrReplaceTempView(name)
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("reference behavioral-analytics corpora run on the reference's " +
       "own fixture data (orderby-limit pushdown, window functions, " +
       "subqueries)") {
@@ -348,6 +461,65 @@ class ReferenceSqlSpec extends AnyFunSuite {
               s.split('\n').map(_.trim).mkString(" ").take(200) +
               "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
                 .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 150, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.6,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("reference router-planner, simple-queries, and VALUES corpora " +
+      "run verbatim on their own inline fixtures") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat() // simple_queries reads public.orders/lineitem
+    registerInlineFixtures("multi_router_planner.sql")
+    registerInlineFixtures("multi_simple_queries.sql")
+    registerInlineFixtures("values.sql")
+    val perFile = Seq("multi_router_planner.sql",
+      "multi_simple_queries.sql", "values.sql").map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("create_reference_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("run_command") || s.contains("$Q$") ||
+          s.contains("coordinator_plan") ||
+          // server-side catalog / session state with no Spark analogue
+          s.contains("pg_catalog") || s.contains("pg_class") ||
+          s.contains("pg_total_relation_size") ||
+          s.contains("current_user") || s.contains("current_setting") ||
+          // plpgsql helpers the file defines server-side
+          s.contains("plpgsql") || s.contains("_udf") ||
+          s.contains("author_articles") || s.contains("sql_test_no") ||
+          s.contains("raise_failed_execution") ||
+          // data-modifying CTEs (INSERT/UPDATE/DELETE .. RETURNING):
+          // router/OLTP DML is out of scope per BASELINE.json — the
+          // analytics-relevant DML surface is the sources/Dml API
+          s.contains("RETURNING") ||
+          // the file's intentional error-path probes (nonexistent fns,
+          // system columns) — they fail in PG too, by design
+          s.contains("someDummyFunction") || s.contains("invalid(") ||
+          s.contains("tableoid") || s.contains("pg_database") ||
+          s.contains("number1()") || s.contains("num_db") ||
+          // server sequences and citus metadata catalogs
+          s.contains("nextval") || s.contains("pg_dist") ||
+          // data-modifying CTEs without RETURNING
+          s.matches("(?is)^WITH\\b.*\\)\\s*(UPDATE|DELETE|INSERT)\\b.*") ||
+          s.matches("(?is)^WITH\\b.*\\bUPDATE\\s+\\w+\\s+SET\\b.*"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"REFFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(180) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(140))
           false
         }
       }
