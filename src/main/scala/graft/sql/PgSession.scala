@@ -1,0 +1,81 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statement-level PG session state over the dialect front end:
+  * PREPARE / EXECUTE / DEALLOCATE, with `$N` parameter substitution.
+  *
+  * The reference's prepared-statement surface
+  * (`src/test/regress/sql/multi_prepare_sql.sql`; citus replans or
+  * reuses the distributed plan per-execution) maps to re-translating
+  * the statement text per EXECUTE here — Catalyst caches what it can;
+  * at 100 TB the planning time is noise against the scan.
+  *
+  * Parameters substitute TEXTUALLY and then ride the normal dialect
+  * path (so `$1::int` still becomes `CAST(... AS INT)`); for
+  * programmatic use with real parameter BINDING (no splicing), use
+  * [[PgDialect.sqlParams]] instead.
+  */
+class PgSession(spark: SparkSession) {
+  private val prepared =
+    collection.mutable.Map[String, String]()
+
+  private val prepareRe =
+    """(?is)^PREPARE\s+([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*AS\s+(.*)$""".r
+  private val executeRe =
+    """(?is)^EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*$""".r
+  private val deallocRe =
+    """(?is)^DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)\s*$""".r
+
+  /** Split EXECUTE arguments at top-level commas (parens and quoted
+    * strings protected). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = collection.mutable.Buffer[String]()
+    var depth = 0; var inStr = false
+    val cur = new StringBuilder
+    s.foreach { c =>
+      c match {
+        case '\'' => inStr = !inStr; cur += c
+        case '(' if !inStr => depth += 1; cur += c
+        case ')' if !inStr => depth -= 1; cur += c
+        case ',' if !inStr && depth == 0 =>
+          out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Execute one statement. Returns Some(result) for query-producing
+    * statements, None for session-state statements (PREPARE,
+    * DEALLOCATE). Throws for EXECUTE of an unknown statement name —
+    * same as PG. */
+  def execute(stmt: String): Option[DataFrame] = stmt.trim match {
+    case prepareRe(name, body) =>
+      prepared(name.toLowerCase) = body.trim
+      None
+    case executeRe(name, argText) =>
+      val body = prepared.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"prepared statement \"$name\" does not exist"))
+      val args = Option(argText).map(splitArgs).getOrElse(Seq.empty)
+      val spliced = """\$(\d+)""".r.replaceAllIn(body, m => {
+        val i = m.group(1).toInt
+        if (i <= args.length)
+          java.util.regex.Matcher.quoteReplacement(s"(${args(i - 1)})")
+        else m.matched
+      })
+      Some(PgDialect.sql(spark, spliced))
+    case deallocRe(name) =>
+      if (name.equalsIgnoreCase("ALL")) prepared.clear()
+      else prepared.remove(name.toLowerCase)
+      None
+    case other =>
+      Some(PgDialect.sql(spark, other))
+  }
+
+  /** The stored body of a prepared statement, if any. */
+  def preparedBody(name: String): Option[String] =
+    prepared.get(name.toLowerCase)
+}

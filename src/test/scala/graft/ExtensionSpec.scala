@@ -199,6 +199,28 @@ class ExtensionSpec extends AnyFunSuite {
       === Seq((1, 9L)))
   }
 
+  test("PgSession: PREPARE/EXECUTE with $N parameters, DEALLOCATE") {
+    Tables.registerAll(spark, TestSpark.sf)
+    val sess = new graft.sql.PgSession(spark)
+    assert(sess.execute(
+      "PREPARE nation_by_region(int) AS " +
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = $1").isEmpty)
+    val n = sess.execute("EXECUTE nation_by_region(1)")
+      .get.collect()(0).getLong(0)
+    assert(n === 5L)
+    // parameters substitute per-execution; casts still rewrite
+    assert(sess.execute(
+      "PREPARE typed(text) AS SELECT $1::int + 1 AS v").isEmpty)
+    assert(sess.execute("EXECUTE typed('41')")
+      .get.collect()(0).getInt(0) === 42)
+    sess.execute("DEALLOCATE nation_by_region")
+    intercept[IllegalArgumentException] {
+      sess.execute("EXECUTE nation_by_region(1)")
+    }
+    // non-session statements pass through the dialect
+    assert(sess.execute("SELECT 1 AS one").get.collect()(0).getInt(0) === 1)
+  }
+
   test("pg regex operators rewrite to RLIKE") {
     assert(PgDialect.rewriteRegexOps("SELECT * FROM t WHERE x ~ '^ab.*c$'")
       === "SELECT * FROM t WHERE x RLIKE '^ab.*c$'")

@@ -534,6 +534,51 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("reference PREPARE/EXECUTE corpus replays through PgSession " +
+      "(multi_prepare_sql.sql, parameterized prepared statements)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerInlineFixtures("multi_prepare_sql.sql")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, "multi_prepare_sql.sql").toPath))
+    val stmts = text.linesIterator.filterNot(_.trim.startsWith("--"))
+      .mkString("\n").split(";").map(_.trim).filter(_.nonEmpty)
+    val session = new graft.sql.PgSession(spark)
+    val nameRe = """(?is)^EXECUTE\s+([A-Za-z_]\w*).*""".r
+    var prepares = 0; var executes = 0; var ok = 0; var dml = 0
+    stmts.foreach { s =>
+      val up = s.toUpperCase
+      if (up.startsWith("PREPARE")) {
+        try { session.execute(s); prepares += 1 }
+        catch { case _: Throwable => () }
+      } else if (up.startsWith("EXECUTE")) {
+        val name = s match { case nameRe(n) => n; case _ => "" }
+        val body = session.preparedBody(name).getOrElse("")
+        val bu = body.toUpperCase
+        // DML prepared plans are the sources/Dml surface, not the
+        // session's; plpgsql helper calls have no server to run on
+        if (!(bu.startsWith("SELECT") || bu.startsWith("WITH")) ||
+          body.contains("immutable_bleat")) dml += 1
+        else {
+          executes += 1
+          try { session.execute(s).foreach(_.count()); ok += 1 }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"PREPFAIL: $s [body: ${body.take(120)}] => " +
+                Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .linesIterator.take(1).mkString.take(140))
+          }
+        }
+      }
+    }
+    info(s"$prepares prepares stored; $ok/$executes SELECT executes " +
+      s"run ($dml DML/plpgsql executes out of scope)")
+    assert(prepares >= 25, s"only $prepares prepares parsed")
+    assert(executes >= 60, s"only $executes SELECT executes found")
+    assert(ok.toDouble / executes >= 0.8,
+      s"only $ok/$executes prepared executions ran")
+  }
+
   test("reference aggregate & expression corpora run verbatim " +
       "(complex expressions, array/json aggregates, count distinct, " +
       "bool/bit aggregates, type conversions)") {
