@@ -343,8 +343,58 @@ object PgExtraQueries extends QueryModule {
         users_table.value_1 ORDER BY events_table.time DESC)
       ORDER BY rnk DESC, 1 DESC LIMIT 10"""))
 
+  /** Third reference-verbatim gate statement: quantified comparisons
+    * over subqueries (`> ALL` with GROUP BY, correlated `< ANY`) in
+    * the shape of multi_subquery_in_where_reference_clause.sql —
+    * DuckDB runs PG's native ANY/ALL syntax, Spark runs the dialect's
+    * NULL-faithful EXISTS rewrites. (max, not avg, as the inner
+    * aggregate: order-free, so both engines agree bit-exactly.) */
+  private val refVerbatimQuant = GraftQuery(
+    "ref_verbatim_quantified_all",
+    (s, dir) => {
+      val d = "/root/reference/src/test/regress/data"
+      s.read.schema("user_id int, time timestamp, value_1 int, " +
+          "value_2 int, value_3 double, value_4 bigint")
+        .csv(s"$d/users_table.data")
+        .createOrReplaceTempView("users_table")
+      s.read.schema("user_id int, time timestamp, event_type int, " +
+          "value_2 int, value_3 double, value_4 bigint")
+        .csv(s"$d/events_table.data")
+        .createOrReplaceTempView("events_table")
+      graft.sql.PgDialect.sql(s,
+        """SELECT user_id, count(*) AS cnt
+           FROM users_table
+           WHERE value_2 >= ALL (SELECT max(value_3) FROM events_table
+                                WHERE event_type > 4
+                                GROUP BY event_type)
+             AND value_1 < ANY (SELECT value_2 FROM events_table
+                                WHERE events_table.user_id =
+                                  users_table.user_id)
+           GROUP BY user_id
+           ORDER BY cnt DESC, user_id LIMIT 10""")
+    },
+    Some("""WITH users_table AS (SELECT * FROM read_csv(
+          '/root/reference/src/test/regress/data/users_table.data',
+          header=false,
+          columns={'user_id':'INT','time':'TIMESTAMP','value_1':'INT',
+                   'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'})),
+        events_table AS (SELECT * FROM read_csv(
+          '/root/reference/src/test/regress/data/events_table.data',
+          header=false,
+          columns={'user_id':'INT','time':'TIMESTAMP','event_type':'INT',
+                   'value_2':'INT','value_3':'DOUBLE','value_4':'BIGINT'}))
+      SELECT user_id, count(*) AS cnt
+      FROM users_table
+      WHERE value_2 >= ALL (SELECT max(value_3) FROM events_table
+                           WHERE event_type > 4 GROUP BY event_type)
+        AND value_1 < ANY (SELECT value_2 FROM events_table
+                           WHERE events_table.user_id =
+                             users_table.user_id)
+      GROUP BY user_id
+      ORDER BY cnt DESC, user_id LIMIT 10"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, stringAggDistinct, histogram,
-      refVerbatim, refVerbatimWin)
+      refVerbatim, refVerbatimWin, refVerbatimQuant)
 }

@@ -420,7 +420,11 @@ object PgDialect {
           // alias the (single) select item; DISTINCT is a no-op under
           // a quantifier
           val item0 = q.substring("SELECT".length, fromIdx).trim
-          val item = """(?is)^DISTINCT\s+""".r.replaceFirstIn(item0, "")
+          // DISTINCT is a no-op under a quantifier; an existing alias
+          // (possibly injected by the default-name pass) drops — the
+          // item is re-aliased __qv below
+          val item = """(?is)\s+AS\s+[A-Za-z_]\w*\s*$""".r.replaceFirstIn(
+            """(?is)^DISTINCT\s+""".r.replaceFirstIn(item0, ""), "")
           val aliased =
             s"SELECT ($item) AS __qv ${q.substring(fromIdx)}"
           java.util.regex.Matcher.quoteReplacement(
