@@ -20,6 +20,23 @@ class PgSession(spark: SparkSession) {
   private val prepared =
     collection.mutable.Map[String, String]()
 
+  /** citus GUCs with a graft analogue: SETting them drives the
+    * corresponding opt-in optimizer rule (GraftExtensions), exactly
+    * as the GUC drives the reference's planner. Other SET/RESET keys
+    * (search_path, client_min_messages, citus.* internals) are
+    * session noise here and no-op. */
+  private val gucMap = Map(
+    "citus.count_distinct_error_rate" ->
+      "spark.graft.countDistinctErrorRate",
+    "citus.limit_clause_row_fetch_count" ->
+      "spark.graft.limitApproxRowFetchCount",
+    "citus.enable_repartition_joins" ->
+      "spark.graft.enableRepartitionJoins")
+
+  private val setRe =
+    """(?is)^SET\s+(?:LOCAL\s+|SESSION\s+)?([\w.]+)\s*(?:TO|=)\s*(.+)$""".r
+  private val resetRe = """(?is)^RESET\s+([\w.]+)\s*$""".r
+
   private val prepareRe =
     """(?is)^PREPARE\s+([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*AS\s+(.*)$""".r
   private val executeRe =
@@ -52,6 +69,17 @@ class PgSession(spark: SparkSession) {
     * DEALLOCATE). Throws for EXECUTE of an unknown statement name —
     * same as PG. */
   def execute(stmt: String): Option[DataFrame] = stmt.trim match {
+    case setRe(key, value) =>
+      gucMap.get(key.toLowerCase).foreach { conf =>
+        val v = value.trim.stripPrefix("'").stripSuffix("'")
+        if (v.equalsIgnoreCase("off")) spark.conf.set(conf, "false")
+        else if (v.equalsIgnoreCase("on")) spark.conf.set(conf, "true")
+        else spark.conf.set(conf, v)
+      }
+      None
+    case resetRe(key) =>
+      gucMap.get(key.toLowerCase).foreach(spark.conf.unset)
+      None
     case prepareRe(name, body) =>
       prepared(name.toLowerCase) = body.trim
       None

@@ -474,6 +474,18 @@ class ExtensionSpec extends AnyFunSuite {
           s"HLL estimate $est vs exact $exact")
       } finally extSpark.conf.set(ApproxCountDistinct.ConfKey, "0")
 
+      // PgSession maps the citus GUC onto the rule's conf: SETting
+      // citus.count_distinct_error_rate flips the same plan to HLL
+      locally {
+        val psess = new graft.sql.PgSession(extSpark)
+        psess.execute("SET citus.count_distinct_error_rate = 0.02")
+        try assert(hllPlanned(
+          li.agg(countDistinct(col("l_partkey")).as("n"))))
+        finally psess.execute("RESET citus.count_distinct_error_rate")
+        assert(!hllPlanned(
+          li.agg(countDistinct(col("l_partkey")).as("n"))))
+      }
+
       // range-join rewrite rule: a bare containment join (no equi
       // predicate, broadcast off) planned as a nested loop/cartesian
       // becomes a binned hash join with identical results.

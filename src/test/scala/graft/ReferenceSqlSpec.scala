@@ -579,6 +579,51 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $ok/$executes prepared executions ran")
   }
 
+  test("reference approximate-distinct corpus replays through " +
+      "PgSession (count_distinct_error_rate GUC flow)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the in-file \copy STDIN fixture is the first 6 TPC-H nations
+    Tables(spark, TestSpark.sf, "nation")
+      .filter(col("n_nationkey") <= 5)
+      .createOrReplaceTempView("nation_hash")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, "multi_agg_approximate_distinct.sql")
+        .toPath))
+    val stmts = text.linesIterator.filterNot(_.trim.startsWith("--"))
+      .mkString("\n").split(";").map(_.trim).filter(_.nonEmpty)
+    val session = new graft.sql.PgSession(spark)
+    var sets = 0; var selects = 0; var ok = 0
+    stmts.foreach { s =>
+      val up = s.toUpperCase
+      if (up.startsWith("SET ") || up.startsWith("RESET ")) {
+        try { session.execute(s); sets += 1 }
+        catch { case _: Throwable => () }
+      } else if (up.startsWith("SELECT") &&
+        // psql meta-runs, HLL-extension probes, and the
+        // schema-qualified table (temp views are schema-less)
+        !s.contains("\\gset") && !s.contains("$$") &&
+        !s.contains("pg_available_extensions") &&
+        !s.contains("test_count_distinct_schema") &&
+        !s.contains("create_distributed_table")) {
+        selects += 1
+        try { session.execute(s).foreach(_.count()); ok += 1 }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"APPROXFAIL: " +
+              s.split('\n').map(_.trim).mkString(" ").take(160) +
+              " => " + Option(e.getMessage).getOrElse("?")
+                .linesIterator.take(1).mkString.take(120))
+        }
+      }
+    }
+    info(s"$sets GUC sets applied; $ok/$selects count-distinct " +
+      "statements run")
+    assert(sets >= 8, s"only $sets SET statements handled")
+    assert(selects >= 15 && ok.toDouble / selects >= 0.85,
+      s"only $ok/$selects statements ran")
+  }
+
   test("reference aggregate & expression corpora run verbatim " +
       "(complex expressions, array/json aggregates, count distinct, " +
       "bool/bit aggregates, type conversions)") {
