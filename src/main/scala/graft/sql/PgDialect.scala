@@ -272,6 +272,12 @@ object PgDialect {
     s = """(?i)\bOFFSET\s+NULL\b""".r.replaceAllIn(s, "")
     s = """(?i)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b""".r.replaceAllIn(s,
       m => s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    // PG coerces string / typed limits (`LIMIT '3'`,
+    // `OFFSET 1::smallint`); Spark demands a plain INT literal
+    s = """(?i)\b(LIMIT|OFFSET)\s+'(\d+)'(?:\s*::\s*\w+)?""".r
+      .replaceAllIn(s, m => s"${m.group(1)} ${m.group(2)}")
+    s = """(?i)\b(LIMIT|OFFSET)\s+(\d+)\s*::\s*\w+""".r
+      .replaceAllIn(s, m => s"${m.group(1)} ${m.group(2)}")
     s
   }
 
@@ -379,12 +385,36 @@ object PgDialect {
     // ARRAY (an ORDER BY inside falls through to the ordered-array_agg
     // rewrite below), json_object_agg → MAP; wrap with to_json where
     // JSON text is required.
+    // jsonb_* aggregates are the binary-carrier twins of the json_*
+    // ones (multi_jsonb_agg.sql / multi_jsonb_object_agg.sql) — same
+    // Spark carrier either way
+    s = """(?i)\bjsonb_(object_agg|agg|cat_agg)\b""".r
+      .replaceAllIn(s, m => "json_" + m.group(1))
     s = """(?is)\bjson_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"array_agg(${m.group(1)})"))
+    // json_object_agg(DISTINCT k, v): PG emits the DISTINCT (k,v)
+    // pairs sorted, KEEPING duplicate keys — no Spark map can carry
+    // that, so build the PG-format JSON text directly
+    s = """(?is)\bjson_object_agg\s*\(\s*DISTINCT\s+((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => {
+        val parts = splitTopLevel(m.group(1))
+        if (parts.length != 2)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          "concat('{ ', array_join(transform(array_sort(collect_set(" +
+            s"named_struct('k', ${parts(0).trim}, 'v', ${parts(1).trim}" +
+            "))), e -> concat('\"', cast(e.k AS STRING), '\" : \"', " +
+            "cast(e.v AS STRING), '\"')), ', '), ' }')")
+      })
     s = """(?is)\bjson_object_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"map_from_entries(array_agg(struct(${m.group(1)})))"))
+    // json_cat_agg (citus's combine step for json_agg partials)
+    // concatenates collected arrays like array_cat_agg
+    s = """(?is)\bjson_cat_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"flatten(collect_list(${m.group(1)}))"))
     // citus's array_cat_agg (concatenate collected arrays, NULLs
     // skipped — collect_list shares that)
     s = """(?is)\barray_cat_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
@@ -824,11 +854,15 @@ object PgDialect {
         else {
           val afterSel = t.substring(selStart, fromIdx)
           val lead = afterSel.toUpperCase.dropWhile(_.isWhitespace)
+          // the DISTINCT keyword, not a DISTINCT-prefixed identifier
+          // like `distinct_users.user_id` (word boundary required)
+          val distinctKw =
+            """^DISTINCT(?![\w$])""".r.findFirstIn(lead).isDefined
           // DISTINCT ON has its own rewrite; skip past plain DISTINCT
-          if (lead.startsWith("DISTINCT ON")) t
+          if (distinctKw && lead.matches("(?s)^DISTINCT\\s+ON\\b.*")) t
           else {
             val listStart =
-              if (lead.startsWith("DISTINCT"))
+              if (distinctKw)
                 selStart + afterSel.toUpperCase.indexOf("DISTINCT") +
                   "DISTINCT".length
               else selStart
@@ -943,6 +977,192 @@ object PgDialect {
     out
   }
 
+  /** Top-level select items of a SELECT body (empty when the body is
+    * not a plain SELECT or carries a DISTINCT ON prefix). */
+  private def selectItemsOf(body: String): Seq[String] = {
+    val t = body.trim
+    if (!t.toUpperCase.startsWith("SELECT")) Seq.empty
+    else {
+      val fromIdx = topLevelIndex(t, "FROM")
+      if (fromIdx < 0) Seq.empty
+      else {
+        var list = t.substring("SELECT".length, fromIdx).trim
+        val up = list.toUpperCase
+        val distinctKw = """^DISTINCT(?![\w$])""".r.findFirstIn(up).isDefined
+        if (distinctKw && up.matches("(?s)^DISTINCT\\s+ON\\b.*")) Seq.empty
+        else {
+          if (distinctKw) list = list.substring("DISTINCT".length)
+          splitTopLevel(list)
+        }
+      }
+    }
+  }
+
+  /** The output-column name PG gives one select item: its `AS` alias,
+    * a bare (qualified) column's last segment, or the default
+    * function-name alias; None when undeterminable syntactically. */
+  private def cteItemName(item: String): Option[String] = {
+    val t = item.trim
+    val asRe = """(?is)^.*\bAS\s+[`"]?([A-Za-z_]\w*)[`"]?$""".r
+    val colRe = """(?s)^(?:[A-Za-z_]\w*\.)*([A-Za-z_]\w*)$""".r
+    t match {
+      case asRe(n) => Some(n)
+      case colRe(n) => Some(n)
+      case _ => defaultAlias(t)
+    }
+  }
+
+  /** PG CTE column-alias lists may also name just a PREFIX of the
+    * body's columns — `WITH c (x, y) AS (SELECT a, b, z FROM t)`
+    * keeps `z` under its own name — while Spark requires the full
+    * arity. Syntactic fix-up: count the body's top-level select items
+    * and pad the alias list with the unnamed items' own output names;
+    * `*` projections fall back to a LIMIT-0 schema probe (bodies
+    * referencing sibling CTEs can't probe and stay untouched).
+    * (reference: cte_inline.sql partial-alias CTEs) */
+  private def padCteAliases(spark: SparkSession, sql: String): String = {
+    val defRe = ("""(?is)([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*""" +
+      """(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+AS\s+""" +
+      """((?:NOT\s+)?MATERIALIZED\s+)?\(""").r
+    var out = sql
+    var search = 0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      defRe.findFirstMatchIn(out.substring(search)) match {
+        case None => return out
+        case Some(m) =>
+          val openIdx = search + m.end - 1
+          var depth = 0; var j = openIdx; var close = -1
+          var inStr = false
+          while (j < out.length && close < 0) {
+            val ch = out.charAt(j)
+            if (ch == '\'') inStr = !inStr
+            else if (!inStr && ch == '(') depth += 1
+            else if (!inStr && ch == ')') {
+              depth -= 1; if (depth == 0) close = j
+            }
+            j += 1
+          }
+          if (close < 0) return out
+          val body = out.substring(openIdx + 1, close)
+          val cols = m.group(2).split(",").map(_.trim).toSeq
+          val items = selectItemsOf(body)
+          val syntactic: Seq[String] =
+            if (items.length > cols.length &&
+              !items.exists(_.trim.endsWith("*")) &&
+              items.drop(cols.length).forall(cteItemName(_).isDefined))
+              items.drop(cols.length).flatMap(cteItemName)
+            else Seq.empty
+          val padNames: Seq[String] =
+            if (syntactic.nonEmpty) syntactic
+            else {
+              // `*` / opaque items: resolve the body's schema directly
+              val schema =
+                try spark.sql(s"SELECT * FROM ($body) __graft_probe " +
+                  "LIMIT 0").schema.fieldNames.toSeq
+                catch { case _: Throwable => Seq.empty }
+              schema.drop(cols.length)
+            }
+          if (padNames.isEmpty) { search = search + m.end }
+          else {
+            val seen = collection.mutable.Set(
+              cols.map(_.toLowerCase).toSeq: _*)
+            val tail = padNames.map { n =>
+              var cand = n; var i = 1
+              while (seen.contains(cand.toLowerCase)) {
+                cand = s"${n}__$i"; i += 1 }
+              seen += cand.toLowerCase; cand
+            }
+            val start = search + m.start
+            out = out.substring(0, start) +
+              s"${m.group(1)} (${(cols ++ tail).mkString(", ")}) AS " +
+              Option(m.group(3)).getOrElse("") + "(" + body + ")" +
+              out.substring(close + 1)
+            search = start + 1
+          }
+      }
+    }
+    out
+  }
+
+  private val AggFns = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp",
+    "var_pop", "bool_and", "bool_or", "every", "bit_and", "bit_or",
+    "array_agg", "string_agg", "median", "corr", "covar_samp",
+    "covar_pop", "collect_list", "collect_set")
+
+  /** Aggregate calls (`fn(...)`, balanced) appearing in a clause. */
+  private def aggCallsIn(clause: String): Seq[String] = {
+    val out = collection.mutable.LinkedHashSet[String]()
+    val re = """(?i)\b([A-Za-z_]\w*)\s*\(""".r
+    re.findAllMatchIn(clause).foreach { m =>
+      if (AggFns.contains(m.group(1).toLowerCase)) {
+        var depth = 0; var i = m.end - 1; var close = -1
+        while (i < clause.length && close < 0) {
+          clause.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (close > 0) out += clause.substring(m.start, close + 1)
+      }
+    }
+    out.toSeq
+  }
+
+  /** PG resolves aggregates in HAVING / ORDER BY against the
+    * pre-projection relation; Spark fails to once HAVING is present
+    * and the aggregate's columns are absent from the select list
+    * (multi_subquery_behavioral_analytics.sql's funnel queries).
+    * Hoist: alias every HAVING/ORDER BY aggregate into the select
+    * list, evaluate the grouped query in a derived table, and
+    * filter/order on the aliases outside, projecting the original
+    * columns back. Applied as a resolution-failure retry only. */
+  private def hoistHavingAggregates(sql: String): String = {
+    val t = sql.trim
+    if (!t.toUpperCase.startsWith("SELECT")) return sql
+    val havingIdx = topLevelIndex(t, "HAVING")
+    if (havingIdx < 0) return sql
+    if (topLevelIndex(t, "UNION") >= 0 ||
+      topLevelIndex(t, "EXCEPT") >= 0 ||
+      topLevelIndex(t, "INTERSECT") >= 0 ||
+      topLevelIndex(t, "WINDOW") >= 0) return sql
+    // a DISTINCT projection would change meaning with extra columns
+    if ("""(?is)^SELECT\s+DISTINCT(?![\w$])""".r
+      .findFirstIn(t).isDefined) return sql
+    val items = selectItemsOf(t)
+    if (items.isEmpty || items.exists(_.trim.endsWith("*"))) return sql
+    val names = items.map(cteItemName)
+    if (names.exists(_.isEmpty)) return sql
+    val orderIdx = topLevelIndex(t, "ORDER")
+    val limitIdx = topLevelIndex(t, "LIMIT")
+    val clauseEnds = Seq(orderIdx, limitIdx).filter(_ > havingIdx)
+    val havingEnd = if (clauseEnds.isEmpty) t.length else clauseEnds.min
+    val having = t.substring(havingIdx + "HAVING".length, havingEnd)
+    val orderPart =
+      if (orderIdx > havingIdx)
+        t.substring(orderIdx, if (limitIdx > orderIdx) limitIdx
+        else t.length)
+      else ""
+    val limitPart = if (limitIdx > havingIdx) t.substring(limitIdx) else ""
+    val aggs = (aggCallsIn(having) ++ aggCallsIn(orderPart)).distinct
+    if (aggs.isEmpty) return sql
+    val aliases = aggs.zipWithIndex.map { case (a, i) => a -> s"__gh$i" }
+    def substitute(clause: String): String =
+      aliases.foldLeft(clause) { case (c, (a, n)) =>
+        c.replace(a, n) }
+    val fromIdx = topLevelIndex(t, "FROM")
+    if (fromIdx < 0 || fromIdx > havingIdx) return sql
+    val inner = t.substring(0, fromIdx) +
+      aliases.map { case (a, n) => s", $a AS $n" }.mkString + " " +
+      t.substring(fromIdx, havingIdx)
+    s"SELECT ${names.flatten.mkString(", ")} FROM ($inner) __graft_h " +
+      s"WHERE ${substitute(having)} ${substitute(orderPart)} $limitPart"
+  }
+
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame = {
     val text = translate(pgSql)
@@ -951,9 +1171,15 @@ object PgDialect {
       case e: Throwable
         if Option(e.getMessage)
           .exists(_.contains("ASSIGNMENT_ARITY_MISMATCH")) =>
-        val padded = padColumnAliases(spark, text)
+        val padded = padCteAliases(spark, padColumnAliases(spark, text))
         if (padded == text) throw e
         spark.sql(padded)
+      case e: Throwable
+        if Option(e.getMessage)
+          .exists(_.contains("UNRESOLVED_COLUMN")) =>
+        val hoisted = hoistHavingAggregates(text)
+        if (hoisted == text) throw e
+        spark.sql(hoisted)
     }
   }
 

@@ -199,6 +199,60 @@ class ExtensionSpec extends AnyFunSuite {
       === Seq((1, 9L)))
   }
 
+  test("round-3 dialect rewrites v3: DISTINCT-prefixed identifiers, " +
+      "typed/string limits, CTE alias padding, HAVING aggregate " +
+      "hoist, jsonb aggregates") {
+    Tables.registerAll(spark, TestSpark.sf)
+    import spark.implicits._
+    // an identifier STARTING with `distinct` is not the keyword
+    Seq((1, 10), (1, 20), (2, 30)).toDF("user_id", "v")
+      .createOrReplaceTempView("distinct_users")
+    val du = PgDialect.sql(spark,
+      "SELECT distinct_users.user_id, count(1) AS ct FROM " +
+        "(SELECT user_id, v FROM distinct_users) AS distinct_users " +
+        "GROUP BY distinct_users.user_id ORDER BY 1")
+    assert(du.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      === Seq((1, 2L), (2, 1L)))
+    // PG's coerced limits: string and ::typed literals
+    assert(PgDialect.sql(spark,
+      "SELECT n_nationkey FROM nation ORDER BY 1 LIMIT '3'")
+      .count() === 3)
+    assert(PgDialect.sql(spark,
+      "SELECT n_nationkey FROM nation ORDER BY 1 " +
+        "LIMIT 3::bigint OFFSET 1::smallint")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    // CTE column-alias lists naming a prefix of the body's columns
+    // pad to full arity — syntactically and via `*` schema probe
+    val cte = PgDialect.sql(spark,
+      "WITH c (x, y) AS (SELECT n_nationkey, n_regionkey, n_name " +
+        "FROM nation) SELECT x, n_name FROM c WHERE x < 2 ORDER BY x")
+    assert(cte.columns.toSeq === Seq("x", "n_name"))
+    assert(cte.count() === 2)
+    val cteStar = PgDialect.sql(spark,
+      "WITH c (x) AS (SELECT * FROM region) " +
+        "SELECT x, r_name FROM c ORDER BY x LIMIT 2")
+    assert(cteStar.columns.toSeq === Seq("x", "r_name"))
+    // HAVING + ORDER BY aggregates over columns absent from the
+    // select list resolve via the hoist retry (PG behavior)
+    val hv = PgDialect.sql(spark,
+      "SELECT n_regionkey, count(1) AS ct FROM nation " +
+        "GROUP BY n_regionkey HAVING sum(n_nationkey) > 50 " +
+        "ORDER BY sum(n_nationkey) DESC, 1 LIMIT 3")
+    assert(hv.columns.toSeq === Seq("n_regionkey", "ct"))
+    assert(hv.count() > 0)
+    // jsonb aggregates ride the json carriers; DISTINCT object-agg
+    // emits PG-format text with duplicate keys preserved, sorted
+    Seq((2, "b"), (1, "a"), (1, "a"), (1, "c")).toDF("k", "v")
+      .createOrReplaceTempView("jt")
+    assert(PgDialect.sql(spark,
+      "SELECT jsonb_agg(k ORDER BY k) AS a FROM jt")
+      .collect()(0).getSeq[Int](0) === Seq(1, 1, 1, 2))
+    assert(PgDialect.sql(spark,
+      "SELECT json_object_agg(DISTINCT k, v) AS o FROM jt")
+      .collect()(0).getString(0)
+      === """{ "1" : "a", "1" : "c", "2" : "b" }""")
+  }
+
   test("PgSession: PREPARE/EXECUTE with $N parameters, DEALLOCATE") {
     Tables.registerAll(spark, TestSpark.sf)
     val sess = new graft.sql.PgSession(spark)

@@ -877,4 +877,94 @@ class ReferenceSqlSpec extends AnyFunSuite {
       assert(r.getLong(9) === g.getLong(9))
     }
   }
+
+  test("reference CTE-inline and nested-CTE corpora run verbatim " +
+      "(cte_inline.sql, with_nested.sql, with_set_operations.sql)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    locally {
+      import spark.implicits._
+      // cte_inline's fixture (cte_inline.sql:8-11): key = i % 10,
+      // value = 'test' || i, other_value = row_to_json(row(i, i*18,
+      // 'test' || i)) — PG names positional row fields f1/f2/f3
+      (0 to 100).map(i => (i % 10, s"test$i",
+        s"""{"f1":$i,"f2":${i * 18},"f3":"test$i"}"""))
+        .toDF("key", "value", "other_value")
+        .createOrReplaceTempView("test_table")
+      // with_nested.sql:5-6
+      Seq((0, 0), (1, 4), (1, 7), (2, 1), (3, 3), (5, 4), (6, 2),
+        (10, 7)).toDF("user_id", "event_type")
+        .createOrReplaceTempView("local_users")
+    }
+    val perFile = Seq("cte_inline.sql", "with_nested.sql",
+      "with_set_operations.sql").map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("create_reference_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("run_command") || s.contains("$Q$") ||
+          s.contains("coordinator_plan") ||
+          // data-modifying CTEs: the sources/Dml surface, not SELECT
+          s.contains("RETURNING") ||
+          s.matches("(?is)^WITH\\b.*\\)\\s*(UPDATE|DELETE|INSERT)\\b.*") ||
+          // statements that ERROR in the reference too (cte_inline.out:
+          // scalar-subquery cardinality, text→int cast) — error parity,
+          // not query surface
+          s.contains("(SELECT key FROM cte_1) FROM test_table") ||
+          s.contains("bar.value::int"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"REFFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal > 50, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("reference behavioral-analytics subquery corpus runs verbatim " +
+      "(multi_subquery_behavioral_analytics.sql: funnels, LATERAL " +
+      "joins, composite subquery pushdown)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val stmts = selectsOf("multi_subquery_behavioral_analytics.sql")
+      .filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("run_command") ||
+          // in-file DDL fixtures we don't replicate
+          s.contains("assets") || s.contains("agg_results") ||
+          // server-side test UDFs the file CREATEs (plpgsql / sql
+          // functions) — no Spark analogue to call
+          s.contains("array_index") ||
+          s.contains("volatile_func_test") ||
+          s.contains("test_join_function"))
+    var ok = 0
+    stmts.foreach { s =>
+      try { PgDialect.sql(spark, s).count(); ok += 1 }
+      catch { case e: Throwable =>
+        if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+          println("BEHAVFAIL: " +
+            s.split('\n').map(_.trim).mkString(" ").take(200) +
+            "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+      }
+    }
+    info(s"$ok/${stmts.size} behavioral-analytics statements run")
+    assert(stmts.size > 40, s"expected a large corpus, got ${stmts.size}")
+    assert(ok.toDouble / stmts.size >= 0.6,
+      s"only $ok/${stmts.size} reference statements ran")
+  }
 }
