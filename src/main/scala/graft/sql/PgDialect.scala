@@ -39,7 +39,10 @@ object PgDialect {
     "varchar" -> "STRING", "bpchar" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN",
     // no JSON type on Spark: JSON values ride as their text form
-    "json" -> "STRING", "jsonb" -> "STRING")
+    "json" -> "STRING", "jsonb" -> "STRING",
+    // PG's one interval type covers both ranges; day-time is the
+    // corpus's use ('1 day'::interval series steps)
+    "interval" -> "INTERVAL DAY TO SECOND")
 
   private def mapType(t: String): String =
     typeMap.getOrElse(t.trim.toLowerCase, t.trim)
@@ -67,6 +70,11 @@ object PgDialect {
       (s"""(?<![:\\w])(('[^']*')|("[^"]*")|([A-Za-z_][A-Za-z0-9_.]*\\($nested\\))|(\\($nested\\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\\.[0-9]+)?))""" +
         """\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""").r
     var out = sql
+    // literal '...'::interval is Spark's INTERVAL literal syntax, not
+    // a cast ('1 day'::interval series steps,
+    // custom_aggregate_support.sql:25)
+    out = """'([^']*)'\s*::\s*interval\b""".r.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(s"INTERVAL '${m.group(1)}'"))
     var changed = true
     while (changed) {
       val next = castRe.replaceAllIn(out, m => {
@@ -156,6 +164,9 @@ object PgDialect {
     s.foreach {
       case '(' => depth += 1; cur += '('
       case ')' => depth -= 1; cur += ')'
+      // PG ARRAY[...] literals nest commas behind brackets
+      case '[' => depth += 1; cur += '['
+      case ']' => depth -= 1; cur += ']'
       case ',' if depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
@@ -390,13 +401,35 @@ object PgDialect {
     // Spark carrier either way
     s = """(?i)\bjsonb_(object_agg|agg|cat_agg)\b""".r
       .replaceAllIn(s, m => "json_" + m.group(1))
-    s = """(?is)\bjson_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+    // json array length over the ARRAY carrier; PG to_jsonb(scalar)
+    // rides as the scalar's text (to_json is Spark's own fn — only
+    // the PG-specific jsonb spelling maps); json_build_array is a
+    // heterogeneous array → string-element carrier
+    s = """(?i)\bjsonb?_array_length\s*\(""".r.replaceAllIn(s, "size(")
+    s = """(?is)\bto_jsonb\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS STRING)"))
+    s = """(?is)\bjsonb?_build_array\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        "array(" + splitTopLevel(m.group(1))
+          .map(a => s"CAST($a AS STRING)").mkString(", ") + ")"))
+    // an ORDER BY inside json_object_agg only breaks duplicate-key
+    // ties in PG (later wins); the MAP carrier's LAST_WIN dedup
+    // policy covers that — strip it
+    s = """(?is)\bjson_object_agg\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
+      .replaceAllIn(s, m => {
+        val a = m.group(1)
+        val i = topLevelIndex(a, "ORDER")
+        java.util.regex.Matcher.quoteReplacement(
+          s"json_object_agg(${if (i > 0) a.substring(0, i) else a})")
+      })
+    s = """(?is)\bjson_agg\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"array_agg(${m.group(1)})"))
     // json_object_agg(DISTINCT k, v): PG emits the DISTINCT (k,v)
     // pairs sorted, KEEPING duplicate keys — no Spark map can carry
     // that, so build the PG-format JSON text directly
-    s = """(?is)\bjson_object_agg\s*\(\s*DISTINCT\s+((?:[^()]|\([^()]*\))*)\)""".r
+    s = """(?is)\bjson_object_agg\s*\(\s*DISTINCT\s+((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
       .replaceAllIn(s, m => {
         val parts = splitTopLevel(m.group(1))
         if (parts.length != 2)
@@ -407,12 +440,12 @@ object PgDialect {
             "))), e -> concat('\"', cast(e.k AS STRING), '\" : \"', " +
             "cast(e.v AS STRING), '\"')), ', '), ' }')")
       })
-    s = """(?is)\bjson_object_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+    s = """(?is)\bjson_object_agg\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"map_from_entries(array_agg(struct(${m.group(1)})))"))
     // json_cat_agg (citus's combine step for json_agg partials)
     // concatenates collected arrays like array_cat_agg
-    s = """(?is)\bjson_cat_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+    s = """(?is)\bjson_cat_agg\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"flatten(collect_list(${m.group(1)}))"))
     // citus's array_cat_agg (concatenate collected arrays, NULLs
@@ -420,6 +453,63 @@ object PgDialect {
     s = """(?is)\barray_cat_agg\s*\(((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"flatten(collect_list(${m.group(1)}))"))
+    // hll extension spellings (custom_aggregate_support.sql) → Spark's
+    // native Datasketches HLL: same binary-sketch carrier pattern.
+    // hll_sketch_agg hashes internally, so hll_hash_* are identity;
+    // hll_union_agg exists natively under the same name.
+    s = """(?i)\bhll_hash_(?:integer|bigint|smallint|text|any)\s*\(""".r
+      .replaceAllIn(s, "(")
+    s = """(?i)\bhll_add_agg\s*\(""".r.replaceAllIn(s, "hll_sketch_agg(")
+    s = """(?i)\bhll_cardinality\s*\(""".r
+      .replaceAllIn(s, "hll_sketch_estimate(")
+    // topn extension: `(topn(x, k)).*` expands the SRF's composite
+    // result — inline() over the sorted entry array is exactly that
+    s = """(?i)\btopn_add_agg\s*\(""".r.replaceAllIn(s, "__topn_add(")
+    s = """(?i)\btopn_union_agg\s*\(""".r.replaceAllIn(s, "__topn_union(")
+    s = ("""(?is)\(\s*topn\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""" +
+      """\s*\)\s*\.\s*\*""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"inline(__topn(${m.group(1)}))"))
+    // tdigest extension, arity-directed (tdigest_aggregate_support
+    // .sql): 3-arg forms build from raw values, 2-/1-arg forms
+    // re-aggregate stored digests (the rollup pattern); ARRAY
+    // quantile/value variants return arrays
+    def tdigestFamily(input: String, fname: String)(
+        build: Seq[String] => Option[String]): String =
+      (s"""(?is)\\b$fname\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)""").r
+        .replaceAllIn(input, m => {
+          val args = splitTopLevel(m.group(1)).map(_.trim)
+          java.util.regex.Matcher.quoteReplacement(
+            build(args).getOrElse(m.matched))
+        })
+    def isArr(a: String) = a.toUpperCase.startsWith("ARRAY")
+    s = tdigestFamily(s, "tdigest_percentile_of") {
+      case Seq(x, c, v) if !isArr(v) =>
+        Some(s"__digest_pct_of(__tdigest_build($x, $c), $v)")
+      case Seq(x, c, v) =>
+        Some(s"__digest_pct_of_arr(__tdigest_build($x, $c), $v)")
+      case Seq(d, v) if !isArr(v) =>
+        Some(s"__digest_pct_of(__tdigest_merge($d), $v)")
+      case Seq(d, v) =>
+        Some(s"__digest_pct_of_arr(__tdigest_merge($d), $v)")
+      case _ => None
+    }
+    s = tdigestFamily(s, "tdigest_percentile") {
+      case Seq(x, c, q) if !isArr(q) =>
+        Some(s"__digest_pct(__tdigest_build($x, $c), $q)")
+      case Seq(x, c, q) =>
+        Some(s"__digest_pct_arr(__tdigest_build($x, $c), $q)")
+      case Seq(d, q) if !isArr(q) =>
+        Some(s"__digest_pct(__tdigest_merge($d), $q)")
+      case Seq(d, q) =>
+        Some(s"__digest_pct_arr(__tdigest_merge($d), $q)")
+      case _ => None
+    }
+    s = tdigestFamily(s, "tdigest") {
+      case Seq(x, c) => Some(s"__tdigest_build($x, $c)")
+      case Seq(d) => Some(s"__tdigest_merge($d)")
+      case _ => None
+    }
     // PG ROW(...) constructor → struct (same lexicographic comparison)
     s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")
     // quantified subqueries with IN-equivalent semantics:
@@ -1163,8 +1253,49 @@ object PgDialect {
       s"WHERE ${substitute(having)} ${substitute(orderPart)} $limitPart"
   }
 
+  /** SQL-callable sketch carriers for the reference's tdigest/topn
+    * extension spellings (registered once per session, on first
+    * dialect use): digests as sorted centroid arrays, topn counters
+    * as maps — both with true partial/merge distribution via
+    * `Aggregator`, like `worker_partial_agg`/`coord_combine_agg`
+    * distributes any combinable PG aggregate. */
+  private def ensureSketchFns(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists("__tdigest_build")) {
+      import org.apache.spark.sql.functions.{udaf, udf}
+      import graft.functions.Sketches
+      import graft.functions.Sketches.{Centroid, TopEntry}
+      import org.apache.spark.sql.Row
+      spark.udf.register("__tdigest_build",
+        udaf(new Sketches.TDigestBuildAgg))
+      spark.udf.register("__tdigest_merge",
+        udaf(new Sketches.TDigestMergeAgg))
+      def cents(rows: Seq[Row]): Seq[Centroid] =
+        if (rows == null) Seq.empty
+        else rows.map(r => Centroid(r.getDouble(0), r.getLong(1)))
+      spark.udf.register("__digest_pct",
+        udf((d: Seq[Row], q: Double) =>
+          Sketches.digestQuantile(cents(d), q)))
+      spark.udf.register("__digest_pct_arr",
+        udf((d: Seq[Row], qs: Seq[Double]) =>
+          qs.map(q => Sketches.digestQuantile(cents(d), q))))
+      spark.udf.register("__digest_pct_of",
+        udf((d: Seq[Row], v: Double) => Sketches.digestCdf(cents(d), v)))
+      spark.udf.register("__digest_pct_of_arr",
+        udf((d: Seq[Row], vs: Seq[Double]) =>
+          vs.map(v => Sketches.digestCdf(cents(d), v))))
+      spark.udf.register("__topn_add", udaf(new Sketches.TopNAddAgg()))
+      spark.udf.register("__topn_union",
+        udaf(new Sketches.TopNUnionAgg()))
+      spark.udf.register("__topn",
+        udf((m: Map[String, Long], k: Int) =>
+          if (m == null) Seq.empty[TopEntry]
+          else m.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
+            .map { case (i, c) => TopEntry(i, c) }))
+    }
+
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame = {
+    ensureSketchFns(spark)
     val text = translate(pgSql)
     try spark.sql(text)
     catch {

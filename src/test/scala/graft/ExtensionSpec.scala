@@ -253,6 +253,58 @@ class ExtensionSpec extends AnyFunSuite {
       === """{ "1" : "a", "1" : "c", "2" : "b" }""")
   }
 
+  test("sketch-extension SQL surface: tdigest build/merge + " +
+      "percentile(_of), topn add/union/expand, hll spellings") {
+    Tables.registerAll(spark, TestSpark.sf)
+    import spark.implicits._
+    (1 to 1000).map(_.toDouble).toDF("v").createOrReplaceTempView("tsv")
+    // build-form percentile: median of 1..1000 within digest error
+    val med = PgDialect.sql(spark,
+      "SELECT tdigest_percentile(v, 100, 0.5) AS p FROM tsv")
+      .collect()(0).getDouble(0)
+    assert(math.abs(med - 500.0) < 15.0, s"median estimate $med")
+    // rollup pattern: store digests per group, merge + query later
+    PgDialect.sql(spark,
+      "SELECT CAST(v AS INT) % 4 AS g, tdigest(v, 100) AS tdigest " +
+        "FROM tsv GROUP BY 1").createOrReplaceTempView("tsv_rollup")
+    val med2 = PgDialect.sql(spark,
+      "SELECT tdigest_percentile(tdigest, 0.5) AS p FROM tsv_rollup")
+      .collect()(0).getDouble(0)
+    assert(math.abs(med2 - 500.0) < 25.0, s"merged median $med2")
+    val arr = PgDialect.sql(spark,
+      "SELECT tdigest_percentile(v, 100, ARRAY[0.1, 0.9]) AS p FROM tsv")
+      .collect()(0).getSeq[Double](0)
+    assert(arr.length === 2 && arr(0) < arr(1))
+    val cdf = PgDialect.sql(spark,
+      "SELECT tdigest_percentile_of(v, 100, 250.0) AS f FROM tsv")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cdf - 0.25) < 0.05, s"cdf estimate $cdf")
+    // topn: exact counts above capacity pressure; PG's composite
+    // expansion syntax (topn(agg, k)).* yields (item, frequency)
+    Seq("a", "a", "a", "b", "b", "c").toDF("s")
+      .createOrReplaceTempView("topn_src")
+    val top = PgDialect.sql(spark,
+      "SELECT (topn(topn_add_agg(s), 2)).* FROM topn_src")
+    assert(top.columns.toSeq === Seq("item", "frequency"))
+    assert(top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 3L), ("b", 2L)))
+    // union over stored maps
+    PgDialect.sql(spark,
+      "SELECT length(s) AS g, topn_add_agg(s) AS m FROM topn_src " +
+        "GROUP BY 1").createOrReplaceTempView("topn_rollup")
+    val top2 = PgDialect.sql(spark,
+      "SELECT (topn(topn_union_agg(m), 1)).* FROM topn_rollup")
+      .collect()(0)
+    assert((top2.getString(0), top2.getLong(1)) === ("a", 3L))
+    // hll extension spellings ride Spark's native Datasketches HLL
+    val hll = PgDialect.sql(spark,
+      "SELECT hll_cardinality(hll_union_agg(agg)) AS n FROM (" +
+        "SELECT hll_add_agg(hll_hash_integer(n_nationkey)) AS agg " +
+        "FROM nation GROUP BY n_regionkey) a")
+      .collect()(0).getLong(0)
+    assert(math.abs(hll - 25L) <= 1L, s"hll estimate $hll")
+  }
+
   test("PgSession: PREPARE/EXECUTE with $N parameters, DEALLOCATE") {
     Tables.registerAll(spark, TestSpark.sf)
     val sess = new graft.sql.PgSession(spark)

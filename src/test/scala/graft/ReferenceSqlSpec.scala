@@ -653,7 +653,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .createOrReplaceTempView("aggregate_type")
     val perFile = Seq("multi_complex_expressions.sql",
       "multi_array_agg.sql", "multi_json_agg.sql",
-      "multi_json_object_agg.sql", "multi_complex_count_distinct.sql",
+      "multi_json_object_agg.sql", "multi_jsonb_agg.sql",
+      "multi_jsonb_object_agg.sql", "multi_complex_count_distinct.sql",
       "bool_agg.sql", "multi_average_expression.sql",
       "multi_agg_type_conversion.sql",
       "expression_reference_join.sql").map { f =>
@@ -674,7 +675,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
         .map(_.replaceAll("(?i)\\barray_sort_citus\\s*\\(", "array_sort(")
           .replaceAll("(?i)\\bkeys_sort\\s*\\(", "(")
           .replaceAll("(?i)\\bcount_keys\\s*\\(", "size(")
-          .replaceAll("(?i)\\bjson_cat_agg\\s*\\(([^()]*)\\)",
+          .replaceAll("(?i)\\bjsonb?_cat_agg\\s*\\(([^()]*)\\)",
             "flatten(collect_list(from_json($1, 'array<string>')))"))
       val outcomes = stmts.map { s =>
         try { PgDialect.sql(spark, s).count(); true }
@@ -966,5 +967,94 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(stmts.size > 40, s"expected a large corpus, got ${stmts.size}")
     assert(ok.toDouble / stmts.size >= 0.6,
       s"only $ok/${stmts.size} reference statements ran")
+  }
+
+  test("reference sketch-extension corpora run verbatim " +
+      "(custom_aggregate_support.sql: hll/topn; " +
+      "tdigest_aggregate_support.sql) — fixtures built by replaying " +
+      "the files' own INSERT..SELECT bodies through the dialect") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // custom_aggregate_support.sql:23-31,163-170 — the fixture INSERT
+    // bodies run verbatim (generate_series over timestamps with
+    // '1 day'::interval steps); the rollup tables replay the files'
+    // own aggregation INSERTs through the sketch carriers
+    def viewOf(name: String, body: String): Unit =
+      PgDialect.sql(spark, body).createOrReplaceTempView(name)
+    viewOf("raw_table",
+      """SELECT CAST(day AS DATE) AS day, user_id % 19 AS user_id
+         FROM generate_series('2018-05-24'::timestamp,
+           '2018-06-24'::timestamp, '1 day'::interval) as f(day),
+         generate_series(1,100) as g(user_id)
+         UNION ALL
+         SELECT CAST(day AS DATE), user_id % 13
+         FROM generate_series('2018-06-10'::timestamp,
+           '2018-07-10'::timestamp, '1 day'::interval) as f(day),
+         generate_series(1,100) as g(user_id)""")
+    viewOf("daily_uniques",
+      """SELECT day, hll_add_agg(hll_hash_integer(user_id))
+           AS unique_users
+         FROM raw_table GROUP BY 1""")
+    viewOf("customer_reviews",
+      """SELECT CAST(day AS DATE) AS day, user_id % 7 AS user_id,
+           review % 5 AS review
+         FROM generate_series('2018-05-24'::timestamp,
+           '2018-06-24'::timestamp, '1 day'::interval) as f(day),
+         generate_series(1,30) as g(user_id),
+         generate_series(0,30) AS r(review)
+         UNION ALL
+         SELECT CAST(day AS DATE), user_id % 13, review % 3
+         FROM generate_series('2018-06-10'::timestamp,
+           '2018-07-10'::timestamp, '1 day'::interval) as f(day),
+         generate_series(1,30) as g(user_id),
+         generate_series(0,30) AS r(review)""")
+    viewOf("popular_reviewer",
+      """SELECT day, topn_add_agg(CAST(user_id AS STRING)) AS reviewers
+         FROM customer_reviews GROUP BY 1""")
+    // tdigest_aggregate_support.sql:23-31 — deterministic latencies
+    // (any distribution works; results are estimates, not compared)
+    viewOf("latencies",
+      """SELECT CAST(rand * 20 AS INT) AS a,
+           CAST(rand2 * 20 AS INT) AS b, rand3 * 10000.0 AS latency
+         FROM (SELECT id, sin(id) * sin(id) AS rand,
+                 cos(id) * cos(id) AS rand2,
+                 abs(sin(id * 7)) AS rand3
+               FROM range(10000))""")
+    viewOf("latencies_rollup",
+      """SELECT a, tdigest(latency, 100) AS tdigest
+         FROM latencies GROUP BY a""")
+    val perFile = Seq("custom_aggregate_support.sql",
+      "tdigest_aggregate_support.sql").map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("pg_available_extensions") ||
+          s.contains("run_command") ||
+          // psql \gset plumbing, server GUC probes, PRNG seeding
+          s.contains("$$") || s.contains("current_setting") ||
+          s.contains("setseed"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"SKETCHFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    // the one enumerated failure: a window function INSIDE a
+    // generator argument (topn(topn_add_agg(x) OVER w, 10)).* —
+    // Spark generators can't host window expressions; PG evaluates
+    // the window first. Documented engine difference.
+    assert(allTotal >= 20, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal reference statements ran")
   }
 }
