@@ -1057,4 +1057,113 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(okTotal.toDouble / allTotal >= 0.9,
       s"only $okTotal/$allTotal reference statements ran")
   }
+
+  test("the reference's CH-benCHmark corpus runs verbatim " +
+      "(chbenchmark_all_queries.sql: all 22 analytic queries on the " +
+      "file's own inline TPC-C+TPC-H fixtures; ch_benchmarks_1..6.sql " +
+      "over the same schema) — the published-evaluation workload " +
+      "(SIGMOD '21, BASELINE.md)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // the file carries its own fixtures: TPC-C tables (order_line,
+    // stock, oorder, customer, ...) built from generate_series
+    // INSERT..SELECTs plus the TPC-H dimension tables as inline VALUES
+    // (chbenchmark_all_queries.sql:12-185)
+    registerInlineFixtures("chbenchmark_all_queries.sql")
+    val chFiles = "chbenchmark_all_queries.sql" +:
+      (1 to 6).map(i => s"ch_benchmarks_$i.sql")
+    val perFile = chFiles.map { f =>
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("create_reference_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("run_command"))
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"CHFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  /** EXPLAIN-wrapped SELECTs of a regression file: the join-order and
+    * join-pruning corpora pin PLANS, not results — the statements
+    * under the EXPLAIN still have to parse, plan, and run here. */
+  private def explainSelectsOf(file: String): Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath))
+    text.linesIterator
+      .filterNot(_.trim.startsWith("--"))
+      .mkString("\n")
+      .split(";")
+      .map(_.trim)
+      .filter(_.toUpperCase.startsWith("EXPLAIN"))
+      .map(_.replaceFirst("(?is)^EXPLAIN\\s*(\\([^)]*\\))?\\s*", ""))
+      .filter(s => s.toUpperCase.startsWith("SELECT") ||
+        s.toUpperCase.startsWith("WITH"))
+      .toSeq
+  }
+
+  test("reference join-order and join-pruning corpora: the SELECTs " +
+      "under every EXPLAIN parse, plan, and execute " +
+      "(multi_join_order_tpch_small/repartition, multi_join_pruning)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the repartition variant re-loads customer/part under append-
+    // distributed names; same relations here
+    Seq("customer_append").foreach(a =>
+      spark.table("customer").createOrReplaceTempView(a))
+    Seq("part_append").foreach(a =>
+      spark.table("part").createOrReplaceTempView(a))
+    // multi_join_pruning's typed pruning tables are built in
+    // multi_partition_pruning.sql:37-108 with hand-inserted
+    // pg_dist_shard metadata (varchar / text[] / composite dist
+    // columns); the equivalent typed relations here
+    spark.sql("SELECT CAST(NULL AS STRING) AS varchar_column " +
+        "WHERE false")
+      .createOrReplaceTempView("varchar_partitioned_table")
+    spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS array_column " +
+        "WHERE false")
+      .createOrReplaceTempView("array_partitioned_table")
+    spark.sql("SELECT CAST(NULL AS STRUCT<f1: INT, f2: STRING>) " +
+        "AS composite_column WHERE false")
+      .createOrReplaceTempView("composite_partitioned_table")
+    val perFile = Seq("multi_join_order_tpch_small.sql",
+      "multi_join_order_tpch_repartition.sql",
+      "multi_join_pruning.sql").map { f =>
+      val stmts = explainSelectsOf(f)
+      val outcomes = stmts.map { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"JOFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(200) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+          false
+        }
+      }
+      (f, outcomes.count(identity), outcomes.size)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 10, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
 }
