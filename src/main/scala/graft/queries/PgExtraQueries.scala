@@ -220,6 +220,54 @@ object PgExtraQueries extends QueryModule {
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** PG `CREATE FUNCTION` + `CREATE AGGREGATE` through PgSession
+    * ([[graft.sql.UserAggregates]]) — the reference's user-defined-
+    * aggregate distribution surface (`AGGREGATE_CUSTOM_COMBINE` /
+    * `ROW_GATHER`, multi_logical_optimizer.c:2165-2192,1652-1708;
+    * corpus aggregate_support.sql). The session defines sum2 (initcond
+    * fold + finalfunc ×2) and a strict first-value aggregate (NULL
+    * initcond seeds state from the first input, ORDER BY inside the
+    * call), then runs them with and without FILTER; DuckDB computes
+    * the closed forms. */
+  private val createAggregate = GraftQuery(
+    "pg_create_aggregate",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val sess = new graft.sql.PgSession(s)
+      Seq(
+        """create function s2_sfunc(state bigint, x bigint)
+           returns bigint immutable language plpgsql as $$
+           begin return state + x; end; $$""",
+        """create function s2_final(state bigint)
+           returns bigint immutable language plpgsql as $$
+           begin return state * 2; end; $$""",
+        """create function fv_sfunc(state int, x int)
+           returns int immutable strict language plpgsql as $$
+           begin return state; end; $$""",
+        """create aggregate sum2 (bigint) (sfunc = s2_sfunc,
+             stype = bigint, finalfunc = s2_final,
+             combinefunc = s2_sfunc, initcond = '0')""",
+        """create aggregate firstv (int) (sfunc = fv_sfunc,
+             stype = int, combinefunc = fv_sfunc)""")
+        .foreach(sess.execute)
+      sess.execute(
+        """SELECT l_returnflag,
+             sum2(l_quantity::bigint) AS doubled_qty,
+             sum2(l_quantity::bigint)
+               filter (where l_discount > 0.05) AS doubled_qty_hi,
+             firstv(l_suppkey::int
+               ORDER BY l_orderkey, l_linenumber) AS first_supp
+           FROM lineitem GROUP BY 1 ORDER BY 1""").get
+    },
+    Some("""SELECT l_returnflag,
+        CAST(2 * SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          AS doubled_qty,
+        CAST(2 * SUM(CAST(l_quantity AS BIGINT))
+          FILTER (WHERE l_discount > 0.05) AS BIGINT) AS doubled_qty_hi,
+        CAST(FIRST(CAST(l_suppkey AS INT)
+          ORDER BY l_orderkey, l_linenumber) AS INT) AS first_supp
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   /** string_agg(DISTINCT x ORDER BY x) — PG's distinct ordered
     * aggregate ≙ sorted collect_set joined (dedup before format,
     * order-free partials). */
@@ -395,6 +443,6 @@ object PgExtraQueries extends QueryModule {
 
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
-      dialectRoundtrip, jsonOps, stringAggDistinct, histogram,
-      refVerbatim, refVerbatimWin, refVerbatimQuant)
+      dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
+      histogram, refVerbatim, refVerbatimWin, refVerbatimQuant)
 }

@@ -37,6 +37,7 @@ object PgDialect {
     "float4" -> "FLOAT", "float8" -> "DOUBLE",
     "numeric" -> "DECIMAL(38,18)", "text" -> "STRING",
     "varchar" -> "STRING", "bpchar" -> "STRING",
+    "character" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN",
     // no JSON type on Spark: JSON values ride as their text form
     "json" -> "STRING", "jsonb" -> "STRING",
@@ -75,6 +76,20 @@ object PgDialect {
     // custom_aggregate_support.sql:25)
     out = """'([^']*)'\s*::\s*interval\b""".r.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(s"INTERVAL '${m.group(1)}'"))
+    // two-word PG type names fold to their one-word spellings before
+    // the single-word cast pass
+    out = """(?i)::\s*character\s+varying\b""".r.replaceAllIn(out, "::varchar")
+    out = """(?i)::\s*double\s+precision\b""".r.replaceAllIn(out, "::double")
+    // `agg(x) FILTER (WHERE p)::type` — PG binds the cast to the whole
+    // filtered aggregate (aggregate_support.sql:279-300); the generic
+    // pass below would otherwise take `(WHERE p)` as the operand
+    val filterCastRe =
+      (s"""(?is)([A-Za-z_][A-Za-z0-9_.]*\\s*\\($nested\\)\\s*""" +
+        s"""filter\\s*\\(\\s*where\\s+$nested\\))""" +
+        """\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""").r
+    out = filterCastRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"CAST(${m.group(1)} AS ${mapType(m.group(2))})"))
     var changed = true
     while (changed) {
       val next = castRe.replaceAllIn(out, m => {
@@ -640,6 +655,27 @@ object PgDialect {
     s = """(?is)\bDISTINCT\s+([A-Za-z_]\w*)\.\*""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"DISTINCT struct(${m.group(1)}.*)"))
+    // PG whole-row reference by bare relation name:
+    // `count(distinct aggdata)` over FROM aggdata
+    locally {
+      val src = s
+      s = """(?is)\bcount\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)""".r
+        .replaceAllIn(s, m => {
+          val n = m.group(1)
+          if (("""(?i)\b(?:from|join)\s+""" + n + """\b""").r
+              .findFirstIn(src).isDefined)
+            java.util.regex.Matcher.quoteReplacement(
+              s"count(DISTINCT struct($n.*))")
+          else m.matched
+        })
+    }
+    // PG permits GROUPING() under a plain GROUP BY (constant 0 — the
+    // row is always fully grouped); Spark only under
+    // rollup/cube/grouping sets
+    if ("""(?i)\b(rollup|cube|grouping\s+sets)\b""".r
+        .findFirstIn(s).isEmpty)
+      s = """(?is)\bgrouping\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+        .replaceAllIn(s, "0")
     // isfinite: no infinity timestamps/dates on Spark — finite unless
     // NULL
     s = """(?is)\bisfinite\s*\(((?:[^()]|\([^()]*\))*)\)""".r
@@ -654,6 +690,31 @@ object PgDialect {
         java.util.regex.Matcher.quoteReplacement(
           if (k.equalsIgnoreCase(v)) s"array_sort(collect_set($v))"
           else m.matched)
+      })
+    // `string_agg([DISTINCT] v, 'd' ORDER BY k)` (+ optional FILTER):
+    // PG's in-call ordered string aggregation → sorted collect +
+    // array_join (which, like PG, skips NULL elements). DISTINCT
+    // accepts only k ≡ v, as PG does.
+    s = ("""(?is)\bstring_agg\s*\(\s*DISTINCT\s+((?:[^(),]|\([^()]*\))+?)\s*,\s*([^,()]+?)\s+ORDER\s+BY\s+((?:[^(),]|\([^()]*\))+?)\s*\)""" +
+      """(?:\s*filter\s*\(\s*where\s+((?:[^()]|\([^()]*\))*)\))?""").r
+      .replaceAllIn(s, m => {
+        val (v, d, k) = (m.group(1).trim, m.group(2).trim, m.group(3).trim)
+        val vv = Option(m.group(4))
+          .map(p => s"CASE WHEN $p THEN $v END").getOrElse(v)
+        java.util.regex.Matcher.quoteReplacement(
+          if (k.equalsIgnoreCase(v))
+            s"array_join(array_sort(collect_set($vv)), $d)"
+          else m.matched)
+      })
+    s = ("""(?is)\bstring_agg\s*\(\s*((?:[^(),]|\([^()]*\))+?)\s*,\s*([^,()]+?)\s+ORDER\s+BY\s+((?:[^(),]|\([^()]*\))+?)\s*\)""" +
+      """(?:\s*filter\s*\(\s*where\s+((?:[^()]|\([^()]*\))*)\))?""").r
+      .replaceAllIn(s, m => {
+        val (v, d, k) = (m.group(1).trim, m.group(2).trim, m.group(3).trim)
+        val vv = Option(m.group(4))
+          .map(p => s"CASE WHEN $p THEN $v END").getOrElse(v)
+        java.util.regex.Matcher.quoteReplacement(
+          s"array_join(transform(array_sort(collect_list(" +
+            s"struct($k AS __k, $vv AS __v))), __s -> __s.__v), $d)")
       })
     // ordered array_agg: `array_agg(v ORDER BY k1 [ASC|DESC] [NULLS
     // FIRST|LAST], ...)` → sort the collected (keys, value) structs,
@@ -982,14 +1043,40 @@ object PgDialect {
         java.util.regex.Matcher.quoteReplacement(s"`${m.group(1)}`"))
     }
 
+  /** PG datetime `to_char(ts, 'YYYYMMDD')` → `date_format` with the
+    * pattern translated to java-time tokens (Spark's `to_char` covers
+    * numbers; its datetime pattern letters differ — 'Y' is week-year
+    * there). Fires only when the literal carries PG datetime tokens,
+    * so numeric to_char rides through untouched. */
+  def rewriteToChar(sql: String): String = {
+    val arg = """((?:[^()']|'[^']*'|\([^()]*\))*)"""
+    val re = ("""(?is)\bto_char\s*\(""" + arg + """,\s*'([^']*)'\s*\)""").r
+    re.replaceAllIn(sql, m => {
+      val fmt = m.group(2)
+      if ("""(?i)YYYY|DD|HH24|HH12|Mon|Day|Dy|\bMI\b""".r
+          .findFirstIn(fmt).isEmpty) m.matched
+      else {
+        val j = fmt
+          .replace("HH24", "\u0001").replace("HH12", "hh")
+          .replace("HH", "hh").replace("\u0001", "HH")
+          .replace("YYYY", "yyyy").replace("DD", "dd")
+          .replace("MI", "mm").replace("SS", "ss")
+          .replace("Month", "MMMM").replace("Mon", "MMM")
+          .replace("Day", "EEEE").replace("Dy", "EEE")
+        java.util.regex.Matcher.quoteReplacement(
+          s"date_format(${m.group(1).trim}, '$j')")
+      }
+    })
+  }
+
   def translate(sql: String): String = {
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
-      rewriteILike(rewritePgLimits(rewriteFnNames(
-        rewriteDistinctOn(rewriteNamedWindows(scoped)))))))))
+      rewriteILike(rewritePgLimits(rewriteFnNames(rewriteToChar(
+        rewriteDistinctOn(rewriteNamedWindows(scoped))))))))))
   }
 
   /** PG column-alias lists on FROM items may rename just a PREFIX of

@@ -20,6 +20,13 @@ class PgSession(spark: SparkSession) {
   private val prepared =
     collection.mutable.Map[String, String]()
 
+  /** CREATE FUNCTION / CREATE AGGREGATE surface ([[UserAggregates]]):
+    * session-scoped like PG's schema objects in a test schema. */
+  private val userAggs = new UserAggregates.Registry
+
+  /** Registered user-defined aggregate names (introspection). */
+  def userAggregateNames: Seq[String] = userAggs.aggregateNames
+
   /** citus GUCs with a graft analogue: SETting them drives the
     * corresponding opt-in optimizer rule (GraftExtensions), exactly
     * as the GUC drives the reference's planner. Other SET/RESET keys
@@ -80,6 +87,10 @@ class PgSession(spark: SparkSession) {
     case resetRe(key) =>
       gucMap.get(key.toLowerCase).foreach(spark.conf.unset)
       None
+    // other SET shapes (SET ROLE, SET SESSION AUTHORIZATION, ...) are
+    // PG session noise with no graft analogue
+    case s if s.toUpperCase.startsWith("SET ") ||
+        s.toUpperCase.startsWith("RESET ") => None
     case prepareRe(name, body) =>
       prepared(name.toLowerCase) = body.trim
       None
@@ -94,13 +105,14 @@ class PgSession(spark: SparkSession) {
           java.util.regex.Matcher.quoteReplacement(s"(${args(i - 1)})")
         else m.matched
       })
-      Some(PgDialect.sql(spark, spliced))
+      Some(PgDialect.sql(spark, userAggs.rewrite(spliced)))
     case deallocRe(name) =>
       if (name.equalsIgnoreCase("ALL")) prepared.clear()
       else prepared.remove(name.toLowerCase)
       None
+    case ddl if userAggs.handle(ddl) => None
     case other =>
-      Some(PgDialect.sql(spark, other))
+      Some(PgDialect.sql(spark, userAggs.rewrite(other)))
   }
 
   /** The stored body of a prepared statement, if any. */

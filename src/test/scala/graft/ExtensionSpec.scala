@@ -305,6 +305,101 @@ class ExtensionSpec extends AnyFunSuite {
     assert(math.abs(hll - 25L) <= 1L, s"hll estimate $hll")
   }
 
+  test("PgSession: CREATE FUNCTION / CREATE AGGREGATE surface — " +
+      "strict and non-strict transition fns, initcond, finalfunc, " +
+      "FILTER/DISTINCT/ORDER BY call forms (aggregate_support.sql " +
+      "semantics)") {
+    import spark.implicits._
+    val sess = new graft.sql.PgSession(spark)
+    // aggregate_support.sql:11-48 — sum2 doubles the sum via finalfunc;
+    // the strict twin skips NULLs and seeds state from the first value
+    Seq(
+      """create function sum2_sfunc_strict(state int, x int)
+         returns int immutable strict language plpgsql as $$
+         begin return state + x;
+         end; $$""",
+      """create function sum2_finalfunc_strict(state int)
+         returns int immutable strict language plpgsql as $$
+         begin return state * 2;
+         end; $$""",
+      """create function sum2_sfunc(state int, x int)
+         returns int immutable language plpgsql as $$
+         begin return state + x;
+         end; $$""",
+      """create function sum2_finalfunc(state int)
+         returns int immutable language plpgsql as $$
+         begin return state * 2;
+         end; $$""",
+      """create aggregate sum2 (int) (
+           sfunc = sum2_sfunc, stype = int,
+           finalfunc = sum2_finalfunc, combinefunc = sum2_sfunc,
+           initcond = '0')""",
+      """create aggregate sum2_strict (int) (
+           sfunc = sum2_sfunc_strict, stype = int,
+           finalfunc = sum2_finalfunc_strict,
+           combinefunc = sum2_sfunc_strict)""",
+      // polymorphic first/last (aggregate_support.sql:330-350)
+      """CREATE OR REPLACE FUNCTION first_agg(anyelement, anyelement)
+         RETURNS anyelement AS $$
+           SELECT CASE WHEN $1 IS NULL THEN $2 ELSE $1 END;
+         $$ LANGUAGE SQL STABLE""",
+      """CREATE AGGREGATE first (sfunc = first_agg,
+           basetype = anyelement, stype = anyelement,
+           combinefunc = first_agg)""")
+      .foreach(s => assert(sess.execute(s).isEmpty))
+    assert(sess.userAggregateNames.toSet ===
+      Set("sum2", "sum2_strict", "first"))
+    // aggdata rows for keys 1 and 2 (aggregate_support.sql:112):
+    // key 1 carries a NULL val
+    Seq((1, 1, Some(2), 11.2), (2, 1, None, 2.1), (3, 2, Some(2), 3.22),
+      (4, 2, Some(3), 4.23), (5, 2, Some(5), 5.25))
+      .toDF("id", "key", "val", "valf")
+      .createOrReplaceTempView("aggdata_ua")
+    val r = sess.execute(
+      "select key, sum2(val), sum2_strict(val) " +
+        "from aggdata_ua group by key order by key").get.collect()
+    // PG: non-strict sum2 hits NULL state on key 1 → NULL; strict
+    // twin skips the NULL row → 2*2=4. Key 2: both 2*(2+3+5)=20.
+    assert(r.map(x => (x.getInt(0),
+      Option(x.get(1)), Option(x.get(2)))).toSeq ===
+      Seq((1, None, Some(4)), (2, Some(20), Some(20))))
+    // FILTER: only vals with valf < 5 fold in. Key 1's sole surviving
+    // row has val NULL — the non-strict transition poisons the state
+    // (0 + NULL = NULL), exactly PG's result.
+    val f = sess.execute(
+      "select key, sum2(val) filter (where valf < 5) " +
+        "from aggdata_ua group by key order by key").get.collect()
+    assert(f.map(x => (x.getInt(0), Option(x.get(1)))).toSeq ===
+      Seq((1, None), (2, Some(10))))
+    // DISTINCT + ORDER BY forms execute; first(val ORDER BY id)
+    val fo = sess.execute(
+      "select key, first(val ORDER BY id), sum2(distinct val) " +
+        "from aggdata_ua group by key order by key").get.collect()
+    assert(fo.map(x => (x.getInt(0), Option(x.get(1)))).toSeq ===
+      Seq((1, Some(2)), (2, Some(2))))
+    // binstragg (aggregate_support.sql:301-320): 3-arg CASE-chain
+    // transition over two text columns, no initcond, non-strict
+    Seq(
+      """create function binstragg_sfunc(s text, e1 text, e2 text)
+         returns text immutable language plpgsql as $$
+         begin case when coalesce(e1,'') > coalesce(s,'') and coalesce(e1,'') > coalesce(e2,'') then return e1;
+                    when coalesce(e2,'') > coalesce(s,'') and coalesce(e2,'') > coalesce(e1,'') then return e2;
+                    else return s;
+               end case;
+         end; $$""",
+      """create aggregate binstragg(text, text)(
+           sfunc=binstragg_sfunc, combinefunc=binstragg_combinefunc,
+           stype=text)""")
+      .foreach(s => assert(sess.execute(s).isEmpty))
+    Seq((1, "aaaa", "bbbb"), (2, "cccc", "dddd"), (3, "zzzz", "yyyy"))
+      .toDF("id", "col1", "col2").createOrReplaceTempView("txttbl_ua")
+    assert(sess.execute("select binstragg(col1, col2) from txttbl_ua")
+      .get.collect()(0).getString(0) === "zzzz")
+    // DROP removes the surface
+    sess.execute("DROP AGGREGATE sum2 (int)")
+    assert(!sess.userAggregateNames.contains("sum2"))
+  }
+
   test("PgSession: PREPARE/EXECUTE with $N parameters, DEALLOCATE") {
     Tables.registerAll(spark, TestSpark.sf)
     val sess = new graft.sql.PgSession(spark)
