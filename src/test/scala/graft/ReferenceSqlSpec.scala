@@ -242,14 +242,21 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // PG declarative partitioning: children are physical layout but
     // also directly queryable — register them as range-filtered views
     // of the parent (union_pushdown.sql:6-31)
-    val partByRe = """(?is)PARTITION\s+BY\s+RANGE\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$""".r
+    val partByRe = """(?is)PARTITION\s+BY\s+(?:RANGE|LIST)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$""".r
     val partOfRe =
       ("""(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+""" +
-        """PARTITION\s+OF\s+([A-Za-z_][\w.]*)\s+FOR\s+VALUES\s+""" +
+        """PARTITION\s+OF\s+([A-Za-z_][\w.]*)\s*(?:\([^)]*\)\s*)?\s*FOR\s+VALUES\s+""" +
         """FROM\s*\(\s*(-?\d+)\s*\)\s*TO\s*\(\s*(-?\d+)\s*\)\s*$""").r
+    val partInRe =
+      ("""(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+""" +
+        """PARTITION\s+OF\s+([A-Za-z_][\w.]*)\s*(?:\([^)]*\)\s*)?\s*FOR\s+VALUES\s+""" +
+        """IN\s*\(([^)]*)\)\s*$""").r
     val partCol = collection.mutable.Map[String, String]()
     val partChildren =
       collection.mutable.Buffer[(String, String, Long, Long)]()
+    // LIST-partition children: (child, parent, IN-list text)
+    val partListChildren =
+      collection.mutable.Buffer[(String, String, String)]()
     val likeRe = """(?is)^\s*LIKE\s+([A-Za-z_][\w.]*).*$""".r
     val insertRe =
       """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
@@ -262,6 +269,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     stmts.foreach { stmt => stmt match {
       case partOfRe(child, parent, lo, hi) =>
         partChildren += ((strip(child), strip(parent), lo.toLong, hi.toLong))
+      case partInRe(child, parent, values) =>
+        partListChildren += ((strip(child), strip(parent), values))
       // CTAS materializes immediately (the source tables must already
       // be registered — behavioral fixtures, earlier creates)
       case ctasRe(name, body) =>
@@ -327,6 +336,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
         spark.table(parent)
           .filter(col(c) >= lo && col(c) < hi)
           .createOrReplaceTempView(child)
+    }
+    partListChildren.foreach { case (child, parent, values) =>
+      for (c <- partCol.get(parent) if schemas.contains(parent))
+        try spark.table(parent)
+          .filter(expr(s"$c IN ($values)"))
+          .createOrReplaceTempView(child)
+        catch { case _: Throwable => () }
     }
     // (materialized) views replay once the base tables exist; ones over
     // server catalogs (pg_database etc.) have no analogue and skip
@@ -513,8 +529,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
     registerInlineFixtures("multi_router_planner.sql")
     registerInlineFixtures("multi_simple_queries.sql")
     registerInlineFixtures("values.sql")
+    // the fast-path variant (fast_path_router_planner.c) re-creates
+    // the articles fixtures under _hash/_range/_append names
+    registerInlineFixtures("multi_router_planner_fast_path.sql")
     val perFile = Seq("multi_router_planner.sql",
-      "multi_simple_queries.sql", "values.sql").map { f =>
+      "multi_simple_queries.sql", "values.sql",
+      "multi_router_planner_fast_path.sql").map { f =>
       val stmts = selectsOf(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("create_reference_table") ||
