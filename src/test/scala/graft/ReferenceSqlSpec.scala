@@ -1258,6 +1258,212 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  /** SEQUENTIAL corpus replay — the pg_regress execution model: each
+    * statement runs in file order against live state, so interleaved
+    * CREATE / INSERT / TRUNCATE / DROP / query sequences behave as
+    * they do in the reference harness (the one-shot fixture loader
+    * only sees a file's final shape). `COPY ... FROM STDIN` inline
+    * data blocks convert to INSERT VALUES. Returns (ok, ran) over the
+    * query statements that pass `keep`. */
+  private def replayFile(file: String, tag: String,
+      keep: String => Boolean): (Int, Int) = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath))
+    // COPY t [(cols)] FROM STDIN ...; <rows> \. → INSERT INTO t VALUES
+    val copyRe =
+      ("""(?is)COPY\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN""" +
+        """[^;\n]*;\s*\n(.*?)\n\\\.""").r
+    val converted = copyRe.replaceAllIn(raw, m => {
+      val body = m.group(3)
+      val sep = if (body.contains("\t")) "\t" else ","
+      val rows = body.linesIterator.filter(_.trim.nonEmpty).map { ln =>
+        "(" + ln.split(sep, -1).map(v =>
+          if (v.isEmpty || v == "\\N") "NULL"
+          else "'" + v.replace("'", "''") + "'").mkString(", ") + ")"
+      }.mkString(", ")
+      val cols = Option(m.group(2)).map(c => s" ($c)").getOrElse("")
+      java.util.regex.Matcher.quoteReplacement(
+        if (rows.isEmpty) " "
+        else s"INSERT INTO ${m.group(1)}$cols VALUES $rows;")
+    })
+    val stmts = converted
+      // psql meta: `\gset` ends its statement; other backslash
+      // commands are client-side noise
+      .replace("\\gset", ";")
+      .linesIterator
+      .filterNot(_.trim.startsWith("--"))
+      .filterNot(_.trim.startsWith("\\"))
+      .mkString("\n")
+      .split(";").map(_.trim).filter(_.nonEmpty)
+
+    // live state: declared schemas + accumulated data per table
+    def splitTop(s: String): Seq[String] = {
+      val out = collection.mutable.Buffer[String]()
+      var depth = 0; var cur = new StringBuilder
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 =>
+          out += cur.toString; cur = new StringBuilder
+        case c => cur += c
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    def sparkType(pg: String): String = {
+      val t = pg.trim.toLowerCase
+      if (t.startsWith("bigint") || t.startsWith("int8") ||
+        t.startsWith("bigserial")) "BIGINT"
+      else if (t.startsWith("smallint") || t.startsWith("int2")) "SMALLINT"
+      else if (t.startsWith("int") || t.startsWith("serial")) "INT"
+      else if (t.startsWith("real") || t.startsWith("float4")) "FLOAT"
+      else if (t.startsWith("double") || t.startsWith("float")) "DOUBLE"
+      else if (t.startsWith("numeric") || t.startsWith("decimal"))
+        "DECIMAL(20,4)"
+      else if (t.startsWith("bool")) "BOOLEAN"
+      else if (t.startsWith("date")) "DATE"
+      else if (t.startsWith("timestamp")) "TIMESTAMP"
+      else "STRING"
+    }
+    val constraintKw = Set("primary", "unique", "check", "constraint",
+      "foreign", "exclude")
+    val schemas =
+      collection.mutable.LinkedHashMap[String, Seq[(String, String)]]()
+    val data = collection.mutable.Map[String,
+      Option[org.apache.spark.sql.DataFrame]]()
+    def strip(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
+    def emptyOf(name: String): org.apache.spark.sql.DataFrame =
+      spark.range(0).select(schemas(name).map { case (n2, t2) =>
+        lit(null).cast(t2).as(n2) }: _*)
+    def register(name: String): Unit =
+      data.get(name).flatten.getOrElse(emptyOf(name))
+        .createOrReplaceTempView(name)
+
+    val createRe =
+      """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)[^)]*$""".r
+    val ctasRe =
+      """(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+((?:SELECT|WITH)\s.*)$""".r
+    val viewRe =
+      """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
+    val insertRe =
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
+    val truncateRe = """(?is)^TRUNCATE\s+(?:TABLE\s+)?(.+)$""".r
+    val dropRe =
+      """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)(?:\s+CASCADE)?\s*$""".r
+
+    var ok = 0; var ran = 0
+    stmts.foreach { stmt =>
+      stmt match {
+        case createRe(name, body) =>
+          val cols = splitTop(body).flatMap { it =>
+            val parts = it.trim.split("\\s+", 2)
+            if (parts.length < 2 ||
+              constraintKw.contains(parts(0).toLowerCase)) None
+            else Some(parts(0) -> sparkType(parts(1)))
+          }
+          if (cols.nonEmpty) {
+            schemas(strip(name)) = cols
+            data(strip(name)) = None
+            register(strip(name))
+          }
+        case ctasRe(name, body) =>
+          try PgDialect.sql(spark, body)
+            .createOrReplaceTempView(strip(name))
+          catch { case _: Throwable => () }
+        case viewRe(name, body) =>
+          try PgDialect.sql(spark, body)
+            .createOrReplaceTempView(strip(name))
+          catch { case _: Throwable => () }
+        case insertRe(name, colList, rest)
+            if schemas.contains(strip(name)) =>
+          val n = strip(name)
+          val schema = schemas(n)
+          val given = Option(colList)
+            .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+            .getOrElse(schema.map(_._1.toLowerCase))
+          try {
+            val src =
+              if (rest.toUpperCase.startsWith("VALUES")) {
+                val tuples = rest.substring("VALUES".length).trim
+                val vcols = given.indices.map(i => s"__c$i")
+                PgDialect.sql(spark,
+                  s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
+              } else PgDialect.sql(spark, rest)
+            val srcCols = src.columns
+            val proj = schema.map { case (cn, ct) =>
+              val i = given.indexOf(cn.toLowerCase)
+              if (i >= 0 && i < srcCols.length)
+                col("`" + srcCols(i) + "`").cast(ct).as(cn)
+              else lit(null).cast(ct).as(cn)
+            }
+            val batch = src.select(proj: _*)
+            data(n) = Some(data.get(n).flatten
+              .map(_.unionAll(batch)).getOrElse(batch))
+            register(n)
+          } catch { case _: Throwable => () }
+        case truncateRe(names) =>
+          splitTop(names).map(strip).foreach { n =>
+            if (schemas.contains(n)) { data(n) = None; register(n) }
+          }
+        case dropRe(names) =>
+          splitTop(names).map(strip).foreach { n =>
+            schemas.remove(n); data.remove(n)
+            spark.catalog.dropTempView(n)
+          }
+        case q if (q.toUpperCase.startsWith("SELECT") ||
+            q.toUpperCase.startsWith("WITH")) && keep(q) =>
+          ran += 1
+          try { PgDialect.sql(spark, q).count(); ok += 1 }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"$tag[$file]: " +
+                q.split('\n').map(_.trim).mkString(" ").take(180) +
+                "  => " + Option(e.getMessage)
+                  .getOrElse(e.getClass.getName)
+                  .linesIterator.filter(_.nonEmpty)
+                  .take(1).mkString.take(140))
+          }
+        case _ => ()
+      }
+    }
+    (ok, ran)
+  }
+
+  test("sequential replay of DML-interleaved corpora — pg_regress " +
+      "execution order (insert_select_repartition.sql, " +
+      "subquery_append.sql, multi_cross_shard.sql): INSERT..SELECT " +
+      "repartitioning lands in live state the later queries read") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("create_distributed_function") &&
+        !s.contains("master_") && !s.contains("citus_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("dist_stat_activity") &&
+        !s.contains("create_range_partitioned_shards") &&
+        // EXPLAIN-helper wrappers around prepared plans
+        !s.contains("coordinator_plan") && !s.contains("$Q$") &&
+        !s.contains("$$") &&
+        // data-modifying CTEs (WITH ... INSERT/DELETE ... RETURNING):
+        // sources/Dml is the batch analogue, the SQL spelling has no
+        // Spark form
+        !s.contains("RETURNING") &&
+        !s.matches("(?is)^WITH\\b.*\\bINSERT\\s+INTO\\b.*")
+    val perFile = Seq("insert_select_repartition.sql",
+      "subquery_append.sql", "multi_cross_shard.sql").map { f =>
+      val (ok, ran) = replayFile(f, "REPLAYFAIL", keep)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.7,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   /** All statements of a regression file, split on `;` with dollar-
     * quoted bodies (`$$ ... $$`, `$tag$ ... $tag$`) and string
     * literals protected — CREATE FUNCTION files need this. */
