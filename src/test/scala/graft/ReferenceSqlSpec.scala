@@ -1265,8 +1265,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * only sees a file's final shape). `COPY ... FROM STDIN` inline
     * data blocks convert to INSERT VALUES. Returns (ok, ran) over the
     * query statements that pass `keep`. */
+  /** Replay state shared across files — a fixture file's CREATEs feed
+    * the corpus files' INSERTs (the reference splits them the same
+    * way: *_create_table.sql + query files in one schedule). */
+  private class ReplayState {
+    val schemas = collection.mutable
+      .LinkedHashMap[String, Seq[(String, String)]]()
+    val data = collection.mutable
+      .Map[String, Option[org.apache.spark.sql.DataFrame]]()
+  }
+
   private def replayFile(file: String, tag: String,
-      keep: String => Boolean): (Int, Int) = {
+      keep: String => Boolean,
+      state: ReplayState = new ReplayState): (Int, Int) = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
     // COPY t [(cols)] FROM STDIN ...; <rows> \. → INSERT INTO t VALUES
@@ -1327,10 +1338,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     }
     val constraintKw = Set("primary", "unique", "check", "constraint",
       "foreign", "exclude")
-    val schemas =
-      collection.mutable.LinkedHashMap[String, Seq[(String, String)]]()
-    val data = collection.mutable.Map[String,
-      Option[org.apache.spark.sql.DataFrame]]()
+    val schemas = state.schemas
+    val data = state.data
     def strip(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
     def emptyOf(name: String): org.apache.spark.sql.DataFrame =
       spark.range(0).select(schemas(name).map { case (n2, t2) =>
@@ -1381,14 +1390,29 @@ class ReferenceSqlSpec extends AnyFunSuite {
           val given = Option(colList)
             .map(_.split(",").map(_.trim.toLowerCase).toSeq)
             .getOrElse(schema.map(_._1.toLowerCase))
+          // a SELECT-bodied INSERT is query surface (the reference's
+          // INSERT..SELECT pushdown/repartition corpus) — count it
+          val counted = !rest.toUpperCase.startsWith("VALUES") &&
+            keep(stmt)
+          if (counted) ran += 1
+          // ON CONFLICT (cols) DO NOTHING ≙ dedupe the batch on the
+          // conflict key and anti-join the existing rows (the
+          // sources/Dml.insertOnConflictDoNothing semantics)
+          val conflictRe =
+            """(?is)^(.*?)\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+NOTHING\s*$""".r
+          val (restBody, conflictCols) = rest match {
+            case conflictRe(b, cs) =>
+              (b, cs.split(",").map(_.trim.toLowerCase).toSeq)
+            case _ => (rest, Seq.empty[String])
+          }
           try {
             val src =
-              if (rest.toUpperCase.startsWith("VALUES")) {
-                val tuples = rest.substring("VALUES".length).trim
+              if (restBody.toUpperCase.startsWith("VALUES")) {
+                val tuples = restBody.substring("VALUES".length).trim
                 val vcols = given.indices.map(i => s"__c$i")
                 PgDialect.sql(spark,
                   s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
-              } else PgDialect.sql(spark, rest)
+              } else PgDialect.sql(spark, restBody)
             val srcCols = src.columns
             val proj = schema.map { case (cn, ct) =>
               val i = given.indexOf(cn.toLowerCase)
@@ -1396,11 +1420,27 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 col("`" + srcCols(i) + "`").cast(ct).as(cn)
               else lit(null).cast(ct).as(cn)
             }
-            val batch = src.select(proj: _*)
+            var batch = src.select(proj: _*)
+            if (conflictCols.nonEmpty) {
+              batch = batch.dropDuplicates(conflictCols)
+              data.get(n).flatten.foreach(existing =>
+                batch = batch.join(
+                  existing.select(conflictCols.map(col): _*),
+                  conflictCols, "left_anti"))
+            }
             data(n) = Some(data.get(n).flatten
               .map(_.unionAll(batch)).getOrElse(batch))
             register(n)
-          } catch { case _: Throwable => () }
+            if (counted) ok += 1
+          } catch { case e: Throwable =>
+            if (counted && sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"$tag[$file]: " +
+                stmt.split('\n').map(_.trim).mkString(" ").take(180) +
+                "  => " + Option(e.getMessage)
+                  .getOrElse(e.getClass.getName)
+                  .linesIterator.filter(_.nonEmpty)
+                  .take(1).mkString.take(140))
+          }
         case truncateRe(names) =>
           splitTop(names).map(strip).foreach { n =>
             if (schemas.contains(n)) { data(n) = None; register(n) }
@@ -1460,6 +1500,45 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.7,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of the INSERT..SELECT behavioral corpora " +
+      "(multi_insert_select_window.sql, " +
+      "multi_insert_select_non_pushable_queries.sql, " +
+      "insert_select_into_local_table.sql) — window-function and " +
+      "funnel INSERT bodies land in live agg tables the stat " +
+      "queries then read") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // the shared fixture file declares the agg_results* target tables;
+    // the real users/events data then overlays the empty CREATEs
+    val st = new ReplayState
+    replayFile("multi_behavioral_analytics_create_table.sql",
+      "REPLAYFAIL", _ => false, st)
+    registerBehavioralFixtures()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("master_") && !s.contains("citus_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("coordinator_plan") && !s.contains("$Q$") &&
+        !s.contains("$$") && !s.contains("RETURNING") &&
+        !s.contains("nextval") &&
+        !s.contains("alter_table_set_access_method") &&
+        !s.contains("undistribute_table") &&
+        !s.matches("(?is)^WITH\\b.*\\bINSERT\\s+INTO\\b.*")
+    val perFile = Seq("multi_insert_select_window.sql",
+      "multi_insert_select_non_pushable_queries.sql",
+      "insert_select_into_local_table.sql").map { f =>
+      val (ok, ran) = replayFile(f, "ISFAIL", keep, st)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.7,
       s"only $okTotal/$allTotal reference statements ran")
   }
