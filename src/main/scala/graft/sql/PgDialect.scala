@@ -401,6 +401,13 @@ object PgDialect {
     // constant ordering reproduces that
     s = """(?is)\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(\s*\)\s*OVER\s*\(\s*\)""".r
       .replaceAllIn(s, m => s"${m.group(1)}() OVER (ORDER BY 1)")
+    // PG array_upper(arr, 1) → size (1-based arrays), array_lower → 1
+    s = """(?is)\barray_upper\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"size(${m.group(1).trim})"))
+    s = """(?is)\barray_lower\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"(CASE WHEN size(${m.group(1).trim}) > 0 THEN 1 END)"))
     // PG array_length(arr, 1) → size
     s = """(?is)\barray_length\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,\s*1\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
@@ -529,7 +536,8 @@ object PgDialect {
     s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")
     // quantified subqueries with IN-equivalent semantics:
     // `x = ANY(SELECT ...)` ≡ IN, `x <> ALL(SELECT ...)` ≡ NOT IN
-    s = """(?is)=\s*ANY\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
+    // (lookbehind: the `=` must not be the tail of `<=`/`>=`/`!=`)
+    s = """(?is)(?<![<>!])=\s*ANY\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"IN (${m.group(1)}"))
     s = """(?is)(?:<>|!=)\s*ALL\s*\(\s*(SELECT\b)""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"NOT IN (${m.group(1)}"))
@@ -785,6 +793,37 @@ object PgDialect {
           java.util.regex.Matcher.quoteReplacement(m.matched)
         else java.util.regex.Matcher.quoteReplacement(
           s"${m.group(1)}() OVER (PARTITION BY $keys ORDER BY $keys)")
+      })
+    // ... and the same for navigation functions (lag/lead/...): PG
+    // runs them over an unordered window in arbitrary order; ordering
+    // by the partition keys (constant within each partition) is an
+    // arbitrary-but-valid PG order Spark accepts
+    s = """(?is)\b(lag|lead|first_value|last_value|nth_value)\s*\(((?:[^()]|\([^()]*\))*)\)\s*OVER\s*\(\s*PARTITION\s+BY\s+((?:[^()]|\([^()]*\))*?)\s*\)""".r
+      .replaceAllIn(s, m => {
+        val keys = m.group(3).trim
+        if ("""(?i)\border\s+by\b""".r.findFirstIn(keys).isDefined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}(${m.group(2)}) OVER " +
+            s"(PARTITION BY $keys ORDER BY $keys)")
+      })
+    // PG frame `EXCLUDE CURRENT ROW` on array_agg: Spark has no
+    // EXCLUDE — collect over the same frame WITHOUT the exclusion,
+    // then drop ONE occurrence of the current row's value by
+    // position-aware slicing. Multiset-exact always; sequence-exact
+    // when the collected expression is the frame's ORDER BY key (the
+    // reference's window_functions.sql exclude corpus — peers are
+    // adjacent there, so which duplicate drops is unobservable).
+    s = """(?is)\b(?:array_agg|collect_list)\s*\(\s*((?:[^()]|\([^()]*\))+?)\s*\)\s*OVER\s*\(((?:[^()]|\([^()]*\))*?)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""".r
+      .replaceAllIn(s, m => {
+        val arg = m.group(1).trim
+        val spec = m.group(2).trim
+        val coll = s"collect_list($arg) OVER ($spec)"
+        java.util.regex.Matcher.quoteReplacement(
+          s"concat(slice($coll, 1, " +
+            s"CAST(array_position($coll, $arg) AS INT) - 1), " +
+            s"slice($coll, CAST(array_position($coll, $arg) AS INT) + 1, " +
+            s"size($coll)))")
       })
     s
   }
@@ -1088,9 +1127,9 @@ object PgDialect {
     * let you reference when unambiguous anyway).
     * (reference: multi_subquery_complex_queries.sql,
     * multi_outer_join.sql join-alias sections) */
-  private def padColumnAliases(spark: SparkSession, sql: String): String = {
+  private[graft] def padColumnAliases(spark: SparkSession, sql: String): String = {
     val aliasRe =
-      """(?:\bAS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)""".r
+      """(?i)(?:\bAS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)""".r
     var out = sql
     var search = 0
     var guard = 0
@@ -1197,7 +1236,7 @@ object PgDialect {
     * `*` projections fall back to a LIMIT-0 schema probe (bodies
     * referencing sibling CTEs can't probe and stay untouched).
     * (reference: cte_inline.sql partial-alias CTEs) */
-  private def padCteAliases(spark: SparkSession, sql: String): String = {
+  private[graft] def padCteAliases(spark: SparkSession, sql: String): String = {
     val defRe = ("""(?is)([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*""" +
       """(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s+AS\s+""" +
       """((?:NOT\s+)?MATERIALIZED\s+)?\(""").r
@@ -1383,6 +1422,28 @@ object PgDialect {
   /** Translate a PG-dialect query and run it on Spark. */
   def sql(spark: SparkSession, pgSql: String): DataFrame = {
     ensureSketchFns(spark)
+    // PG `SELECT ... INTO tbl FROM ...` (CTAS spelling): run the
+    // SELECT without the INTO clause and register the result so later
+    // statements can read it (multi_agg_distinct.sql et al.)
+    locally {
+      val t = pgSql.trim
+      if (t.toUpperCase.startsWith("SELECT")) {
+        val ii = topLevelIndex(t, "INTO")
+        val fi = topLevelIndex(t, "FROM")
+        if (ii > 0 && (fi < 0 || fi > ii)) {
+          val nameRe =
+            """(?is)^INTO\s+(?:TEMP(?:ORARY)?\s+)?([A-Za-z_][\w.]*)\s*""".r
+          nameRe.findPrefixMatchOf(t.substring(ii)).foreach { m =>
+            val name = m.group(1)
+            val df = sql(spark,
+              t.substring(0, ii) + t.substring(ii + m.end(0)))
+            df.createOrReplaceTempView(
+              name.substring(name.lastIndexOf('.') + 1))
+            return df
+          }
+        }
+      }
+    }
     val text = translate(pgSql)
     try spark.sql(text)
     catch {

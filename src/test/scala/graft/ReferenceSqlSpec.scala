@@ -22,10 +22,54 @@ class ReferenceSqlSpec extends AnyFunSuite {
   private val refDir = new java.io.File(
     "/root/reference/src/test/regress/sql")
 
-  /** SELECT statements of one regression file, comments stripped. */
+  private val refExpDir = new java.io.File(
+    "/root/reference/src/test/regress/expected")
+
+  private def normSql(s: String): String =
+    s.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
+
+  /** Statements the reference's OWN pg_regress run rejects: the
+    * expected `.out` file echoes the statement and then records an
+    * `ERROR` line. Those are not part of the supported surface — PG
+    * itself errors on them — so corpus denominators exclude them.
+    * Heuristic .out parse: statement echo lines accumulate until a
+    * line-terminating `;`; result blocks are flushed at their
+    * `(N rows)` terminator; an ERROR line marks the last completed
+    * statement. Returns whitespace-normalized statement texts. */
+  private def pgExpectedErrors(file: String): Set[String] = {
+    val out = new java.io.File(refExpDir,
+      file.stripSuffix(".sql") + ".out")
+    if (!out.isFile) return Set.empty
+    val errs = scala.collection.mutable.Set[String]()
+    val buf = new StringBuilder
+    var last: String = null
+    val noise = Seq("DETAIL:", "HINT:", "LINE ", "CONTEXT:",
+      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:")
+    // ISO-8859-1: lossless byte→char for line scanning (some .out
+    // files contain non-UTF-8 bytes in data rows)
+    scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line =>
+      val t = line.trim
+      if (t.startsWith("ERROR")) {
+        if (last != null) { errs += last; last = null }
+        buf.clear()
+      } else if (t.matches("""\(\d+ rows?\)""")) buf.clear()
+      else if (noise.exists(t.startsWith) || t.startsWith("--")) ()
+      else {
+        buf.append(line).append('\n')
+        if (t.endsWith(";")) { last = normSql(buf.toString); buf.clear() }
+      }
+    }
+    errs.toSet
+  }
+
+  /** SELECT statements of one regression file, comments stripped.
+    * Statements whose expected output IS an error (PG rejects them)
+    * are excluded — they are negative tests in the reference, not
+    * supported surface. */
   private def selectsOf(file: String): Seq[String] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
+    val pgErrs = pgExpectedErrors(file)
     text.linesIterator
       .filterNot(_.trim.startsWith("--"))
       .mkString("\n")
@@ -33,6 +77,27 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .map(_.trim)
       .filter(s => s.toUpperCase.startsWith("SELECT") ||
         s.toUpperCase.startsWith("WITH"))
+      .filterNot(s => pgErrs.contains(normSql(s)))
+      .toSeq
+  }
+
+  /** The inverse of `selectsOf`'s exclusion: SELECT/WITH statements
+    * the reference REJECTS (its expected output is an ERROR — mostly
+    * citus distributed-planning limitations, e.g. non-colocated
+    * complex joins, `sum(DISTINCT ...)` over subqueries). Running
+    * these successfully EXCEEDS the reference's surface. */
+  private def rejectedSelectsOf(file: String): Seq[String] = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath))
+    val pgErrs = pgExpectedErrors(file)
+    text.linesIterator
+      .filterNot(_.trim.startsWith("--"))
+      .mkString("\n")
+      .split(";")
+      .map(_.trim)
+      .filter(s => s.toUpperCase.startsWith("SELECT") ||
+        s.toUpperCase.startsWith("WITH"))
+      .filter(s => pgErrs.contains(normSql(s)))
       .toSeq
   }
 
@@ -232,7 +297,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       else "STRING" // text / varchar / char / jsonb / uuid ride as text
     }
     val constraintKw = Set("primary", "unique", "check", "constraint",
-      "foreign", "exclude")
+      "foreign", "exclude", "like")
     val schemas =
       collection.mutable.LinkedHashMap[String, Seq[(String, String)]]()
     val data = collection.mutable.Map[String,
@@ -374,6 +439,18 @@ class ReferenceSqlSpec extends AnyFunSuite {
       Seq((1, 1), (2, 2)).toDF("x", "y").createOrReplaceTempView("test")
       Seq((2, 2), (3, 3)).toDF("a", "b").createOrReplaceTempView("ref")
       spark.table("test").createOrReplaceTempView("test_not_colocated")
+      // the views set_operations.sql CREATEs in-file (the runner only
+      // executes SELECTs; their bodies translate through the dialect)
+      PgDialect.sql(spark,
+        "(SELECT y FROM test) UNION (SELECT y FROM test)")
+        .createOrReplaceTempView("set_view_recursive")
+      PgDialect.sql(spark,
+        "(SELECT x FROM test) UNION (SELECT x FROM test)")
+        .createOrReplaceTempView("set_view_pushdown")
+      PgDialect.sql(spark,
+        "SELECT u.x, test.y FROM ((SELECT x, y FROM test) UNION " +
+          "(SELECT 1, 1 FROM test)) u JOIN test USING (x) ORDER BY 1,2")
+        .createOrReplaceTempView("set_view_recursive_second")
     }
     val perFile = Seq("multi_orderby_limit_pushdown.sql",
       "window_functions.sql", "multi_subquery.sql",
@@ -405,7 +482,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
           s.contains("reference_2") || s.contains("distributed_1") ||
           s.contains("subquery_pruning_varchar_test_table") ||
           s.contains("keyvalref") || s.contains("tenant_id") ||
-          s.contains("run_command_on_workers"))
+          s.contains("run_command_on_workers") ||
+          // data-modifying CTEs (WITH ... UPDATE/DELETE/INSERT) are
+          // the sources/Dml surface, not SELECT query surface
+          s.matches("(?is)^WITH\\b.*\\b(UPDATE|DELETE\\s+FROM|INSERT\\s+INTO)\\b.*"))
       val outcomes = stmts.map { s =>
         try { PgDialect.sql(spark, s).count(); true }
         catch { case e: Throwable =>
@@ -416,12 +496,23 @@ class ReferenceSqlSpec extends AnyFunSuite {
           false
         }
       }
-      (f, outcomes.count(identity), outcomes.size)
+      // statements the REFERENCE rejects (expected output is ERROR:
+      // citus planning limits) that we nevertheless execute — surface
+      // the reference's own users don't have
+      val beyond = rejectedSelectsOf(f).count { s =>
+        try { PgDialect.sql(spark, s).count(); true }
+        catch { case _: Throwable => false }
+      }
+      (f, outcomes.count(identity), outcomes.size, beyond)
     }
-    perFile.foreach { case (f, ok, all) =>
-      info(s"$f: $ok/$all statements run") }
+    perFile.foreach { case (f, ok, all, beyond) =>
+      info(s"$f: $ok/$all statements run" +
+        (if (beyond > 0) s" (+$beyond the reference rejects)" else "")) }
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    val beyondTotal = perFile.map(_._4).sum
+    info(s"beyond-reference total: $beyondTotal statements the " +
+      "reference errors on execute here")
     assert(allTotal > 80, s"expected a large corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.6,
       s"only $okTotal/$allTotal reference statements ran")
@@ -467,8 +558,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     def selectsAndInsertBodies(file: String): Seq[String] = {
       val text = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(refDir, file).toPath))
+      val pgErrs = pgExpectedErrors(file)
       text.linesIterator.filterNot(_.trim.startsWith("--"))
         .mkString("\n").split(";").map(_.trim)
+        .filterNot(s => pgErrs.contains(normSql(s)))
         .flatMap { s =>
           val up = s.toUpperCase
           if (up.startsWith("SELECT") || up.startsWith("WITH")) Some(s)
@@ -1280,6 +1373,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
       state: ReplayState = new ReplayState): (Int, Int) = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
+    // statements PG itself rejects (expected .out records ERROR) are
+    // negative tests, not surface — they don't enter the counts
+    val pgErrs = pgExpectedErrors(file)
     // COPY t [(cols)] FROM STDIN ...; <rows> \. → INSERT INTO t VALUES
     val copyRe =
       ("""(?is)COPY\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN""" +
@@ -1337,7 +1433,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       else "STRING"
     }
     val constraintKw = Set("primary", "unique", "check", "constraint",
-      "foreign", "exclude")
+      "foreign", "exclude", "like")
     val schemas = state.schemas
     val data = state.data
     def strip(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
@@ -1350,12 +1446,24 @@ class ReferenceSqlSpec extends AnyFunSuite {
 
     val createRe =
       """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)[^)]*$""".r
+    // CREATE TABLE x (LIKE y ...) — copy y's declared schema
+    val createLikeRe =
+      """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(\s*LIKE\s+([A-Za-z_][\w.]*)[^)]*\).*$""".r
     val ctasRe =
       """(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+AS\s+((?:SELECT|WITH)\s.*)$""".r
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val insertRe =
       """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
+    // DELETE FROM t [alias] [WHERE cond] — filter live state (PG row
+    // semantics: delete rows where cond is TRUE; NULL/false keep)
+    val deleteRe =
+      """(?is)^DELETE\s+FROM\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b|USING\b)([A-Za-z_]\w*))?\s*(?:WHERE\s+(.*))?$""".r
+    // UPDATE t [alias] SET a=e1, b=e2 [WHERE cond] — rewrite live
+    // state as one CASE projection per column (assignments read the
+    // OLD row, as in PG; no-FROM form only)
+    val updateRe =
+      """(?is)^UPDATE\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
     val truncateRe = """(?is)^TRUNCATE\s+(?:TABLE\s+)?(.+)$""".r
     val dropRe =
       """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)(?:\s+CASCADE)?\s*$""".r
@@ -1363,6 +1471,56 @@ class ReferenceSqlSpec extends AnyFunSuite {
     var ok = 0; var ran = 0
     stmts.foreach { stmt =>
       stmt match {
+        case createLikeRe(name, src)
+            if schemas.contains(strip(src)) =>
+          schemas(strip(name)) = schemas(strip(src))
+          data(strip(name)) = None
+          register(strip(name))
+        case deleteRe(name, alias, cond)
+            if schemas.contains(strip(name)) =>
+          val n = strip(name)
+          try {
+            val cur = data.get(n).flatten.getOrElse(emptyOf(n))
+            val kept =
+              if (cond == null) emptyOf(n)
+              else {
+                cur.createOrReplaceTempView("__graft_del")
+                val a = Option(alias).getOrElse(n)
+                PgDialect.sql(spark,
+                  s"SELECT $a.* FROM __graft_del $a " +
+                    s"WHERE NOT COALESCE(($cond), false)")
+              }
+            data(n) = Some(kept.localCheckpoint(true))
+            register(n)
+          } catch { case _: Throwable => register(n) }
+        case updateRe(name, alias, sets, cond)
+            if schemas.contains(strip(name)) &&
+              !sets.toUpperCase.contains("FROM ") =>
+          val n = strip(name)
+          try {
+            val cur = data.get(n).flatten.getOrElse(emptyOf(n))
+            cur.createOrReplaceTempView("__graft_upd")
+            val a = Option(alias).getOrElse(n)
+            val assigns = splitTop(sets).flatMap { kv =>
+              val i = kv.indexOf('=')
+              if (i < 0) None
+              else Some(kv.substring(0, i).trim.toLowerCase ->
+                kv.substring(i + 1).trim)
+            }.toMap
+            val items = schemas(n).map { case (cn, ct) =>
+              assigns.get(cn.toLowerCase) match {
+                case Some(e) if cond != null =>
+                  s"CAST(CASE WHEN COALESCE(($cond), false) " +
+                    s"THEN ($e) ELSE $cn END AS $ct) AS $cn"
+                case Some(e) => s"CAST(($e) AS $ct) AS $cn"
+                case None => cn
+              }
+            }
+            val upd = PgDialect.sql(spark,
+              s"SELECT ${items.mkString(", ")} FROM __graft_upd $a")
+            data(n) = Some(upd.localCheckpoint(true))
+            register(n)
+          } catch { case _: Throwable => register(n) }
         case createRe(name, body) =>
           val cols = splitTop(body).flatMap { it =>
             val parts = it.trim.split("\\s+", 2)
@@ -1393,7 +1551,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
           // a SELECT-bodied INSERT is query surface (the reference's
           // INSERT..SELECT pushdown/repartition corpus) — count it
           val counted = !rest.toUpperCase.startsWith("VALUES") &&
-            keep(stmt)
+            keep(stmt) && !pgErrs.contains(normSql(stmt))
           if (counted) ran += 1
           // ON CONFLICT (cols) DO NOTHING ≙ dedupe the batch on the
           // conflict key and anti-join the existing rows (the
@@ -1451,7 +1609,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
             spark.catalog.dropTempView(n)
           }
         case q if (q.toUpperCase.startsWith("SELECT") ||
-            q.toUpperCase.startsWith("WITH")) && keep(q) =>
+            q.toUpperCase.startsWith("WITH")) && keep(q) &&
+            !pgErrs.contains(normSql(q)) =>
           ran += 1
           try { PgDialect.sql(spark, q).count(); ok += 1 }
           catch { case e: Throwable =>
@@ -1502,6 +1661,46 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.7,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of recurring_outer_join.sql — the " +
+      "reference's RecurringTuplesType corpus (reference-table / " +
+      "function / VALUES outer sides of LEFT/RIGHT/FULL joins) runs " +
+      "on its inline fixtures") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("$$") && !s.contains("RETURNING") &&
+        !s.matches("(?is)^WITH\\b.*\\b(UPDATE|DELETE\\s+FROM|INSERT\\s+INTO)\\b.*")
+    val (ok, ran) = replayFile("recurring_outer_join.sql", "ROJFAIL", keep)
+    info(s"recurring_outer_join.sql: $ok/$ran statements run")
+    // denominator excludes statements PG itself rejects (.out ERROR)
+    assert(ran >= 60, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of query_single_shard_table.sql — the " +
+      "reference's single-shard (null-distribution-key) table corpus: " +
+      "joins across colocation groups, reference tables, and local " +
+      "tables on its inline fixtures") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("RETURNING") &&
+        !s.matches("(?is)^WITH\\b.*\\b(UPDATE|DELETE\\s+FROM|INSERT\\s+INTO)\\b.*")
+    val (ok, ran) =
+      replayFile("query_single_shard_table.sql", "QSSFAIL", keep)
+    info(s"query_single_shard_table.sql: $ok/$ran statements run")
+    // denominator excludes statements PG itself rejects (.out ERROR)
+    assert(ran >= 130, s"expected a large corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
   }
 
   test("sequential replay of the INSERT..SELECT behavioral corpora " +
