@@ -1108,14 +1108,52 @@ object PgDialect {
     })
   }
 
+  /** Split a top-level `WITH name AS (...), ...` prelude off the main
+    * query so statement-scoped rewrites (DISTINCT ON et al., anchored
+    * at `^SELECT`) still fire on `WITH ... SELECT DISTINCT ON ...`.
+    * Returns ("", sql) when there is no prelude (or it is
+    * malformed — then the caller's whole-string behavior stands). */
+  private def splitWithPrelude(sql: String): (String, String) = {
+    val head = """(?is)^\s*WITH\s+(?:RECURSIVE\s+)?""".r
+      .findPrefixMatchOf(sql).map(_.end).getOrElse(return ("", sql))
+    val defRe =
+      """(?is)^([A-Za-z_]\w*)\s*(\([^)]*\))?\s+AS\s+(?:(?:NOT\s+)?MATERIALIZED\s+)?\(""".r
+    val n = sql.length
+    var i = head
+    while (true) {
+      val d = defRe.findPrefixMatchOf(sql.substring(i))
+        .getOrElse(return ("", sql))
+      var j = i + d.end; var depth = 1
+      while (j < n && depth > 0) {
+        sql.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _   => ()
+        }
+        j += 1
+      }
+      if (depth > 0) return ("", sql)
+      var k = j
+      while (k < n && sql.charAt(k).isWhitespace) k += 1
+      if (k < n && sql.charAt(k) == ',') {
+        i = k + 1
+        while (i < n && sql.charAt(i).isWhitespace) i += 1
+      } else return (sql.substring(0, k), sql.substring(k))
+    }
+    ("", sql)
+  }
+
   def translate(sql: String): String = {
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
+    // ... and on the main query, which may sit after a WITH prelude
+    val (withPre, mainQ) = splitWithPrelude(scoped)
+    val top = withPre + rewriteDistinctOn(rewriteNamedWindows(mainQ))
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
       rewriteILike(rewritePgLimits(rewriteFnNames(rewriteToChar(
-        rewriteDistinctOn(rewriteNamedWindows(scoped))))))))))
+        top))))))))
   }
 
   /** PG column-alias lists on FROM items may rename just a PREFIX of
