@@ -19,16 +19,32 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    pinned.getOrElse((dir, name), {
-      if (name == "events") {
-        // events.ts is a nanosecond parquet timestamp, which Spark's
-        // reader rejects by default (PARQUET_TYPE_ILLEGAL). Read it as a
-        // Long of epoch-nanos; Dsl.nanosToTs converts where timestamp
-        // semantics are needed.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pinned.getOrElse((dir, name),
+      if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+      else spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** events.ts has shipped as both nanosecond parquet timestamps (older
+    * testdata generations) and timestamp[us]; normalize to a microsecond
+    * TimestampType at the load point so every consumer sees one schema.
+    * The legacy nanosAsLong conf is only flipped on the fallback path,
+    * scoped to the read, and restored afterwards. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val df =
+      try spark.read.parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // nano-precision timestamps are only readable as epoch-nano longs
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(path)
+        finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       }
-      spark.read.parquet(s"$dir/$name.parquet")
-    })
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", Dsl.nanosToTs(col("ts")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   /** Drop pinned handles (required before stopping a SparkSession —
     * cached plans are bound to their session). */

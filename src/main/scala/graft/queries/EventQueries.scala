@@ -10,15 +10,14 @@ import Dsl._
 
 /** Event-stream analytics in batch form — the same plans StreamingOps
   * runs incrementally (StreamingSpec proves stream≡batch), here driven
-  * through the DuckDB oracle. events.ts arrives as epoch-nanos
-  * (Tables.apply) and is truncated before output so micro-vs-nano
-  * precision can't skew the compare.
+  * through the DuckDB oracle. events.ts is normalized to a microsecond
+  * TimestampType at the load point (Tables.readEvents), whatever the
+  * parquet generation shipped.
   */
 object EventQueries extends QueryModule {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
-      .withColumn("ts", nanosToTs(col("ts")))
 
   /** Tumbling window aggregation (streaming: tumblingCounts). */
   private val tumbling = GraftQuery(

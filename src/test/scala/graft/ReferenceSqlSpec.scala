@@ -1374,6 +1374,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .LinkedHashMap[String, (String, String)]()
     // parent → partition-key column (RANGE/LIST single-column forms)
     val partCol = collection.mutable.Map[String, String]()
+    // zero-arg LANGUAGE SQL fixture functions: name → body statements
+    // (`SELECT insert_data()` replays them; plpgsql bodies store empty
+    // so helper calls no-op instead of failing)
+    val fnBodies = collection.mutable.Map[String, Seq[String]]()
   }
 
   private def replayFile(file: String, tag: String,
@@ -1410,15 +1414,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val unwrapped = explWrapRe.replaceAllIn(converted, m =>
       java.util.regex.Matcher.quoteReplacement(
         m.group(1).trim.stripSuffix(";") + ";\n"))
-    val stmts = unwrapped
+    val stmts = splitSqlText(unwrapped
       // psql meta: `\gset` ends its statement; other backslash
       // commands are client-side noise
       .replace("\\gset", ";")
       .linesIterator
       .filterNot(_.trim.startsWith("--"))
       .filterNot(_.trim.startsWith("\\"))
-      .mkString("\n")
-      .split(";").map(_.trim).filter(_.nonEmpty)
+      .mkString("\n"))
 
     // live state: declared schemas + accumulated data per table
     def splitTop(s: String): Seq[String] = {
@@ -1539,9 +1542,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val detachRe =
       ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)\s+DETACH\s+""" +
         """PARTITION\s+([A-Za-z_][\w.]*)\s*;?\s*$""").r
+    val createFnRe =
+      """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][\w.]*)\s*\([^)]*\)(.*)$""".r
+    val selFnRe = """(?is)^SELECT\s+([A-Za-z_][\w.]*)\s*\(\s*\)\s*$""".r
 
     var ok = 0; var ran = 0
-    stmts.foreach { stmt =>
+    // `countable` is false while replaying a fixture function's body —
+    // those statements are data loads, not corpus surface
+    def processStmt(stmt: String, countable: Boolean): Unit = {
       stmt match {
         case partOfRe(child0, parent0, spec)
             if schemas.contains(strip(parent0)) =>
@@ -1677,7 +1685,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
             .getOrElse(schema.map(_._1.toLowerCase))
           // a SELECT-bodied INSERT is query surface (the reference's
           // INSERT..SELECT pushdown/repartition corpus) — count it
-          val counted = !rest.toUpperCase.startsWith("VALUES") &&
+          val counted = countable &&
+            !rest.toUpperCase.startsWith("VALUES") &&
             keep(stmt) && !pgErrs.contains(normSql(stmt))
           if (counted) ran += 1
           // ON CONFLICT (cols) DO NOTHING ≙ dedupe the batch on the
@@ -1762,11 +1771,46 @@ class ReferenceSqlSpec extends AnyFunSuite {
             }
             spark.catalog.dropTempView(n)
           }
+        // zero-arg LANGUAGE SQL fixture functions: store the body
+        // statements; plpgsql/helper languages store empty (their
+        // later invocations no-op instead of failing the replay)
+        case s if createFnRe.findFirstMatchIn(s).isDefined =>
+          val m = createFnRe.findFirstMatchIn(s).get
+          val name = strip(m.group(1))
+          val tail = m.group(2)
+          val isSql =
+            """(?is)LANGUAGE\s+'?SQL'?""".r.findFirstIn(tail).isDefined
+          val body = """(?s)\$([A-Za-z]*)\$(.*)\$\1\$""".r
+            .findFirstMatchIn(tail).map(_.group(2)).getOrElse("")
+          state.fnBodies(name) =
+            if (isSql) splitSqlText(body) else Seq.empty
+        case selFnRe(fn) if state.fnBodies.contains(strip(fn)) =>
+          state.fnBodies(strip(fn)).foreach(processStmt(_, false))
+        case s if s.toUpperCase.startsWith("MERGE") ||
+            (s.toUpperCase.startsWith("WITH") &&
+              """(?i)\bMERGE\s+INTO\b""".r
+                .findFirstIn(depthMask(s)).isDefined) =>
+          // a statement the reference itself rejects (.out ERROR) did
+          // not mutate its state either — skip entirely
+          if (!pgErrs.contains(normSql(s))) {
+            val counted = countable && keep(s)
+            if (counted) ran += 1
+            try { applyMerge(s); if (counted) ok += 1 }
+            catch { case e: Throwable =>
+              if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+                println(s"$tag[$file] MERGE: " +
+                  s.split('\n').map(_.trim).mkString(" ").take(200) +
+                  "  => " + Option(e.getMessage)
+                    .getOrElse(e.getClass.getName)
+                    .linesIterator.filter(_.nonEmpty)
+                    .take(1).mkString.take(160))
+            }
+          }
         case q if (q.toUpperCase.startsWith("SELECT") ||
             q.toUpperCase.startsWith("WITH")) && keep(q) &&
             !pgErrs.contains(normSql(q)) =>
-          ran += 1
-          try { PgDialect.sql(spark, q).count(); ok += 1 }
+          if (countable) ran += 1
+          try { PgDialect.sql(spark, q).count(); if (countable) ok += 1 }
           catch { case e: Throwable =>
             if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
               println(s"$tag[$file]: " +
@@ -1779,7 +1823,253 @@ class ReferenceSqlSpec extends AnyFunSuite {
         case _ => ()
       }
     }
+
+    /** Apply a (possibly WITH-prefixed) MERGE statement to live state:
+      * one full-outer join computes every row fate, clause order picks
+      * the first WHEN whose AND-condition holds (PG semantics), and
+      * the projected result replaces the target's state — the same
+      * shape `sources/Dml.merge` plans, driven here from the
+      * reference's own SQL spelling. */
+    def applyMerge(stmt0: String): Unit = {
+      var stmt = stmt0.trim
+      val cteNames = collection.mutable.Buffer[String]()
+      if (stmt.toUpperCase.startsWith("WITH")) {
+        // register each CTE as a temp view, then process the MERGE tail
+        var rest = stmt.substring(4)
+        var more = true
+        while (more) {
+          val m = """(?is)^\s*,?\s*([A-Za-z_]\w*)\s+AS\s*\(""".r
+            .findFirstMatchIn(rest)
+            .getOrElse(sys.error("unparsed CTE head"))
+          val start = m.end // index after the opening paren
+          var depth = 1; var i = start
+          while (depth > 0 && i < rest.length) {
+            rest.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          val name = m.group(1).toLowerCase
+          PgDialect.sql(spark, rest.substring(start, i - 1))
+            .createOrReplaceTempView(name)
+          cteNames += name
+          rest = rest.substring(i)
+          more = """(?s)^\s*,""".r.findFirstIn(rest).isDefined
+        }
+        stmt = rest.trim
+      }
+      try {
+        val mask = depthMask(stmt)
+        def kwIdx(kw: String, from: Int): Int =
+          ("""(?i)\b""" + kw + """\b""").r
+            .findFirstMatchIn(mask.substring(from))
+            .map(_.start + from).getOrElse(-1)
+        val iUsing = kwIdx("USING", 0)
+        val iOn = kwIdx("ON", iUsing + 5)
+        val iWhen = kwIdx("WHEN", iOn + 2)
+        require(iUsing > 0 && iOn > iUsing && iWhen > iOn,
+          "unparsed MERGE skeleton")
+        val headRe =
+          """(?is)^MERGE\s+INTO\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$""".r
+        val (target, tAlias) = stmt.substring(0, iUsing).trim match {
+          case headRe(t, a) =>
+            (strip(t), Option(a).map(_.toLowerCase).getOrElse(strip(t)))
+          case other => sys.error(s"unparsed MERGE head: $other")
+        }
+        require(schemas.contains(target), s"unknown target $target")
+        // source: `(subquery) [AS] alias [(cols)]` or `name [[AS] alias]`
+        val srcPart = stmt.substring(iUsing + 5, iOn).trim
+        val (srcText, sAlias, srcColList) =
+          if (srcPart.startsWith("(")) {
+            var depth = 0; var i = 0; var end = -1
+            while (end < 0 && i < srcPart.length) {
+              srcPart.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case _ => ()
+              }
+              i += 1
+            }
+            val aliasRe =
+              """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*$""".r
+            srcPart.substring(end + 1).trim match {
+              case aliasRe(a, cols) =>
+                (srcPart.substring(0, end + 1), a.toLowerCase,
+                  Option(cols))
+              case other => sys.error(s"unparsed MERGE source tail: $other")
+            }
+          } else {
+            val nameRe =
+              """(?is)^([A-Za-z_][\w.]*)\s*(?:(?:AS\s+)?([A-Za-z_]\w*))?\s*$""".r
+            srcPart match {
+              case nameRe(n, a) =>
+                (strip(n), Option(a).map(_.toLowerCase)
+                  .getOrElse(strip(n)), None)
+              case other => sys.error(s"unparsed MERGE source: $other")
+            }
+          }
+        val onCond = stmt.substring(iOn + 2, iWhen).trim
+        // WHEN clauses: top-level WHEN positions delimit them
+        val whenIdxs = collection.mutable.Buffer[Int]()
+        var wi = iWhen
+        while (wi >= 0) {
+          whenIdxs += wi
+          wi = kwIdx("WHEN", wi + 4)
+        }
+        val clauseTexts = whenIdxs.zipAll(whenIdxs.drop(1), 0, stmt.length)
+          .map { case (a, b) => stmt.substring(a, b).trim }
+        sealed trait MAct
+        case class MUpd(sets: Seq[(String, String)]) extends MAct
+        case object MDel extends MAct
+        case object MNoop extends MAct
+        case class MIns(cols: Option[Seq[String]],
+          vals: Option[Seq[String]]) extends MAct
+        case class MWhen(matched: Boolean, cond: Option[String], act: MAct)
+        val whenRe = """(?is)^WHEN\s+(NOT\s+)?MATCHED\s*(.*)$""".r
+        val clauses = clauseTexts.map { ct =>
+          val m = whenRe.findFirstMatchIn(ct)
+            .getOrElse(sys.error(s"unparsed WHEN: $ct"))
+          val matched = m.group(1) == null
+          val tail = m.group(2)
+          // the action THEN is the first THEN followed by an action
+          // keyword (AND-conditions may hold CASE..THEN internally)
+          val thenM = """(?is)\bTHEN\s+(?=(UPDATE|DELETE|INSERT|DO)\b)""".r
+            .findFirstMatchIn(tail)
+            .getOrElse(sys.error(s"no action THEN in: $ct"))
+          val condText = tail.substring(0, thenM.start).trim
+          val cond = """(?is)^AND\s+(.*)$""".r.findFirstMatchIn(condText)
+            .map(_.group(1).trim)
+          val actText = tail.substring(thenM.end).trim
+          val act: MAct =
+            if (actText.toUpperCase.startsWith("UPDATE")) {
+              val sets = """(?is)^UPDATE\s+SET\s+(.*)$""".r
+                .findFirstMatchIn(actText).map(_.group(1))
+                .getOrElse(sys.error(s"unparsed UPDATE: $actText"))
+              MUpd(splitTop(sets).map { kv =>
+                val i = kv.indexOf('=')
+                require(i > 0, s"unparsed assignment: $kv")
+                (kv.substring(0, i).trim.toLowerCase,
+                  kv.substring(i + 1).trim)
+              })
+            } else if (actText.toUpperCase.startsWith("DELETE")) MDel
+            else if (actText.toUpperCase.startsWith("DO")) MNoop
+            else {
+              val insRe =
+                """(?is)^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*$""".r
+              val defRe = """(?is)^INSERT\s+DEFAULT\s+VALUES\s*$""".r
+              actText match {
+                case insRe(cols, vals) =>
+                  MIns(Option(cols).map(_.split(",")
+                    .map(_.trim.toLowerCase).toSeq),
+                    Some(splitTop(vals)))
+                case defRe() => MIns(None, None)
+                case other => sys.error(s"unparsed INSERT: $other")
+              }
+            }
+          MWhen(matched, cond, act)
+        }
+        // materialize the source once; its columns drive the PG scope
+        // rule that NOT MATCHED expressions see only the source
+        val curT = data.get(base(target)).flatten
+          .getOrElse(emptyOf(base(target)))
+        curT.createOrReplaceTempView("__graft_mrg_t")
+        val srcFrom = srcColList match {
+          case Some(cols) => s"$srcText AS $sAlias($cols)"
+          case None => s"$srcText AS $sAlias"
+        }
+        val srcDf = PgDialect.sql(spark, s"SELECT * FROM $srcFrom")
+        srcDf.createOrReplaceTempView("__graft_mrg_s")
+        val srcCols = srcDf.columns.map(_.toLowerCase).toSet
+        // qualify bare source-column identifiers (PG resolves NOT
+        // MATCHED scope to the source; the flattened join would see
+        // both sides and call them ambiguous)
+        def qualifySrc(e: String): String =
+          """(?<![\w.$'])([A-Za-z_]\w*)(?!\s*[.(\w])""".r
+            .replaceAllIn(e, m =>
+              if (srcCols.contains(m.group(1).toLowerCase))
+                java.util.regex.Matcher
+                  .quoteReplacement(s"$sAlias.${m.group(1)}")
+              else java.util.regex.Matcher.quoteReplacement(m.group(1)))
+        val matched =
+          s"($tAlias.__mg_t IS NOT NULL AND $sAlias.__mg_s IS NOT NULL)"
+        val srcOnly = s"($tAlias.__mg_t IS NULL)"
+        def condSql(w: MWhen) =
+          w.cond.map(c => s"COALESCE(($c), FALSE)").getOrElse("TRUE")
+        val mWhens = clauses.filter(_.matched).toSeq
+        val nmWhens = clauses.filterNot(_.matched).toSeq
+        def cascade(ws: Seq[MWhen], arm: MWhen => String,
+            dflt: String): String =
+          if (ws.isEmpty) dflt
+          else "CASE " + ws.map(w =>
+            s"WHEN ${condSql(w)} THEN ${arm(w)}").mkString(" ") +
+            s" ELSE $dflt END"
+        val schema = schemas(target)
+        val proj = schema.map { case (cn, ct) =>
+          val mVal = cascade(mWhens, {
+            case MWhen(_, _, MUpd(sets)) =>
+              sets.find(_._1 == cn.toLowerCase).map(_._2)
+                .getOrElse(s"$tAlias.$cn")
+            case _ => s"$tAlias.$cn"
+          }, s"$tAlias.$cn")
+          val nmVal = cascade(nmWhens, {
+            case MWhen(_, _, MIns(cols, vals)) =>
+              val names = cols.getOrElse(schema.map(_._1.toLowerCase))
+              val i = names.indexOf(cn.toLowerCase)
+              vals.filter(_ => i >= 0).flatMap(_.lift(i))
+                .map(qualifySrc)
+                .getOrElse(s"CAST(NULL AS $ct)")
+            case _ => s"CAST(NULL AS $ct)"
+          }, s"CAST(NULL AS $ct)")
+          s"CAST(CASE WHEN $matched THEN ($mVal) WHEN $srcOnly THEN " +
+            s"($nmVal) ELSE $tAlias.$cn END AS $ct) AS $cn"
+        }
+        val keepSql =
+          s"CASE WHEN $matched THEN ${cascade(mWhens, {
+            case MWhen(_, _, MDel) => "FALSE"
+            case _ => "TRUE"
+          }, "TRUE")} WHEN $srcOnly THEN ${cascade(nmWhens, {
+            case MWhen(_, _, MIns(_, _)) => "TRUE"
+            case _ => "FALSE"
+          }, "FALSE")} ELSE TRUE END"
+        val merged = PgDialect.sql(spark,
+          s"""SELECT ${proj.mkString(", ")} FROM
+             |(SELECT *, TRUE AS __mg_t FROM __graft_mrg_t) AS $tAlias
+             |FULL OUTER JOIN
+             |(SELECT *, TRUE AS __mg_s FROM __graft_mrg_s) AS $sAlias
+             |ON $onCond
+             |WHERE $keepSql""".stripMargin)
+        data(base(target)) = Some(merged.localCheckpoint(true))
+        register(base(target))
+      } finally
+        // CTE names may shadow live tables — restore their views
+        cteNames.foreach { n =>
+          if (schemas.contains(n)) register(n)
+          else spark.catalog.dropTempView(n)
+        }
+    }
+
+    stmts.foreach(processStmt(_, true))
     (ok, ran)
+  }
+
+  /** Mask of `s` with characters inside parens or string literals
+    * blanked — top-level SQL keywords can then be located by regex
+    * against the mask and cut from the original. */
+  private def depthMask(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var depth = 0; var inQ = false
+    s.foreach { c =>
+      if (inQ) { out += ' '; if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true; out += ' '
+        case '(' => depth += 1; out += '('
+        case ')' => depth -= 1; out += ')'
+        case _ => out += (if (depth == 0) c else ' ')
+      }
+    }
+    out.toString
   }
 
   test("sequential replay of DML-interleaved corpora — pg_regress " +
@@ -1974,13 +2264,44 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("sequential replay of the reference MERGE corpora (merge.sql, " +
+      "merge_repartition1.sql): MERGE statements parse, apply to live " +
+      "state via the full-outer-join plan, and interleave with the " +
+      "files' own fixture functions and gold-result comparisons") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("pg_class") &&
+        !s.contains("current_setting") && !s.contains("RETURNING") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("alter_distributed_table") &&
+        !s.contains("compare_tables") && !s.contains("check_data") &&
+        !s.contains("compare_data")
+    val perFile = Seq("merge.sql", "merge_repartition1.sql").map { f =>
+      val (ok, ran) = replayFile(f, "MERGEFAIL", keep)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 80, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.8,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
   /** All statements of a regression file, split on `;` with dollar-
     * quoted bodies (`$$ ... $$`, `$tag$ ... $tag$`) and string
     * literals protected — CREATE FUNCTION files need this. */
-  private def dollarAwareStatements(file: String): Seq[String] = {
-    val text = new String(java.nio.file.Files.readAllBytes(
+  private def dollarAwareStatements(file: String): Seq[String] =
+    splitSqlText(new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
-      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+      .linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n"))
+
+  private def splitSqlText(text: String): Seq[String] = {
     val out = collection.mutable.Buffer[String]()
     val cur = new StringBuilder
     var i = 0
@@ -2006,6 +2327,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
               cur += text.charAt(i); i += 1
             }
             if (i < text.length) { cur += '\''; i += 1 }
+          } else if (c == '-' && text.startsWith("--", i)) {
+            // end-of-line comment: skip to newline (whole comment
+            // lines are pre-stripped, trailing ones are not)
+            while (i < text.length && text.charAt(i) != '\n') i += 1
           } else if (c == ';') {
             out += cur.toString; cur.clear(); i += 1
           } else { cur += c; i += 1 }
