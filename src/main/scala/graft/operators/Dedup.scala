@@ -244,18 +244,35 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup candidates: block on 4 16-bit sub-bands (any two
-    * docs within hamming distance 3 share at least one band), then exact
-    * hamming filter. */
+  /** SimHash near-dup candidates: block on `maxHamming + 1` contiguous
+    * sub-bands of the 64-bit signature — by pigeonhole, two signatures
+    * within hamming distance `maxHamming` differ in at most
+    * `maxHamming` bands, so at least one full band agrees and the
+    * banded self-join recalls EVERY pair at the bound (DedupSpec pins
+    * 100% recall) — then exact hamming filter for precision. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc"),
-      simhash64(split(col(textCol), " ")).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
-      explode(array((0 until 4).map(i =>
+      maxHamming: Int = 6): DataFrame =
+    simhashCandidatesFromSigs(
+      docs.select(col(idCol).as("doc"),
+        simhash64(split(col(textCol), " ")).as("sig")),
+      maxHamming)
+
+  /** Banded self-join over precomputed `(doc, sig)` signature rows —
+    * the blocking core of [[simhashCandidates]], exposed so recall can
+    * be pinned on signatures with known pairwise hamming distances. */
+  def simhashCandidatesFromSigs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 32,
+      s"maxHamming out of range: $maxHamming")
+    val bands = maxHamming + 1
+    val banded = sigs.toDF("doc", "sig").select(col("doc"), col("sig"),
+      explode(array((0 until bands).map { i =>
+        val lo = i * 64 / bands
+        val width = (i + 1) * 64 / bands - lo
         struct(lit(i).as("band_id"),
-          shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
-            .as("band_val"))): _*)).as("band"))
+          shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1))
+            .as("band_val"))
+      }: _*)).as("band"))
       .select(col("doc"), col("sig"),
         col("band.band_id"), col("band.band_val"))
     val a = banded.toDF("a_id", "a_sig", "band_id", "band_val")

@@ -392,11 +392,27 @@ object PgDialect {
         java.util.regex.Matcher.quoteReplacement(
           s"(SELECT explode(sequence(${m.group(1)})) AS $alias) " + alias)
       })
+    // SRFs in a bare targetlist: PG expands them row-wise — two in
+    // parallel zip positionally (columnar_join.sql fixture loads).
+    // Spark allows ONE generator per select: a single SRF becomes
+    // explode, a pair becomes one inline(arrays_zip(...)).
+    s = ("""(?is)(^|\(\s*)SELECT\s+generate_series\s*\(([^()]*)\)\s*""" +
+      """,\s*generate_series\s*\(([^()]*)\)\s*(?=$|\))""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SELECT inline(arrays_zip(" +
+          s"sequence(${m.group(2)}), sequence(${m.group(3)})))"))
+    s = """(?is)(^|\(\s*)SELECT\s+generate_series\s*\(([^()]*)\)\s*(?=$|\)|FROM\b)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SELECT explode(sequence(${m.group(2)})) " +
+          "AS generate_series "))
     s = """(?i)\bgenerate_series\s*\(([^()]*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
+    // PG postfix null tests: `expr ISNULL` / `expr NOTNULL`
+    s = """(?i)\bISNULL\b""".r.replaceAllIn(s, "IS NULL")
+    s = """(?i)\bNOTNULL\b""".r.replaceAllIn(s, "IS NOT NULL")
     // rank-family over an empty window: every row ties in PG; a
     // constant ordering reproduces that
     s = """(?is)\b(rank|dense_rank|percent_rank|cume_dist|row_number)\s*\(\s*\)\s*OVER\s*\(\s*\)""".r
@@ -1153,8 +1169,21 @@ object PgDialect {
     val top = withPre + rewriteDistinctOn(rewriteNamedWindows(mainQ))
     rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
       rewriteILike(rewritePgLimits(rewriteFnNames(rewriteToChar(
-        top))))))))
+        rewriteWindowFilter(rewriteTableSpelling(top))))))))))
   }
+
+  /** PG's bare `TABLE name` query spelling (`TABLE t` ≡ `SELECT *
+    * FROM t`), legal standalone and as a set-operation branch
+    * (columnar_query.sql's `(table a EXCEPT table b) UNION ...`).
+    * Only rewrites where a query can start — statement start, after
+    * `(`, or after a set-op keyword — so CREATE/DROP/ALTER TABLE
+    * never match. */
+  def rewriteTableSpelling(sql: String): String =
+    ("""(?is)(^\s*|\(\s*|\bUNION\s+ALL\s+|\bUNION\s+|\bEXCEPT\s+ALL\s+|""" +
+      """\bEXCEPT\s+|\bINTERSECT\s+ALL\s+|\bINTERSECT\s+)""" +
+      """TABLE\s+([A-Za-z_][\w.]*)""").r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SELECT * FROM ${m.group(2)}"))
 
   /** PG column-alias lists on FROM items may rename just a PREFIX of
     * the columns — `(A JOIN B ON ...) AS t(c1, c2)` keeps the
@@ -1417,6 +1446,125 @@ object PgDialect {
       s"WHERE ${substitute(having)} ${substitute(orderPart)} $limitPart"
   }
 
+  /** Spark rejects FILTER on WINDOW aggregates ("Window aggregate
+    * function with filter predicate is not supported yet"); PG runs
+    * them (window_functions.sql:163-200). Rewrite
+    * `agg(arg) FILTER (WHERE c) OVER ...` to the conditional-argument
+    * form — `count(*)` → `count(CASE WHEN c THEN 1 END)`, otherwise
+    * `agg(CASE WHEN c THEN (arg) END)` — identical semantics because
+    * aggregates skip NULL inputs. */
+  def rewriteWindowFilter(sql: String): String =
+    withMaskedLiterals(sql) { s0 =>
+      val filterRe = """(?i)\bFILTER\s*\(\s*WHERE\b""".r
+      var cur = s0
+      var scan = true
+      while (scan) {
+        scan = false
+        val hit = filterRe.findAllMatchIn(cur).flatMap { m =>
+          val open = cur.indexOf('(', m.start)
+          var depth = 0; var i = open; var close = -1
+          while (i < cur.length && close < 0) {
+            cur.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = i
+              case _ => ()
+            }
+            i += 1
+          }
+          val overFollows = close > 0 &&
+            """(?is)^\s*OVER\b""".r
+              .findFirstIn(cur.substring(close + 1)).isDefined
+          // the aggregate call must end right before FILTER
+          var j = m.start - 1
+          while (j >= 0 && cur.charAt(j).isWhitespace) j -= 1
+          if (!overFollows || j < 0 || cur.charAt(j) != ')') None
+          else {
+            var d2 = 0; var k = j; var argOpen = -1
+            while (k >= 0 && argOpen < 0) {
+              cur.charAt(k) match {
+                case ')' => d2 += 1
+                case '(' => d2 -= 1; if (d2 == 0) argOpen = k
+                case _ => ()
+              }
+              k -= 1
+            }
+            val fnM = """([A-Za-z_]\w*)\s*$""".r
+              .findFirstMatchIn(cur.substring(0, math.max(argOpen, 0)))
+            fnM.map(f => (f.start, f.group(1),
+              cur.substring(argOpen + 1, j), open, close))
+          }
+        }.collectFirst {
+          case (fnStart, fn, args, fOpen, fClose)
+              if args.trim == "*" || splitTopLevel(args).size == 1 =>
+            val cond = """(?is)^\s*WHERE\b""".r
+              .replaceFirstIn(cur.substring(fOpen + 1, fClose), "")
+            val newAgg =
+              if (args.trim == "*")
+                s"$fn(CASE WHEN ($cond) THEN 1 END)"
+              else s"$fn(CASE WHEN ($cond) THEN ($args) END)"
+            (fnStart, fClose, newAgg)
+        }
+        hit.foreach { case (from, to, newAgg) =>
+          cur = cur.substring(0, from) + newAgg + cur.substring(to + 1)
+          scan = true
+        }
+      }
+      cur
+    }
+
+  /** PG evaluates window functions AFTER grouping, so a window spec
+    * may use aggregate results directly (`RANK() OVER (ORDER BY
+    * avg(value_1))`, window_functions.sql:500-560); Spark fails to
+    * resolve the aggregate's argument there. Pre-project: evaluate
+    * the grouped aggregates in a derived table under synthetic
+    * aliases, then run the window query over it. Applied as a
+    * resolution-failure retry only; bails on any shape it cannot
+    * prove safe (non-identifier GROUP BY items, set ops, DISTINCT,
+    * named WINDOW clauses). */
+  private def hoistWindowAggregates(sql: String): String = {
+    val t = sql.trim
+    if (!t.toUpperCase.startsWith("SELECT")) return sql
+    if ("""(?is)^SELECT\s+DISTINCT(?![\w$])""".r
+      .findFirstIn(t).isDefined) return sql
+    if (topLevelIndex(t, "UNION") >= 0 ||
+      topLevelIndex(t, "EXCEPT") >= 0 ||
+      topLevelIndex(t, "INTERSECT") >= 0 ||
+      topLevelIndex(t, "WINDOW") >= 0) return sql
+    val fromIdx = topLevelIndex(t, "FROM")
+    val groupIdx = topLevelIndex(t, "GROUP")
+    if (fromIdx < 0 || groupIdx < fromIdx) return sql
+    if (topLevelIndex(t, "OVER") < 0) return sql
+    val orderIdx = topLevelIndex(t, "ORDER")
+    val limitIdx = topLevelIndex(t, "LIMIT")
+    val havingIdx = topLevelIndex(t, "HAVING")
+    val innerEnd = Seq(orderIdx, limitIdx).filter(_ > groupIdx)
+      .reduceOption(_ min _).getOrElse(t.length)
+    val byM = """(?is)^GROUP\s+BY\b""".r
+      .findPrefixMatchOf(t.substring(groupIdx)).getOrElse(return sql)
+    val groupList = t.substring(groupIdx + byM.end,
+      if (havingIdx > groupIdx) havingIdx else innerEnd)
+    val groupItems = splitTopLevel(groupList).map(_.trim)
+    if (groupItems.isEmpty ||
+      !groupItems.forall(_.matches("[A-Za-z_]\\w*"))) return sql
+    val selectList = t.substring("SELECT".length, fromIdx)
+    val orderPart =
+      if (orderIdx > groupIdx)
+        t.substring(orderIdx,
+          if (limitIdx > orderIdx) limitIdx else t.length)
+      else ""
+    val limitPart = if (limitIdx > groupIdx) t.substring(limitIdx) else ""
+    val aggs = (aggCallsIn(selectList) ++ aggCallsIn(orderPart)).distinct
+    if (aggs.isEmpty) return sql
+    val aliases = aggs.zipWithIndex.map { case (a, i) => a -> s"__wg$i" }
+    def substitute(clause: String): String =
+      aliases.foldLeft(clause) { case (c, (a, n)) => c.replace(a, n) }
+    val inner = s"SELECT ${groupItems.mkString(", ")}" +
+      aliases.map { case (a, n) => s", $a AS $n" }.mkString + " " +
+      t.substring(fromIdx, innerEnd)
+    s"SELECT ${substitute(selectList)} FROM ($inner) __graft_w " +
+      s"${substitute(orderPart)} $limitPart"
+  }
+
   /** SQL-callable sketch carriers for the reference's tdigest/topn
     * extension spellings (registered once per session, on first
     * dialect use): digests as sorted centroid arrays, topn counters
@@ -1495,8 +1643,12 @@ object PgDialect {
         if Option(e.getMessage)
           .exists(_.contains("UNRESOLVED_COLUMN")) =>
         val hoisted = hoistHavingAggregates(text)
-        if (hoisted == text) throw e
-        spark.sql(hoisted)
+        if (hoisted != text) spark.sql(hoisted)
+        else {
+          val wHoisted = hoistWindowAggregates(text)
+          if (wHoisted == text) throw e
+          spark.sql(wHoisted)
+        }
     }
   }
 

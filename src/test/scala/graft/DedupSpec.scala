@@ -160,6 +160,53 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash banding recalls 100% of signature pairs at the hamming " +
+      "bound (pigeonhole: maxHamming+1 bands)") {
+    import spark.implicits._
+    // base signatures spread over the 64-bit space, plus for each a
+    // perturbed twin at every distance 1..maxHamming (bit positions
+    // chosen adversarially: consecutive runs, band-straddling, spread)
+    val maxHamming = 6
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 40).map(i => (i, rnd.nextLong()))
+    val rows = collection.mutable.Buffer[(Long, Long)]()
+    var nextId = 1000L
+    val expected = collection.mutable.Buffer[(Long, Long, Int)]()
+    bases.foreach { case (i, sig) =>
+      val baseId = i.toLong
+      rows += ((baseId, sig))
+      (1 to maxHamming).foreach { d =>
+        // three adversarial flip patterns per distance
+        val patterns = Seq(
+          (0 until d).map(k => (i + k) % 64),            // consecutive
+          (0 until d).map(k => (k * 63 / math.max(d - 1, 1)) % 64), // spread
+          (0 until d).map(k => (8 + i + k * 9) % 64))    // straddling
+        patterns.foreach { bits =>
+          val flipped = bits.distinct.foldLeft(sig)((s, b) => s ^ (1L << b))
+          if (java.lang.Long.bitCount(sig ^ flipped) == d) {
+            rows += ((nextId, flipped))
+            expected += ((math.min(baseId, nextId),
+              math.max(baseId, nextId), d))
+            nextId += 1
+          }
+        }
+      }
+    }
+    val sigs = rows.toSeq.toDF("doc", "sig")
+    val got = Dedup.simhashCandidatesFromSigs(sigs, maxHamming)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val missing = expected.filterNot(e => got.contains((e._1, e._2)))
+    assert(missing.isEmpty,
+      s"${missing.size}/${expected.size} pairs at hamming<=6 missed: " +
+        missing.take(5).mkString(", "))
+    // and the hamming filter keeps the bound tight: no candidate pair
+    // beyond maxHamming survives
+    val sigMap = rows.toMap
+    got.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= maxHamming)
+    }
+  }
+
   test("exact-substring stats: shared 8-token windows counted once per " +
       "doc, unique docs absent, repeats within one doc not double-counted") {
     import spark.implicits._

@@ -1508,9 +1508,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }
     }
 
-    // FOREIGN tables (fake-fdw fixtures) register as empty relations
+    // FOREIGN tables (fake-fdw fixtures) register as empty relations;
+    // TEMP/UNLOGGED are storage attributes with no dataframe meaning
     val createRe =
-      """(?is)^CREATE\s+(?:FOREIGN\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)[^)]*$""".r
+      """(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+|UNLOGGED\s+|FOREIGN\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)[^)]*$""".r
     // CREATE TABLE x (LIKE y ...) — copy y's declared schema
     val createLikeRe =
       """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\(\s*LIKE\s+([A-Za-z_][\w.]*)[^)]*\).*$""".r
@@ -1668,7 +1669,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
             register(strip(name))
           }
         case ctasRe(name, body) =>
-          try PgDialect.sql(spark, body)
+          // CTAS snapshots: checkpoint so the view neither tracks later
+          // source changes nor re-resolves a complex plan per reader
+          // (EXCEPT of two lateral-join CTAS views trips attribute
+          // reuse otherwise, columnar_query.sql:75-90)
+          try PgDialect.sql(spark, body).localCheckpoint(true)
             .createOrReplaceTempView(strip(name))
           catch { case _: Throwable => () }
         case viewRe(name, body) =>
@@ -1807,8 +1812,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
             }
           }
         case q if (q.toUpperCase.startsWith("SELECT") ||
-            q.toUpperCase.startsWith("WITH")) && keep(q) &&
-            !pgErrs.contains(normSql(q)) =>
+            q.toUpperCase.startsWith("WITH") ||
+            q.toUpperCase.startsWith("TABLE ") ||
+            // parenthesized set-op branches: `(SELECT ...) UNION ...`,
+            // `(table a EXCEPT table b) UNION ...`
+            (q.startsWith("(") &&
+              """(?i)\b(SELECT|TABLE)\b""".r.findFirstIn(q).isDefined)) &&
+            keep(q) && !pgErrs.contains(normSql(q)) =>
           if (countable) ran += 1
           try { PgDialect.sql(spark, q).count(); if (countable) ok += 1 }
           catch { case e: Throwable =>
@@ -1867,8 +1877,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
             .findFirstMatchIn(mask.substring(from))
             .map(_.start + from).getOrElse(-1)
         val iUsing = kwIdx("USING", 0)
-        val iOn = kwIdx("ON", iUsing + 5)
-        val iWhen = kwIdx("WHEN", iOn + 2)
+        val iWhen = kwIdx("WHEN", iUsing + 5)
+        // the MERGE join condition is the LAST top-level ON before the
+        // first WHEN — earlier ones belong to JOINs inside the source
+        // (`USING a JOIN b ON ... ON t.k = a.k WHEN ...`)
+        val iOn =
+          if (iUsing < 0 || iWhen < 0) -1
+          else """(?i)\bON\b""".r.findAllMatchIn(
+            mask.substring(iUsing + 5, iWhen))
+            .map(_.start + iUsing + 5).foldLeft(-1)((_, i) => i)
         require(iUsing > 0 && iOn > iUsing && iWhen > iOn,
           "unparsed MERGE skeleton")
         val headRe =
@@ -1907,7 +1924,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
               case nameRe(n, a) =>
                 (strip(n), Option(a).map(_.toLowerCase)
                   .getOrElse(strip(n)), None)
-              case other => sys.error(s"unparsed MERGE source: $other")
+              case joined =>
+                // arbitrary FROM-item (JOIN chains): wrap as a derived
+                // table — its columns resolve unqualified downstream
+                (s"(SELECT * FROM $joined)", "__mrg_js", None)
             }
           }
         val onCond = stmt.substring(iOn + 2, iWhen).trim
@@ -2289,6 +2309,47 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allTotal >= 80, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.8,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of the columnar query corpora " +
+      "(columnar_query.sql, columnar_join.sql) over columnar-layout " +
+      "catalog tables — storage knobs are parquet codec/row-group " +
+      "options, the query surface is storage-agnostic") {
+    assume(refDir.isDirectory, "reference tree not present")
+    import graft.catalog.DistributionCatalog
+    // the contestant fixtures the columnar schedule COPYs
+    // (columnar_create.sql:23-33 + columnar_load.sql), materialized as
+    // catalog tables with the two compression layouts under test
+    val dataDir = "/root/reference/src/test/regress/data"
+    val contestant = spark.read
+      .schema("handle string, birthdate date, rating int, " +
+        "percentile double, country string, achievements string")
+      .csv(s"$dataDir/contestants.1.csv", s"$dataDir/contestants.2.csv")
+    DistributionCatalog.createDistributedTable(spark, contestant,
+      "contestant", "handle", buckets = 2)
+    DistributionCatalog.setColumnarOptions(spark, "contestant",
+      compression = Some("none"))
+    DistributionCatalog.createDistributedTable(spark, contestant,
+      "contestant_compressed", "handle", buckets = 2)
+    DistributionCatalog.setColumnarOptions(spark, "contestant_compressed",
+      compression = Some("zstd"), chunkRows = Some(100))
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("columnar.") && !s.contains("columnar_storage") &&
+        !s.contains("pg_class") && !s.contains("get_storage_id")
+    val perFile = Seq("columnar_query.sql", "columnar_join.sql").map { f =>
+      val (ok, ran) = replayFile(f, "COLFAIL", keep)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 25, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.8,
       s"only $okTotal/$allTotal reference statements ran")
   }
