@@ -40,13 +40,27 @@ object PgDialect {
     "character" -> "STRING",
     "timestamptz" -> "TIMESTAMP", "bool" -> "BOOLEAN",
     // no JSON type on Spark: JSON values ride as their text form
-    "json" -> "STRING", "jsonb" -> "STRING",
+    "json" -> "STRING", "jsonb" -> "STRING", "bytea" -> "BINARY",
     // PG's one interval type covers both ranges; day-time is the
     // corpus's use ('1 day'::interval series steps)
     "interval" -> "INTERVAL DAY TO SECOND")
 
-  private def mapType(t: String): String =
-    typeMap.getOrElse(t.trim.toLowerCase, t.trim)
+  /** Type names Spark's CAST understands; anything else (PG enums,
+    * domains, reg* pseudo-types) rides as its text form. */
+  private val sparkKnownTypes = Set(
+    "int", "integer", "bigint", "smallint", "tinyint", "long", "short",
+    "byte", "double", "float", "real", "decimal", "numeric", "dec",
+    "string", "boolean", "binary", "date", "timestamp",
+    "timestamp_ntz", "timestamp_ltz", "void", "char", "varchar",
+    "interval", "array", "map", "struct", "variant", "time")
+
+  private def mapType(t: String): String = {
+    val k = t.trim.toLowerCase
+    typeMap.get(k).getOrElse {
+      val head = k.takeWhile(c => c.isLetter || c == '_')
+      if (sparkKnownTypes.contains(head)) t.trim else "STRING"
+    }
+  }
 
   /** `expr::type` → CAST(expr AS type). Handles chained casts
     * left-to-right; operand = literal, quoted literal, identifier,
@@ -94,8 +108,22 @@ object PgDialect {
     while (changed) {
       val next = castRe.replaceAllIn(out, m => {
         val operand = m.group(1)
-        val tpe = mapType(m.group(9))
-        java.util.regex.Matcher.quoteReplacement(s"CAST($operand AS $tpe)")
+        val rawT = m.group(9).trim.toLowerCase
+        java.util.regex.Matcher.quoteReplacement(
+          if (rawT == "interval")
+            // dynamic string→interval (the literal form became an
+            // INTERVAL literal above): PG accepts '1001 days' text —
+            // parse day/hour/min/sec units into a day-time interval
+            s"make_dt_interval(" +
+              s"CAST(coalesce(nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+) *day', 1), ''), '0') AS INT), " +
+              s"CAST(coalesce(nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+) *hour', 1), ''), '0') AS INT), " +
+              s"CAST(coalesce(nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+) *min', 1), ''), '0') AS INT), " +
+              s"CAST(coalesce(nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+(\\.[0-9]+)?) *sec', 1), ''), '0') AS DOUBLE))"
+          else s"CAST($operand AS ${mapType(m.group(9))})")
       })
       changed = next != out
       out = next
@@ -335,6 +363,11 @@ object PgDialect {
     * untouched. */
   def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
+    // PG's 1-arg numeric trunc (toward zero); Spark's trunc is the
+    // 2-arg date form — only the comma-free call rewrites
+    s = """(?is)\btrunc\s*\(((?:[^(),]|\([^()]*\))+)\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST((${m.group(1)}) AS BIGINT)"))
     s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(CAST(unix_micros(CAST(${m.group(1).trim} AS TIMESTAMP)) " +
@@ -379,6 +412,13 @@ object PgDialect {
     s = """(?is)\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
+    // aliased SRF as the whole targetlist (`SELECT
+    // generate_series(1,10) AS a FROM/END`): explode under the alias
+    s = ("""(?is)(^|\(\s*)SELECT\s+generate_series\s*\(([^()]*)\)\s*""" +
+      """AS\s+([A-Za-z_]\w*)\s*(?=$|\)|FROM\b)""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SELECT explode(sequence(${m.group(2)})) " +
+          s"AS ${m.group(3)} "))
     // SRF in FROM: generate_series(a,b[,step]) alias → a lateral-free
     // explode subquery exposing the alias as the column name; the
     // alias-less form exposes PG's default column name. A bare
@@ -405,6 +445,13 @@ object PgDialect {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}SELECT explode(sequence(${m.group(2)})) " +
           "AS generate_series "))
+    // single SRF leading a longer targetlist (`SELECT
+    // generate_series(a,b), 0`): explode rides with the scalars
+    s = ("""(?is)(^|\(\s*)SELECT\s+generate_series\s*\(([^()]*)\)\s*""" +
+      """,\s*(?![^,()]*generate_series)""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SELECT explode(sequence(${m.group(2)})) " +
+          "AS generate_series, "))
     s = """(?i)\bgenerate_series\s*\(([^()]*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
@@ -628,8 +675,13 @@ object PgDialect {
     // Spark inline tables must be foldable; PG VALUES rows may hold
     // volatile calls (random()) — those become a UNION ALL of SELECTs
     locally {
+      val tup = {
+        var body = """[^()]*"""
+        (1 to 5).foreach(_ => body = s"""(?:[^()]|\\($body\\))*""")
+        s"""\\($body\\)"""
+      }
       val valuesRe =
-        """(?is)\(\s*VALUES\s*((?:\((?:[^()]|\([^()]*\))*\)\s*,?\s*)+)\)""".r
+        s"""(?is)\\(\\s*VALUES\\s*((?:$tup\\s*,?\\s*)+)\\)""".r
       s = valuesRe.replaceAllIn(s, m => {
         val body = m.group(1)
         if (!"""(?i)\b(random|rand|now)\s*\(""".r
@@ -1167,10 +1219,19 @@ object PgDialect {
     // ... and on the main query, which may sit after a WITH prelude
     val (withPre, mainQ) = splitWithPrelude(scoped)
     val top = withPre + rewriteDistinctOn(rewriteNamedWindows(mainQ))
-    rewriteCasts(rewriteRegexOps(rewriteArrayOps(rewriteJsonOps(
-      rewriteILike(rewritePgLimits(rewriteFnNames(rewriteToChar(
-        rewriteWindowFilter(rewriteTableSpelling(top))))))))))
+    rewriteConcatPrecedence(rewriteCasts(rewriteRegexOps(rewriteArrayOps(
+      rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
+        rewriteToChar(rewriteWindowFilter(
+          rewriteTableSpelling(top)))))))))))
   }
+
+  /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`
+    * concatenates i-1); Spark's `||` binds tighter (it would compute
+    * `('s_' || i) - 1`). Parenthesize the simple ident±term form. */
+  def rewriteConcatPrecedence(sql: String): String =
+    """\|\|\s*([A-Za-z_][\w.]*)\s*([+\-])\s*(\d+|[A-Za-z_][\w.]*)(?!\s*[\w.(])""".r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        s"|| (${m.group(1)} ${m.group(2)} ${m.group(3)})"))
 
   /** PG's bare `TABLE name` query spelling (`TABLE t` ≡ `SELECT *
     * FROM t`), legal standalone and as a set-operation branch

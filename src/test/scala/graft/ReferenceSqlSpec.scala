@@ -270,19 +270,26 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .mkString("\n").split(";").map(_.trim).filter(_.nonEmpty)
     def splitTop(s: String): Seq[String] = {
       val out = collection.mutable.Buffer[String]()
-      var depth = 0; var cur = new StringBuilder
-      s.foreach {
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case ',' if depth == 0 => out += cur.toString; cur = new StringBuilder
-        case c => cur += c
+      var depth = 0; var inQ = false; var cur = new StringBuilder
+      s.foreach { c =>
+        if (inQ) { cur += c; if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true; cur += c
+          case '('  => depth += 1; cur += '('
+          case ')'  => depth -= 1; cur += ')'
+          case ',' if depth == 0 =>
+            out += cur.toString; cur = new StringBuilder
+          case other => cur += other
+        }
       }
       if (cur.nonEmpty) out += cur.toString
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
     def sparkType(pg: String): String = {
       val t = pg.trim.toLowerCase
-      if (t.startsWith("bigint") || t.startsWith("int8") ||
+      if (t.contains("[")) // PG array column (`text[]`)
+        "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
+      else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
       else if (t.startsWith("smallint") || t.startsWith("int2")) "SMALLINT"
       else if (t.startsWith("int") || t.startsWith("serial")) "INT"
@@ -324,7 +331,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       collection.mutable.Buffer[(String, String, String)]()
     val likeRe = """(?is)^\s*LIKE\s+([A-Za-z_][\w.]*).*$""".r
     val insertRe =
-      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*SELECT\s.*)$""".r
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val ctasRe =
@@ -1374,6 +1381,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .LinkedHashMap[String, (String, String)]()
     // parent → partition-key column (RANGE/LIST single-column forms)
     val partCol = collection.mutable.Map[String, String]()
+    // (table, column) → declared DEFAULT expression
+    val colDefaults = collection.mutable.Map[(String, String), String]()
+    // CREATE SCHEMA names seen — their qualifiers strip off statements
+    val schemaNames = collection.mutable.Set[String]()
     // zero-arg LANGUAGE SQL fixture functions: name → body statements
     // (`SELECT insert_data()` replays them; plpgsql bodies store empty
     // so helper calls no-op instead of failing)
@@ -1382,7 +1393,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
 
   private def replayFile(file: String, tag: String,
       keep: String => Boolean,
-      state: ReplayState = new ReplayState): (Int, Int) = {
+      state: ReplayState = new ReplayState,
+      countDml: Boolean = false): (Int, Int) = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
     // statements PG itself rejects (expected .out records ERROR) are
@@ -1426,20 +1438,26 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // live state: declared schemas + accumulated data per table
     def splitTop(s: String): Seq[String] = {
       val out = collection.mutable.Buffer[String]()
-      var depth = 0; var cur = new StringBuilder
-      s.foreach {
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case ',' if depth == 0 =>
-          out += cur.toString; cur = new StringBuilder
-        case c => cur += c
+      var depth = 0; var inQ = false; var cur = new StringBuilder
+      s.foreach { c =>
+        if (inQ) { cur += c; if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true; cur += c
+          case '('  => depth += 1; cur += '('
+          case ')'  => depth -= 1; cur += ')'
+          case ',' if depth == 0 =>
+            out += cur.toString; cur = new StringBuilder
+          case other => cur += other
+        }
       }
       if (cur.nonEmpty) out += cur.toString
       out.toSeq.map(_.trim).filter(_.nonEmpty)
     }
     def sparkType(pg: String): String = {
       val t = pg.trim.toLowerCase
-      if (t.startsWith("bigint") || t.startsWith("int8") ||
+      if (t.contains("[")) // PG array column (`text[]`)
+        "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
+      else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
       else if (t.startsWith("smallint") || t.startsWith("int2")) "SMALLINT"
       else if (t.startsWith("int") || t.startsWith("serial")) "INT"
@@ -1508,6 +1526,192 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }
     }
 
+    /** First top-level occurrence of keyword `kw` (outside parens and
+      * string literals) → (text before, text after the keyword). */
+    def topSplit(s: String, kw: String): Option[(String, String)] =
+      ("""(?i)\b""" + kw + """\b""").r.findFirstMatchIn(depthMask(s))
+        .map(m => (s.substring(0, m.start).trim, s.substring(m.end).trim))
+
+    /** Strip a top-level RETURNING tail → (body, Some(exprList)). */
+    def stripReturning(s: String): (String, Option[String]) =
+      topSplit(s, "RETURNING") match {
+        case Some((b, r)) => (b, Some(r))
+        case None => (s, None)
+      }
+
+    /** SET-list parse: `a = e1, b = e2` plus PG's row form
+      * `(a, b) = (SELECT e1, e2)` (positional when the row SELECT has
+      * no FROM of its own — its items resolve in the outer scope). */
+    def parseAssigns(sets: String): Seq[(String, String)] =
+      splitTop(sets).flatMap { kv =>
+        val i = depthMask(kv).indexOf('=')
+        if (i < 0) Nil
+        else {
+          val lhs = kv.substring(0, i).trim
+          val rhs = kv.substring(i + 1).trim
+          if (lhs.startsWith("(")) {
+            val cols = lhs.stripPrefix("(").stripSuffix(")")
+              .split(",").map(_.trim.toLowerCase).toSeq
+            val rowRe = """(?is)^\(\s*SELECT\s+(.*)\)$""".r
+            rhs match {
+              case rowRe(body) => topSplit(body, "FROM") match {
+                case None => cols.zip(splitTop(body))
+                case Some((items, fromTail)) =>
+                  // row subquery WITH its own FROM: Spark scalar
+                  // subqueries are single-column — run it per column
+                  cols.zip(splitTop(items).map(it =>
+                    s"(SELECT $it FROM $fromTail)"))
+              }
+              case r if r.startsWith("(") && r.endsWith(")") =>
+                // plain row literal: SET (a, b) = (2, 1)
+                val items = splitTop(r.stripPrefix("(").stripSuffix(")"))
+                if (items.length == cols.length) cols.zip(items)
+                else cols.map(_ -> rhs)
+              case _ => cols.map(_ -> rhs)
+            }
+          } else Seq(lhs.toLowerCase -> rhs)
+        }
+      }
+
+    /** Repeated unionAll-per-INSERT accumulates partitions linearly —
+      * and a later cartesian SELECT multiplies them (nL×nR tasks).
+      * Compact any live frame that has sprawled. */
+    def compact(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (df.rdd.getNumPartitions > 16)
+        freshen(df.coalesce(8).localCheckpoint(true))
+      else df
+
+    /** localCheckpoint keeps the source plan's constraints — which may
+      * reference attributes absent from the output; a later Union
+      * constraint-rewrite then dies with "key not found". Rebuild the
+      * frame as a clean LogicalRDD (fresh attrs, no constraints). */
+    def freshen(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      try spark.createDataFrame(df.rdd, df.schema)
+      catch { case _: Throwable => df }
+
+    def boundAnd(n0: String, cond: Option[String]): String =
+      (state.parts.get(n0).map(_._2), cond) match {
+        case (None, c)          => c.orNull
+        case (Some(b), None)    => b
+        case (Some(b), Some(c)) => s"($b) AND ($c)"
+      }
+
+    /** DELETE FROM t [alias] [USING items] [WHERE cond] against live
+      * state (PG row semantics: delete where cond is TRUE; for USING,
+      * a target row goes when ANY source row matches). Returns the
+      * deleted rows — the RETURNING pre-image. */
+    def applyDelete(name0: String, alias: Option[String],
+        using: Option[String], cond: Option[String])
+        : org.apache.spark.sql.DataFrame = {
+      val n0 = strip(name0); val n = base(n0)
+      val a = alias.getOrElse(n0)
+      val cur = data.get(n).flatten.getOrElse(emptyOf(n))
+      val eff = boundAnd(n0, cond)
+      val (kept, deleted) = using match {
+        case None =>
+          if (eff == null) (emptyOf(n), cur)
+          else {
+            cur.createOrReplaceTempView("__graft_del")
+            (PgDialect.sql(spark, s"SELECT $a.* FROM __graft_del $a " +
+              s"WHERE NOT COALESCE(($eff), false)"),
+              PgDialect.sql(spark, s"SELECT $a.* FROM __graft_del $a " +
+                s"WHERE COALESCE(($eff), false)"))
+          }
+        case Some(u) =>
+          val withRid = cur.withColumn("__rid",
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+            .localCheckpoint(true)
+          withRid.createOrReplaceTempView("__graft_del")
+          val hits = PgDialect.sql(spark,
+            s"SELECT DISTINCT $a.__rid AS __rid FROM __graft_del $a, $u" +
+              (if (eff == null) "" else s" WHERE COALESCE(($eff), false)"))
+          (withRid.join(hits, Seq("__rid"), "left_anti").drop("__rid"),
+            withRid.join(hits, Seq("__rid"), "left_semi").drop("__rid"))
+      }
+      val snap = freshen(deleted.localCheckpoint(true))
+      data(n) = Some(compact(freshen(kept.localCheckpoint(true))))
+      register(n)
+      snap
+    }
+
+    /** UPDATE t [alias] SET ... [FROM items] [WHERE cond] against live
+      * state (assignments read the OLD row; with FROM, the first
+      * matching source row supplies the values — PG leaves the choice
+      * unspecified). Returns the updated rows — the RETURNING
+      * post-image. */
+    def applyUpdate(name0: String, alias: Option[String], sets: String,
+        from: Option[String], cond: Option[String])
+        : org.apache.spark.sql.DataFrame = {
+      val n0 = strip(name0); val n = base(n0)
+      val a = alias.getOrElse(n0)
+      val cur = data.get(n).flatten.getOrElse(emptyOf(n))
+      val eff = boundAnd(n0, cond)
+      val assigns = parseAssigns(sets).map { case (c0, e0) =>
+        if (e0.trim.equalsIgnoreCase("DEFAULT"))
+          (c0, state.colDefaults.getOrElse((n0, c0),
+            state.colDefaults.getOrElse((n, c0), "NULL")))
+        else (c0, e0)
+      }
+      val schemaN = schemas(n)
+      from match {
+        case None =>
+          cur.createOrReplaceTempView("__graft_upd")
+          val matched =
+            if (eff == null)
+              PgDialect.sql(spark, s"SELECT $a.* FROM __graft_upd $a")
+            else PgDialect.sql(spark,
+              s"SELECT $a.* FROM __graft_upd $a " +
+                s"WHERE COALESCE(($eff), false)")
+          matched.localCheckpoint(true)
+            .createOrReplaceTempView("__graft_updm")
+          val items = schemaN.map { case (cn, ct) =>
+            assigns.toMap.get(cn.toLowerCase) match {
+              case Some(e) => s"CAST(($e) AS $ct) AS $cn"
+              case None    => s"$a.$cn"
+            }
+          }
+          val updated = freshen(PgDialect.sql(spark,
+            s"SELECT ${items.mkString(", ")} FROM __graft_updm $a")
+            .localCheckpoint(true))
+          val untouched =
+            if (eff == null) cur.limit(0)
+            else PgDialect.sql(spark, s"SELECT $a.* FROM __graft_upd $a " +
+              s"WHERE NOT COALESCE(($eff), false)")
+          data(n) = Some(compact(freshen(
+            updated.unionAll(untouched).localCheckpoint(true))))
+          register(n)
+          updated
+        case Some(fl) =>
+          val withRid = cur.withColumn("__rid",
+            org.apache.spark.sql.functions.monotonically_increasing_id())
+            .localCheckpoint(true)
+          withRid.createOrReplaceTempView("__graft_updt")
+          val setItems = assigns.zipWithIndex.map { case ((_, e), i) =>
+            s"($e) AS __set_$i" }
+          val hits = PgDialect.sql(spark,
+            s"SELECT $a.__rid AS __rid, ${setItems.mkString(", ")} " +
+              s"FROM __graft_updt $a, $fl" +
+              (if (eff == null) "" else s" WHERE COALESCE(($eff), false)"))
+            .dropDuplicates("__rid").withColumn("__hit", lit(1))
+          val joined = withRid.join(hits, Seq("__rid"), "left")
+          val outCols = schemaN.map { case (cn, ct) =>
+            val ai = assigns.indexWhere(_._1 == cn.toLowerCase)
+            if (ai < 0) col(cn)
+            else org.apache.spark.sql.functions
+              .when(col("__hit").isNotNull, col(s"__set_$ai"))
+              .otherwise(col(cn)).cast(ct).as(cn)
+          }
+          val updated = freshen(joined.where(col("__hit").isNotNull)
+            .select(outCols: _*).localCheckpoint(true))
+          data(n) = Some(compact(freshen(
+            joined.select(outCols: _*).localCheckpoint(true))))
+          register(n)
+          updated
+      }
+    }
+
     // FOREIGN tables (fake-fdw fixtures) register as empty relations;
     // TEMP/UNLOGGED are storage attributes with no dataframe meaning
     val createRe =
@@ -1520,16 +1724,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val insertRe =
-      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*)$""".r
-    // DELETE FROM t [alias] [WHERE cond] — filter live state (PG row
-    // semantics: delete rows where cond is TRUE; NULL/false keep)
-    val deleteRe =
-      """(?is)^DELETE\s+FROM\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b|USING\b)([A-Za-z_]\w*))?\s*(?:WHERE\s+(.*))?$""".r
-    // UPDATE t [alias] SET a=e1, b=e2 [WHERE cond] — rewrite live
-    // state as one CASE projection per column (assignments read the
-    // OLD row, as in PG; no-FROM form only)
-    val updateRe =
-      """(?is)^UPDATE\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*SELECT\s.*)$""".r
+    // DELETE FROM t [alias] [USING items] [WHERE cond] — head + tail;
+    // the tail parses via top-level keyword split (USING/WHERE)
+    val deleteHeadRe =
+      """(?is)^DELETE\s+FROM\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b|USING\b)([A-Za-z_]\w*))?\s*(.*)$""".r
+    // UPDATE t [alias] SET rest — rest splits at top-level FROM/WHERE
+    val updateHeadRe =
+      """(?is)^UPDATE\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s+(.*)$""".r
     val truncateRe = """(?is)^TRUNCATE\s+(?:TABLE\s+)?(.+)$""".r
     val dropRe =
       """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)(?:\s+CASCADE)?\s*$""".r
@@ -1546,11 +1748,268 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val createFnRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][\w.]*)\s*\([^)]*\)(.*)$""".r
     val selFnRe = """(?is)^SELECT\s+([A-Za-z_][\w.]*)\s*\(\s*\)\s*$""".r
+    // ALTER TABLE t ADD/DROP COLUMN — live-state schema evolution
+    val alterAddRe =
+      ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+""" +
+        """ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?(?!CONSTRAINT\b|PRIMARY\b|UNIQUE\b|CHECK\b|FOREIGN\b)([A-Za-z_]\w*)\s+""" +
+        """([A-Za-z_][\w ]*?(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\s*\[\s*\])?)(\s+.*)?$""").r
+    val alterDropRe =
+      ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+""" +
+        """DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(?!CONSTRAINT\b)([A-Za-z_]\w*)\s*(?:CASCADE\s*)?$""").r
+
+    def dbgFail(s: String, e: Throwable): Unit =
+      if (sys.env.contains("SPARK_GRAFT_REF_DEBUG")) {
+        println(s"$tag[$file]: " +
+          s.split('\n').map(_.trim).mkString(" ").take(180) +
+          "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.filter(_.nonEmpty).take(1).mkString.take(140))
+        if (sys.env.contains("SPARK_GRAFT_REF_STACK"))
+          e.printStackTrace()
+      }
+
+    /** INSERT INTO t [(cols)] VALUES .../SELECT ... [ON CONFLICT ...]
+      * against live state. Positional column mapping (duplicate source
+      * names are legal). DO NOTHING ≙ batch-dedup + anti-join existing
+      * (`sources/Dml.insertOnConflictDoNothing`); DO UPDATE ≙ the
+      * upsert merge (`Dml.insertOnConflictDoUpdate`): hit rows rewrite
+      * via the SET list with EXCLUDED = the proposed row. Returns the
+      * inserted/updated rows — the RETURNING post-image. */
+    def applyInsert(name: String, colList: Option[String],
+        rest1: String): org.apache.spark.sql.DataFrame = {
+      val n = base(strip(name))
+      val schema = schemas(n)
+      val given = colList.map(_.split(",").map(_.trim.toLowerCase).toSeq)
+        .getOrElse(schema.map(_._1.toLowerCase))
+      val conflictUpdRe =
+        """(?is)^(.*?)\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+UPDATE\s+SET\s+(.*)$""".r
+      val conflictRe =
+        """(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+NOTHING\s*$""".r
+      val (restBody, conflictCols, conflictSets) = rest1 match {
+        case conflictUpdRe(b, cs, sets) =>
+          (b, cs.split(",").map(_.trim.toLowerCase).toSeq, Some(sets))
+        case conflictRe(b, cs) =>
+          (b, Option(cs).map(_.split(",").map(_.trim.toLowerCase).toSeq)
+            .getOrElse(Seq.empty[String]), None)
+        case _ => (rest1, Seq.empty[String], None)
+      }
+      val src =
+        if (restBody.toUpperCase.startsWith("VALUES")) {
+          // DEFAULT → NULL (serial defaults have no live-state analogue)
+          val tuples = """(?i)(?<![\w'])DEFAULT(?![\w'])""".r
+            .replaceAllIn(restBody.substring("VALUES".length).trim, "NULL")
+          // PG allows prefix tuples (`VALUES (1)` into a 5-col table):
+          // alias arity = the first tuple's arity, not the column list's
+          val arity = {
+            val i0 = tuples.indexOf('(')
+            var depth = 0; var i = i0; var end = -1
+            while (end < 0 && i >= 0 && i < tuples.length) {
+              tuples.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case '\'' =>
+                  i += 1
+                  while (i < tuples.length && tuples.charAt(i) != '\'')
+                    i += 1
+                case _ => ()
+              }
+              i += 1
+            }
+            if (i0 < 0 || end < 0) given.length
+            else splitTop(tuples.substring(i0 + 1, end)).length
+          }
+          val vcols = (0 until arity).map(i => s"__c$i")
+          PgDialect.sql(spark,
+            s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
+        } else PgDialect.sql(spark, restBody)
+      val srcN = src.columns.length
+      val renamed = src.toDF((0 until srcN).map(i => s"__src$i"): _*)
+      val proj = schema.map { case (cn, ct) =>
+        val i = given.indexOf(cn.toLowerCase)
+        if (i >= 0 && i < srcN) col(s"__src$i").cast(ct).as(cn)
+        else lit(null).cast(ct).as(cn)
+      }
+      var batch = renamed.select(proj: _*)
+      conflictSets match {
+        case Some(sets) =>
+          val (setsBody, updCond) = topSplit(sets, "WHERE") match {
+            case Some((s1, c)) => (s1, Some(c))
+            case None          => (sets, None)
+          }
+          val assigns = parseAssigns(setsBody).toMap
+          val existing = data.get(n).flatten.getOrElse(emptyOf(n))
+          val b2 = batch.dropDuplicates(conflictCols).localCheckpoint(true)
+          existing.createOrReplaceTempView("__graft_ocu_t")
+          b2.createOrReplaceTempView("__graft_ocu_x")
+          val tA = strip(name)
+          val onKeys = conflictCols.map(k => s"$tA.$k = excluded.$k")
+            .mkString(" AND ")
+          val items = schema.map { case (cn, ct) =>
+            assigns.get(cn.toLowerCase) match {
+              case Some(e) =>
+                val upd = s"CAST(($e) AS $ct)"
+                updCond match {
+                  case Some(c) =>
+                    s"CASE WHEN COALESCE(($c), false) THEN $upd " +
+                      s"ELSE $tA.$cn END AS $cn"
+                  case None => s"$upd AS $cn"
+                }
+              case None => s"$tA.$cn"
+            }
+          }
+          val updatedHits = PgDialect.sql(spark,
+            s"SELECT ${items.mkString(", ")} FROM __graft_ocu_t $tA " +
+              s"JOIN __graft_ocu_x excluded ON $onKeys")
+          val missExisting = existing.join(
+            b2.select(conflictCols.map(col): _*), conflictCols,
+            "left_anti")
+          val newRows = b2.join(
+            existing.select(conflictCols.map(col): _*), conflictCols,
+            "left_anti")
+          val affected =
+            freshen(updatedHits.unionAll(newRows).localCheckpoint(true))
+          data(n) =
+            Some(compact(freshen(
+              missExisting.unionAll(affected).localCheckpoint(true))))
+          register(n)
+          affected
+        case None =>
+          if (conflictCols.nonEmpty) {
+            batch = batch.dropDuplicates(conflictCols)
+            data.get(n).flatten.foreach(existing =>
+              batch = batch.join(
+                existing.select(conflictCols.map(col): _*),
+                conflictCols, "left_anti"))
+          }
+          val snap = freshen(batch.localCheckpoint(true))
+          data(n) = Some(compact(data.get(n).flatten
+            .map(_.unionAll(snap)).getOrElse(snap)))
+          register(n)
+          snap
+      }
+    }
+
+    /** Parse-and-apply a bare DML statement (a wCTE body); returns
+      * (affected rows, alias to expose them under), or None if `s`
+      * is not DML on a known table. */
+    def applyDmlText(s0: String)
+        : Option[(org.apache.spark.sql.DataFrame, String)] = {
+      val s = s0.trim
+      s match {
+        case deleteHeadRe(name, alias, tail0)
+            if schemas.contains(strip(name)) =>
+          val (pre, cond) = topSplit(tail0.trim, "WHERE") match {
+            case Some((p, c)) => (p, Some(c))
+            case None         => (tail0.trim, None)
+          }
+          val using = """(?is)^USING\s+(.*)$""".r
+            .findFirstMatchIn(pre).map(_.group(1))
+          Some((applyDelete(name, Option(alias), using, cond),
+            Option(alias).getOrElse(strip(name))))
+        case updateHeadRe(name, alias, rest0)
+            if schemas.contains(strip(name)) =>
+          val (sets, from, cond) = topSplit(rest0.trim, "FROM") match {
+            case Some((s1, f)) => topSplit(f, "WHERE") match {
+              case Some((fl, c)) => (s1, Some(fl), Some(c))
+              case None          => (s1, Some(f), None)
+            }
+            case None => topSplit(rest0.trim, "WHERE") match {
+              case Some((s1, c)) => (s1, None, Some(c))
+              case None          => (rest0.trim, None, None)
+            }
+          }
+          Some((applyUpdate(name, Option(alias), sets, from, cond),
+            Option(alias).getOrElse(strip(name))))
+        case insertRe(name, colList, rest)
+            if schemas.contains(strip(name)) =>
+          Some((applyInsert(name, Option(colList), rest.trim),
+            strip(name)))
+        case _ => None
+      }
+    }
+
+    /** Evaluate a wCTE body (or WITH-DML tail): a data-modifying body
+      * applies its mutation and yields its RETURNING rows; a nested
+      * WITH prelude registers its own CTEs first; anything else is a
+      * plain query. */
+    def evalCteBody(b0: String): org.apache.spark.sql.DataFrame = {
+      val b = b0.trim
+      if (b.toUpperCase.startsWith("WITH") &&
+        """(?i)\b(INSERT\s+INTO|UPDATE\s+[A-Za-z_"]|DELETE\s+FROM)""".r
+          .findFirstIn(b).isDefined) {
+        val (_, tail) = extractCtes(b)
+        evalCteBody(tail)
+      } else {
+        val (core, ret) = stripReturning(b)
+        applyDmlText(core) match {
+          case Some((df, a)) =>
+            ret match {
+              case Some(r) if normSql(r) != "*" =>
+                df.createOrReplaceTempView("__graft_ret")
+                PgDialect.sql(spark, s"SELECT $r FROM __graft_ret $a")
+                  .localCheckpoint(true)
+              case _ => df
+            }
+          case None => PgDialect.sql(spark, b)
+        }
+      }
+    }
+
+    /** Register each CTE of a WITH-prefixed statement as a temp view —
+      * a data-modifying body (PG wCTE) applies its mutation and the
+      * view carries its RETURNING rows — and return (names, tail). */
+    def extractCtes(stmt0: String): (Seq[String], String) = {
+      var rest = stmt0.trim.substring(4)
+      val names = collection.mutable.Buffer[String]()
+      var more = true
+      while (more) {
+        val m = """(?is)^\s*,?\s*([A-Za-z_]\w*)\s+AS\s*(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(""".r
+          .findFirstMatchIn(rest)
+          .getOrElse(sys.error("unparsed CTE head"))
+        val start = m.end
+        var depth = 1; var i = start
+        while (depth > 0 && i < rest.length) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _   => ()
+          }
+          i += 1
+        }
+        val name = m.group(1).toLowerCase
+        val body = rest.substring(start, i - 1).trim
+        // fresh attribute ids per CTE: two views sharing a checkpoint
+        // lineage would otherwise join with duplicate exprIds ("key
+        // not found") — snapshot through a new LogicalRDD
+        val df0 = evalCteBody(body)
+        val fresh =
+          try spark.createDataFrame(df0.rdd, df0.schema)
+          catch { case _: Throwable => df0 }
+        fresh.createOrReplaceTempView(name)
+        names += name
+        rest = rest.substring(i)
+        more = """(?s)^\s*,""".r.findFirstIn(rest).isDefined
+      }
+      (names.toSeq, rest.trim)
+    }
 
     var ok = 0; var ran = 0
     // `countable` is false while replaying a fixture function's body —
     // those statements are data loads, not corpus surface
-    def processStmt(stmt: String, countable: Boolean): Unit = {
+    def processStmt(stmt0: String, countable: Boolean): Unit = {
+      // CREATE TABLE storage options (`WITH (autovacuum_enabled=off)`)
+      // carry no dataframe meaning — strip so the column list parses
+      var stmt =
+        if (stmt0.toUpperCase.startsWith("CREATE"))
+          stmt0.replaceAll("(?is)\\)\\s*WITH\\s*\\([^)]*\\)\\s*$", ")")
+        else stmt0
+      // created schemas: record the name, then strip its qualifier
+      // everywhere (PG search_path has no Spark analogue; all state
+      // lives under unqualified names)
+      """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)""".r
+        .findFirstMatchIn(stmt)
+        .foreach(m => state.schemaNames += m.group(1).toLowerCase)
+      state.schemaNames.foreach(sc =>
+        stmt = stmt.replaceAll("(?i)\\b" + sc + "\\.", ""))
       stmt match {
         case partOfRe(child0, parent0, spec)
             if schemas.contains(strip(parent0)) =>
@@ -1588,75 +2047,95 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   cf, lit(false)))).localCheckpoint(true))
           } catch { case _: Throwable => data(child) = Some(cur) }
           register(parent); register(child)
+        case alterAddRe(name, cn, ct0, _)
+            if schemas.contains(strip(name)) =>
+          val n = base(strip(name))
+          val t = sparkType(ct0)
+          if (!schemas(n).exists(_._1.equalsIgnoreCase(cn))) {
+            schemas(n) = schemas(n) :+ (cn -> t)
+            data.get(n).flatten.foreach(df =>
+              data(n) = Some(df.withColumn(cn, lit(null).cast(t))))
+            state.parts.collect { case (c, (p, _)) if p == n => c }
+              .foreach(c => schemas(c) = schemas(n))
+          }
+          register(n)
+        case alterDropRe(name, cn)
+            if schemas.contains(strip(name)) &&
+              schemas(strip(name)).exists(_._1.equalsIgnoreCase(cn)) =>
+          val n = base(strip(name))
+          schemas(n) = schemas(n).filterNot(_._1.equalsIgnoreCase(cn))
+          data.get(n).flatten.foreach(df => data(n) = Some(df.drop(cn)))
+          state.parts.collect { case (c, (p, _)) if p == n => c }
+            .foreach(c => schemas(c) = schemas(n))
+          register(n)
         case createLikeRe(name, src)
             if schemas.contains(strip(src)) =>
           schemas(strip(name)) = schemas(strip(src))
           data(strip(name)) = None
           register(strip(name))
-        case deleteRe(name, alias, cond)
+        case createLikeRe(name, src)
+            if spark.catalog.tableExists(strip(src)) =>
+          // LIKE a fixture view (`LIKE public.users_table`): copy the
+          // view's schema, start empty (PG copies structure only)
+          schemas(strip(name)) = spark.table(strip(src)).schema.fields
+            .toSeq.map(f => f.name -> f.dataType.sql)
+          data(strip(name)) = None
+          register(strip(name))
+        case deleteHeadRe(name, alias, tail0)
             if schemas.contains(strip(name)) =>
-          val n0 = strip(name); val n = base(n0)
-          // a child's DELETE touches only rows inside its bound
-          val eff = (state.parts.get(n0).map(_._2), Option(cond)) match {
-            case (None, c)          => c.orNull
-            case (Some(b), None)    => b
-            case (Some(b), Some(c)) => s"($b) AND ($c)"
-          }
-          try {
-            val cur = data.get(n).flatten.getOrElse(emptyOf(n))
-            val kept =
-              if (eff == null) emptyOf(n)
-              else {
-                cur.createOrReplaceTempView("__graft_del")
-                val a = Option(alias).getOrElse(n0)
-                PgDialect.sql(spark,
-                  s"SELECT $a.* FROM __graft_del $a " +
-                    s"WHERE NOT COALESCE(($eff), false)")
+          // a statement PG itself rejects did not mutate its state
+          if (!pgErrs.contains(normSql(stmt))) {
+            val counted = countable && countDml && keep(stmt)
+            if (counted) ran += 1
+            try {
+              val (tail, _) = stripReturning(tail0.trim)
+              val (pre, cond) = topSplit(tail, "WHERE") match {
+                case Some((p, c)) => (p, Some(c))
+                case None         => (tail, None)
               }
-            data(n) = Some(kept.localCheckpoint(true))
-            register(n)
-          } catch { case _: Throwable => register(n) }
-        case updateRe(name, alias, sets, cond0)
-            if schemas.contains(strip(name)) &&
-              !sets.toUpperCase.contains("FROM ") =>
-          val n0 = strip(name); val n = base(n0)
-          // a child's UPDATE touches only rows inside its bound
-          val cond = (state.parts.get(n0).map(_._2),
-            Option(cond0)) match {
-            case (None, c)          => c.orNull
-            case (Some(b), None)    => b
-            case (Some(b), Some(c)) => s"($b) AND ($c)"
+              val using = """(?is)^USING\s+(.*)$""".r
+                .findFirstMatchIn(pre).map(_.group(1))
+              applyDelete(name, Option(alias), using, cond)
+              if (counted) ok += 1
+            } catch { case e: Throwable =>
+              dbgFail(stmt, e); register(base(strip(name))) }
           }
-          try {
-            val cur = data.get(n).flatten.getOrElse(emptyOf(n))
-            cur.createOrReplaceTempView("__graft_upd")
-            val a = Option(alias).getOrElse(n0)
-            val assigns = splitTop(sets).flatMap { kv =>
-              val i = kv.indexOf('=')
-              if (i < 0) None
-              else Some(kv.substring(0, i).trim.toLowerCase ->
-                kv.substring(i + 1).trim)
-            }.toMap
-            val items = schemas(n).map { case (cn, ct) =>
-              assigns.get(cn.toLowerCase) match {
-                case Some(e) if cond != null =>
-                  s"CAST(CASE WHEN COALESCE(($cond), false) " +
-                    s"THEN ($e) ELSE $cn END AS $ct) AS $cn"
-                case Some(e) => s"CAST(($e) AS $ct) AS $cn"
-                case None => cn
+        case updateHeadRe(name, alias, rest0)
+            if schemas.contains(strip(name)) =>
+          if (!pgErrs.contains(normSql(stmt))) {
+            val counted = countable && countDml && keep(stmt)
+            if (counted) ran += 1
+            try {
+              val (rest, _) = stripReturning(rest0.trim)
+              val (sets, from, cond) = topSplit(rest, "FROM") match {
+                case Some((s1, f)) => topSplit(f, "WHERE") match {
+                  case Some((fl, c)) => (s1, Some(fl), Some(c))
+                  case None          => (s1, Some(f), None)
+                }
+                case None => topSplit(rest, "WHERE") match {
+                  case Some((s1, c)) => (s1, None, Some(c))
+                  case None          => (rest, None, None)
+                }
               }
-            }
-            val upd = PgDialect.sql(spark,
-              s"SELECT ${items.mkString(", ")} FROM __graft_upd $a")
-            data(n) = Some(upd.localCheckpoint(true))
-            register(n)
-          } catch { case _: Throwable => register(n) }
+              applyUpdate(name, Option(alias), sets, from, cond)
+              if (counted) ok += 1
+            } catch { case e: Throwable =>
+              dbgFail(stmt, e); register(base(strip(name))) }
+          }
         case createRe(name, body) =>
+          val defaultRe =
+            ("""(?is)\bDEFAULT\s+(.+?)(?:\s+NOT\s+NULL\b|\s+CHECK\b|""" +
+              """\s+PRIMARY\b|\s+REFERENCES\b|\s+UNIQUE\b|$)""").r
           val cols = splitTop(body).flatMap { it =>
             val parts = it.trim.split("\\s+", 2)
             if (parts.length < 2 ||
               constraintKw.contains(parts(0).toLowerCase)) None
-            else Some(parts(0) -> sparkType(parts(1)))
+            else {
+              defaultRe.findFirstMatchIn(parts(1)).foreach(m =>
+                state.colDefaults(
+                  (strip(name), parts(0).toLowerCase)) = m.group(1).trim)
+              Some(parts(0) -> sparkType(parts(1)))
+            }
           }
           if (cols.nonEmpty) {
             schemas(strip(name)) = cols
@@ -1682,67 +2161,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
           catch { case _: Throwable => () }
         case insertRe(name, colList, rest)
             if schemas.contains(strip(name)) =>
-          // a child INSERT lands in the parent's shared storage
-          val n = base(strip(name))
-          val schema = schemas(n)
-          val given = Option(colList)
-            .map(_.split(",").map(_.trim.toLowerCase).toSeq)
-            .getOrElse(schema.map(_._1.toLowerCase))
-          // a SELECT-bodied INSERT is query surface (the reference's
-          // INSERT..SELECT pushdown/repartition corpus) — count it
-          val counted = countable &&
-            !rest.toUpperCase.startsWith("VALUES") &&
-            keep(stmt) && !pgErrs.contains(normSql(stmt))
-          if (counted) ran += 1
-          // ON CONFLICT (cols) DO NOTHING ≙ dedupe the batch on the
-          // conflict key and anti-join the existing rows (the
-          // sources/Dml.insertOnConflictDoNothing semantics)
-          val conflictRe =
-            """(?is)^(.*?)\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+NOTHING\s*$""".r
-          val (restBody, conflictCols) = rest match {
-            case conflictRe(b, cs) =>
-              (b, cs.split(",").map(_.trim.toLowerCase).toSeq)
-            case _ => (rest, Seq.empty[String])
-          }
-          try {
-            val src =
-              if (restBody.toUpperCase.startsWith("VALUES")) {
-                val tuples = restBody.substring("VALUES".length).trim
-                val vcols = given.indices.map(i => s"__c$i")
-                PgDialect.sql(spark,
-                  s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
-              } else PgDialect.sql(spark, restBody)
-            // positional mapping (duplicate source names are legal:
-            // `SELECT i, i::text` both carry the name `i`)
-            val srcN = src.columns.length
-            val renamed = src.toDF(
-              (0 until srcN).map(i => s"__src$i"): _*)
-            val proj = schema.map { case (cn, ct) =>
-              val i = given.indexOf(cn.toLowerCase)
-              if (i >= 0 && i < srcN)
-                col(s"__src$i").cast(ct).as(cn)
-              else lit(null).cast(ct).as(cn)
-            }
-            var batch = renamed.select(proj: _*)
-            if (conflictCols.nonEmpty) {
-              batch = batch.dropDuplicates(conflictCols)
-              data.get(n).flatten.foreach(existing =>
-                batch = batch.join(
-                  existing.select(conflictCols.map(col): _*),
-                  conflictCols, "left_anti"))
-            }
-            data(n) = Some(data.get(n).flatten
-              .map(_.unionAll(batch)).getOrElse(batch))
-            register(n)
-            if (counted) ok += 1
-          } catch { case e: Throwable =>
-            if (counted && sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
-              println(s"$tag[$file]: " +
-                stmt.split('\n').map(_.trim).mkString(" ").take(180) +
-                "  => " + Option(e.getMessage)
-                  .getOrElse(e.getClass.getName)
-                  .linesIterator.filter(_.nonEmpty)
-                  .take(1).mkString.take(140))
+          // a statement PG itself rejects (constraint violation,
+          // planning error) did not mutate its state — skip entirely
+          if (!pgErrs.contains(normSql(stmt))) {
+            // a SELECT-bodied INSERT is query surface (the reference's
+            // INSERT..SELECT pushdown/repartition corpus) — count it
+            val counted = countable &&
+              !rest.toUpperCase.startsWith("VALUES") && keep(stmt)
+            if (counted) ran += 1
+            try {
+              val (r1, _) = stripReturning(rest.trim)
+              applyInsert(name, Option(colList), r1)
+              if (counted) ok += 1
+            } catch { case e: Throwable => dbgFail(stmt, e) }
           }
         case truncateRe(names) =>
           splitTop(names).map(strip).foreach { n =>
@@ -1811,6 +2242,31 @@ class ReferenceSqlSpec extends AnyFunSuite {
                     .take(1).mkString.take(160))
             }
           }
+        // PG data-modifying CTEs / WITH-prefixed DML (with_modifying
+        // corpus): register the CTEs — modifying bodies apply their
+        // mutation and expose RETURNING rows — then run the tail
+        case s if countDml && s.toUpperCase.startsWith("WITH") &&
+            // raw-text scan: a modifying body sits INSIDE the CTE's
+            // parens, which depthMask would blank
+            """(?i)\b(INSERT\s+INTO|UPDATE\s+[A-Za-z_"]|DELETE\s+FROM)""".r
+              .findFirstIn(s).isDefined &&
+            """(?i)\bMERGE\s+INTO\b""".r.findFirstIn(s).isEmpty =>
+          if (!pgErrs.contains(normSql(s))) {
+            val counted = countable && keep(s)
+            if (counted) ran += 1
+            var names: Seq[String] = Seq.empty
+            try {
+              val (ns, tail) = extractCtes(s)
+              names = ns
+              evalCteBody(tail).count()
+              if (counted) ok += 1
+            } catch { case e: Throwable => dbgFail(s, e) }
+            finally names.foreach { n2 =>
+              if (schemas.contains(n2)) register(n2)
+              else try spark.catalog.dropTempView(n2)
+              catch { case _: Throwable => () }
+            }
+          }
         case q if (q.toUpperCase.startsWith("SELECT") ||
             q.toUpperCase.startsWith("WITH") ||
             q.toUpperCase.startsWith("TABLE ") ||
@@ -1848,7 +2304,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
         var rest = stmt.substring(4)
         var more = true
         while (more) {
-          val m = """(?is)^\s*,?\s*([A-Za-z_]\w*)\s+AS\s*\(""".r
+          val m = """(?is)^\s*,?\s*([A-Za-z_]\w*)\s+AS\s*(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(""".r
             .findFirstMatchIn(rest)
             .getOrElse(sys.error("unparsed CTE head"))
           val start = m.end // index after the opening paren
@@ -2125,6 +2581,85 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.7,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of the multi-shard DML corpora " +
+      "(multi_shard_update_delete.sql, multi_modifications.sql, " +
+      "multi_update_select.sql): UPDATE..FROM / DELETE..USING / " +
+      "subquery conditions / ON CONFLICT DO UPDATE mutate live state " +
+      "the interleaved SELECTs read") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("pg_class") && !s.contains("pg_tables") &&
+        !s.contains("nextval") && !s.contains("currval") &&
+        !s.contains("pg_sleep") && !s.contains("pg_total_relation") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("coordinator_plan") &&
+        // shard-suffixed relation names are citus-internal physical
+        // tables (`limit_orders_750000`)
+        !s.matches("(?s).*_7500\\d\\d\\b.*")
+    val perFile = Seq("multi_shard_update_delete.sql",
+      "multi_modifications.sql", "multi_update_select.sql").map { f =>
+      val (ok, ran) =
+        replayFile(f, "DMLFAIL", keep, new ReplayState, countDml = true)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 150, s"expected a large corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.85,
+      s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of pgmerge.sql — the PG-community MERGE " +
+      "regression corpus (adapted by the reference): WHEN-chain " +
+      "cascades, DO NOTHING, subquery sources, partitioned targets") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        // ctid/tableoid system columns and PL/pgSQL probe helpers
+        // (explain_merge, merge_func) have no analogue
+        !s.contains("ctid") && !s.contains("tableoid") &&
+        !s.contains("explain_merge") && !s.contains("merge_func") &&
+        !s.contains("$$") && !s.contains("$Q$")
+    val (ok, ran) =
+      replayFile("pgmerge.sql", "PGMFAIL", keep, new ReplayState,
+        countDml = true)
+    info(s"pgmerge.sql: $ok/$ran statements run")
+    assert(ran >= 80, s"expected a large corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of with_modifying.sql — PG data-modifying " +
+      "CTEs (wCTEs): INSERT/UPDATE/DELETE bodies apply and expose " +
+      "RETURNING rows to the outer query") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("coordinator_plan")
+    val (ok, ran) =
+      replayFile("with_modifying.sql", "WMODFAIL", keep,
+        new ReplayState, countDml = true)
+    info(s"with_modifying.sql: $ok/$ran statements run")
+    assert(ran >= 50, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
 
   test("sequential replay of recurring_outer_join.sql — the " +
