@@ -151,7 +151,22 @@ object DmlQueries extends QueryModule {
       FROM orders o LEFT JOIN nation n
         ON o.o_custkey % 25 = n.n_nationkey AND o.o_totalprice > 3000"""))
 
+  /** DELETE ... USING (join delete): drop lineitems supplied by
+    * nation-3 suppliers — one left-anti join, broadcast source. */
+  private val dmlDeleteUsing = GraftQuery(
+    "dml_delete_using",
+    (s, dir) =>
+      Dml.deleteUsing(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_suppkey")),
+        t(s, dir, "supplier").filter(col("s_nationkey") === 3)
+          .select(col("s_suppkey")),
+        col("t.l_suppkey") === col("s.s_suppkey")),
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM supplier
+        WHERE s_nationkey = 3 AND s_suppkey = l_suppkey)"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(dmlMerge, dmlUpdate, dmlDelete, dmlConflictNothing,
-      dmlConflictUpdate, dmlUpdateFrom)
+      dmlConflictUpdate, dmlUpdateFrom, dmlDeleteUsing)
 }

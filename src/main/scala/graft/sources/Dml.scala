@@ -62,6 +62,15 @@ object Dml {
   def deleteWhere(target: DataFrame, cond: Column): DataFrame =
     target.filter(!coalesce(cond, lit(false)))
 
+  /** DELETE FROM target USING source WHERE cond — a target row goes
+    * when ANY source row satisfies `cond` (PG join-delete,
+    * `multi_shard_update_delete.sql`). One left-anti join: a single
+    * key shuffle, broadcast when the source is small — never a
+    * per-row subquery. Reference the sides as `t.` and `s.`. */
+  def deleteUsing(target: DataFrame, source: DataFrame,
+      cond: Column): DataFrame =
+    target.alias("t").join(source.alias("s"), cond, "left_anti")
+
   /** MERGE clause bundle. Update/insert expressions may reference the
     * joined row through the `t.` (target) and `s.` (source) aliases. */
   final case class MergeClauses(

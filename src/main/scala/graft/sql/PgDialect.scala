@@ -123,7 +123,14 @@ object PgDialect {
               s"'(-?[0-9]+) *min', 1), ''), '0') AS INT), " +
               s"CAST(coalesce(nullif(regexp_extract($operand, " +
               s"'(-?[0-9]+(\\.[0-9]+)?) *sec', 1), ''), '0') AS DOUBLE))"
-          else s"CAST($operand AS ${mapType(m.group(9))})")
+          else {
+            val head = rawT.takeWhile(c => c.isLetter || c == '_')
+            if (!typeMap.contains(rawT) && !sparkKnownTypes.contains(head))
+              // PG enum/domain/composite cast: no Spark type — the
+              // value rides as-is ('buy'::order_side, (a,b)::xy)
+              s"($operand)"
+            else s"CAST($operand AS ${mapType(m.group(9))})"
+          })
       })
       changed = next != out
       out = next
@@ -455,6 +462,11 @@ object PgDialect {
     s = """(?i)\bgenerate_series\s*\(([^()]*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS generate_series)"))
+    // PG composite expansion `(unnest(arr)).*` → inline (each struct
+    // element becomes a row of its fields)
+    s = """(?i)\(\s*unnest\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)\s*\.\s*\*""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"inline(${m.group(1)})"))
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
     // PG postfix null tests: `expr ISNULL` / `expr NOTNULL`
@@ -594,6 +606,37 @@ object PgDialect {
       case Seq(x, c) => Some(s"__tdigest_build($x, $c)")
       case Seq(d) => Some(s"__tdigest_merge($d)")
       case _ => None
+    }
+    // PG row-wise comparison `row(a,b) OP row(c,d)`: Spark struct
+    // comparison demands identical field types (struct(bigint,int) vs
+    // struct(int,int) errors) — expand lexicographically so each
+    // element pair gets its own implicit cast
+    locally {
+      val rowCmpRe =
+        """(?is)\brow\s*\(([^()]*)\)\s*(<=|>=|<>|!=|=|<|>)\s*row\s*\(([^()]*)\)""".r
+      s = rowCmpRe.replaceAllIn(s, m => {
+        val ls = splitTopLevel(m.group(1)).map(_.trim)
+        val rs = splitTopLevel(m.group(3)).map(_.trim)
+        val op = m.group(2)
+        val out =
+          if (ls.isEmpty || ls.length != rs.length) m.matched
+          else op match {
+            case "=" => ls.zip(rs)
+              .map { case (l, r) => s"($l = $r)" }
+              .mkString("(", " AND ", ")")
+            case "<>" | "!=" => "NOT " + ls.zip(rs)
+              .map { case (l, r) => s"($l = $r)" }
+              .mkString("(", " AND ", ")")
+            case _ =>
+              val strict = op.take(1)
+              def lex(i: Int): String =
+                if (i == ls.length - 1) s"(${ls(i)} $op ${rs(i)})"
+                else s"((${ls(i)} $strict ${rs(i)}) OR ((${ls(i)} = " +
+                  s"${rs(i)}) AND ${lex(i + 1)}))"
+              lex(0)
+          }
+        java.util.regex.Matcher.quoteReplacement(out)
+      })
     }
     // PG ROW(...) constructor → struct (same lexicographic comparison)
     s = """(?i)\brow\s*\(""".r.replaceAllIn(s, "struct(")

@@ -459,6 +459,36 @@ class ReferenceSqlSpec extends AnyFunSuite {
           "(SELECT 1, 1 FROM test)) u JOIN test USING (x) ORDER BY 1,2")
         .createOrReplaceTempView("set_view_recursive_second")
     }
+    // per-file fixture hooks: a file's own in-file DDL the SELECT-only
+    // runner doesn't execute (fixture tables, TEMP views) — registered
+    // just before that file's statements run (names may shadow an
+    // earlier file's fixtures, e.g. set_operations' two-column `ref`)
+    val fileSetup: Map[String, () => Unit] = Map(
+      "subquery_basics.sql" -> (() => {
+        PgDialect.sql(spark,
+          "SELECT i AS id, i AS value FROM generate_series(0,100) i")
+          .createOrReplaceTempView("dist")
+        PgDialect.sql(spark,
+          "SELECT i AS id FROM generate_series(50,150) i")
+          .createOrReplaceTempView("ref")
+        PgDialect.sql(spark,
+          "SELECT i AS id FROM generate_series(50,150) i")
+          .createOrReplaceTempView("local")
+      }),
+      "subquery_in_targetlist.sql" -> (() => {
+        // CREATE TEMP VIEW view_2 (subquery_in_targetlist.sql:211);
+        // users_reference_table is the users fixture replicated
+        PgDialect.sql(spark, "SELECT user_id, value_2 FROM " +
+          "users_table WHERE user_id = 1 AND value_1 = 1")
+          .createOrReplaceTempView("view_2")
+      }),
+      // restore subquery_and_cte's own `dist(a,b)` fixture (shadowed
+      // by subquery_basics' dist(id,value) hook above)
+      "subquery_and_cte.sql" -> (() => {
+        import spark.implicits._
+        (1 to 10).map(i => (i, null: String)).toDF("a", "b")
+          .createOrReplaceTempView("dist")
+      }))
     val perFile = Seq("multi_orderby_limit_pushdown.sql",
       "window_functions.sql", "multi_subquery.sql",
       "with_basics.sql", "with_where.sql", "with_join.sql",
@@ -467,6 +497,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "subquery_in_where.sql", "subquery_in_targetlist.sql",
       "subquery_and_cte.sql", "subquery_complex_target_list.sql",
       "multi_limit_clause_approximate.sql", "cross_join.sql").map { f =>
+      fileSetup.get(f).foreach(_())
       val stmts = selectsOf(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("master_") || s.contains("citus_") ||
