@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Default 64-bit hash: native codegen'd xxhash64 — the fast
+    * production path. */
+  val xxHash: Column => Column = c => xxhash64(c)
+
+  /** Portable 60-bit hash (md5 hex prefix → bigint): identical result
+    * in any engine with md5 (DuckDB, PG, Spark), so pipelines built on
+    * it are exactly cross-checkable. 15 hex chars keeps the value
+    * < 2^60, safely inside a signed 64-bit long in every engine.
+    * ~3-4× slower than xxhash64 per call (md5 + string slice + base
+    * conversion) — use for oracle/verification runs, keep [[xxHash]]
+    * for production. */
+  val portableHash: Column => Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Word shingles of size n as one array column (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
@@ -26,12 +40,13 @@ object Dedup {
   }
 
   /** MinHash signature: k permutations simulated as
-    * min over shingles of ((a_j * h + b_j) mod p), h = xxhash64(shingle).
+    * min over shingles of ((a_j * h + b_j) mod p), h = hashFn(shingle).
     * Returns array<long> of length k. */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  def minhashSignature(shingleCol: Column, k: Int,
+      hashFn: Column => Column = xxHash): Column = {
     // Domain kept < 2^30 so a*h+b stays well under 2^63 (ANSI-safe).
     val p = 1000000007L
-    val hashes = transform(shingleCol, sh => pmod(xxhash64(sh), lit(p)))
+    val hashes = transform(shingleCol, sh => pmod(hashFn(sh), lit(p)))
     val perms = (0 until k).map { j =>
       val a = (2654435761L + 40503L * j) % p
       val b = (2246822519L + 604171L * j) % p
@@ -43,10 +58,11 @@ object Dedup {
   /** LSH banding: split a k-long signature into bands of `rows` hashes;
     * docs sharing any full band become candidates. Returns the exploded
     * (bandId, bandHash) — the shuffle key. */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+  def lshBands(sig: Column, bands: Int, rows: Int,
+      hashFn: Column => Column = xxHash): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band_id"),
-        xxhash64(concat_ws("_",
+        hashFn(concat_ws("_",
           slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
           .as("band_hash")))
 
@@ -81,13 +97,14 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash LSH. Output: (a_id, b_id,
     * n_shared_bands). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
+      hashFn: Column => Column = xxHash): DataFrame = {
     val rows = k / bands
     val sigs = docs.select(
       col(idCol).as("doc"),
       explode(lshBands(
-        minhashSignature(shingles(col(textCol), shingleSize), k),
-        bands, rows)).as("band"))
+        minhashSignature(shingles(col(textCol), shingleSize), k, hashFn),
+        bands, rows, hashFn)).as("band"))
       .select(col("doc"), col("band.band_id"), col("band.band_hash"))
     val a = sigs.toDF("a_id", "band_id", "band_hash")
     val b = sigs.toDF("b_id", "band_id", "band_hash")
@@ -106,8 +123,9 @@ object Dedup {
   /** Composed-builtin reference implementation of simhash64 (64
     * aggregate folds, one per bit) — kept as the differential-testing
     * oracle for the native expression; ~64× more array passes. */
-  def simhash64Composed(tokensCol: Column): Column = {
-    val hashes = transform(tokensCol, t => xxhash64(t))
+  def simhash64Composed(tokensCol: Column,
+      hashFn: Column => Column = xxHash): Column = {
+    val hashes = transform(tokensCol, t => hashFn(t))
     // For each bit position, sum(+1 if bit set else -1) > 0 → bit set.
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0L),
@@ -251,11 +269,18 @@ object Dedup {
     * banded self-join recalls EVERY pair at the bound (DedupSpec pins
     * 100% recall) — then exact hamming filter for precision. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame =
+      maxHamming: Int = 6,
+      hashFn: Column => Column = null): DataFrame = {
+    // Default (hashFn = null): the single-pass native codegen
+    // expression. A portable hashFn swaps in the composed-builtin
+    // signature so the whole pipeline is engine-independent.
+    val sig =
+      if (hashFn == null) simhash64(split(col(textCol), " "))
+      else simhash64Composed(split(col(textCol), " "), hashFn)
     simhashCandidatesFromSigs(
-      docs.select(col(idCol).as("doc"),
-        simhash64(split(col(textCol), " ")).as("sig")),
+      docs.select(col(idCol).as("doc"), sig.as("sig")),
       maxHamming)
+  }
 
   /** Banded self-join over precomputed `(doc, sig)` signature rows —
     * the blocking core of [[simhashCandidates]], exposed so recall can

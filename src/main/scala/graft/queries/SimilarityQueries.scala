@@ -178,8 +178,12 @@ object SimilarityQueries extends QueryModule {
         MAX(nrm) AS max_norm, MIN(dim) AS dim
       FROM n GROUP BY label ORDER BY label"""))
 
-  /** MinHash+LSH near-dup candidates (randomized sketch → rows-only;
-    * invariants pinned by DedupSpec). */
+  /** MinHash+LSH near-dup candidates through the PARAMETERIZED-hash
+    * pipeline (Dedup.portableHash = md5-prefix, reproducible in DuckDB)
+    * — the identical band-join shape as the xxhash64 production default
+    * (which DedupSpec pins differentially), now with a full value-level
+    * oracle: the DuckDB SQL recomputes shingles → 32 permuted mins →
+    * 16 bands of 2 → banded self-join, bit-for-bit. */
   private val minhash = GraftQuery(
     "dedup_minhash_lsh",
     (s, dir) =>
@@ -188,19 +192,80 @@ object SimilarityQueries extends QueryModule {
       // (the tighter library default 3/8×4 targets high-jaccard pairs).
       Dedup.minhashCandidates(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
-        shingleSize = 2, k = 32, bands = 16)
+        shingleSize = 2, k = 32, bands = 16, hashFn = Dedup.portableHash)
         .orderBy(col("a_id"), col("b_id")),
-    None)
+    Some("""WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 200),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(len(toks)-1),
+          i -> toks[i+1] || ' ' || toks[i+2])) AS shingles
+        FROM docs),
+      h AS (
+        SELECT doc_id, list_transform(shingles,
+          s -> ('0x'||substr(md5(s),1,15))::BIGINT % 1000000007) AS hs
+        FROM sh),
+      sig AS (
+        SELECT doc_id, list_transform(range(32),
+          j -> list_min(list_transform(hs,
+            h -> (h * ((2654435761 + 40503*j) % 1000000007)
+                  + ((2246822519 + 604171*j) % 1000000007))
+                 % 1000000007))) AS sig
+        FROM h),
+      bands AS (
+        SELECT doc_id, b AS band_id,
+          ('0x'||substr(md5(
+            CAST(sig[2*b+1] AS VARCHAR) || '_' || CAST(sig[2*b+2] AS VARCHAR)
+          ),1,15))::BIGINT AS band_hash
+        FROM sig, (SELECT unnest(range(16)) AS b))
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY a_id, b_id"""))
 
-  /** SimHash near-dup candidates (rows-only; invariants in DedupSpec). */
+  /** SimHash near-dup candidates through the parameterized portable
+    * hash (composed-builtin signature; the native codegen'd
+    * SimHash64Expr stays the production default, pinned differentially
+    * by ExtensionSpec) — full oracle: DuckDB recomputes per-token
+    * 60-bit hashes → 64 bit-votes → signature → 9 pigeonhole bands →
+    * banded self-join → exact hamming filter. */
   private val simhash = GraftQuery(
     "dedup_simhash",
     (s, dir) =>
       Dedup.simhashCandidates(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
-        maxHamming = 8)
+        maxHamming = 8, hashFn = Dedup.portableHash)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast(LongType).as("hamming"))
         .orderBy(col("a_id"), col("b_id")),
-    None)
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 200),
+      h AS (SELECT doc_id,
+        ('0x'||substr(md5(tok),1,15))::BIGINT AS hv FROM toks),
+      bits AS (
+        SELECT doc_id, b.b,
+          SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        GROUP BY doc_id, b.b),
+      sig AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN vote > 0
+          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sig, i AS band_id,
+          (sig >> CAST(i*64//9 AS INT))
+            & ((CAST(1 AS BIGINT) << CAST((i+1)*64//9 - i*64//9 AS INT)) - 1)
+            AS band_val
+        FROM sig, (SELECT unnest(range(9)) AS i))
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 8
+      ORDER BY a_id, b_id"""))
 
   /** Embedding-cosine near-duplicate pairs, blocked by sign-LSH bucket
     * (within-bucket pairwise only — the 100 TB shape; a global pairwise
