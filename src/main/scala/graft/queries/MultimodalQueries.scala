@@ -71,22 +71,87 @@ object MultimodalQueries extends QueryModule {
         GREATEST(length(text) // 256 - 1, 0) + 1 AS n_frames
       FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id"""))
 
-  /** Resize stub for image payloads: prefix-crop thumbnail + scaled
-    * metadata, exact-oracled via the ASCII char≙byte equivalence
-    * (md5 of the cropped chars ≡ md5 of the cropped bytes). */
-  private val resize = GraftQuery(
-    "mm_resize_stub",
+  /** REAL image decode (javax.imageio): each payload is a genuine PNG
+    * rendered from pixels that are a pure function of (doc_id, x, y).
+    * Spark decodes the actual PNG bytes; the oracle — which cannot
+    * decode PNG — recomputes every decoded statistic analytically from
+    * the pixel formula. PNG is lossless, so a value-level match proves
+    * the real encode→decode roundtrip end-to-end. */
+  private val imageDecode = GraftQuery(
+    "mm_image_decode",
     (s, dir) =>
-      Multimodal.resizeStub(media(s, dir)).toDF()
-        .filter(col("doc_id") < 100)
+      Multimodal.decodeImages(Multimodal.imageTable(
+          Tables(s, dir, "documents").filter(col("doc_id") < 120))).toDF()
         .orderBy(col("doc_id")),
-    Some("""SELECT doc_id,
-        CAST((n_chars % 640) // 4 AS INT) AS out_w,
-        CAST((n_chars % 480) // 4 AS INT) AS out_h,
-        CAST(LEAST(length(text), 48) AS INT) AS thumb_len,
-        md5(substring(text, 1, 48)) AS thumb_md5
-      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 100
-      ORDER BY doc_id"""))
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h
+        FROM documents WHERE doc_id < 120)
+      SELECT doc_id, w AS width, h AS height,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> ((i % w) * 7 + (i // w) * 13 + doc_id * 31) % 256))
+          AS BIGINT) AS sum_r,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> ((i % w) * 3 + (i // w) * 5 + doc_id * 17) % 256))
+          AS BIGINT) AS sum_g,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> ((i % w) * 11 + (i // w) * 2 + doc_id * 23) % 256))
+          AS BIGINT) AS sum_b,
+        list_reduce(list_transform(range(w*h),
+          i -> (((i % w) * 7 + (i // w) * 13 + doc_id * 31) % 256) * 65536
+             + (((i % w) * 3 + (i // w) * 5 + doc_id * 17) % 256) * 256
+             + (((i % w) * 11 + (i // w) * 2 + doc_id * 23) % 256)),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS pix_checksum
+      FROM dims ORDER BY doc_id"""))
 
-  override val queries: Seq[GraftQuery] = Seq(meta, features, frames, resize)
+  /** REAL image resize: decode the PNG → nearest-neighbor downscale by
+    * 2 → RE-ENCODE to PNG → RE-DECODE → checksum the re-decoded
+    * pixels. The checksum column therefore crosses the real encoder
+    * and decoder twice; roundtrip_ok pins lossless fidelity. */
+  private val imageResize = GraftQuery(
+    "mm_image_resize",
+    (s, dir) =>
+      Multimodal.resizeImages(Multimodal.imageTable(
+          Tables(s, dir, "documents").filter(col("doc_id") < 120))).toDF()
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("pix_checksum"), col("roundtrip_ok"))
+        .orderBy(col("doc_id")),
+    Some("""WITH dims AS (
+        SELECT doc_id, CAST((8 + doc_id % 9) // 2 AS INT) AS ow,
+               CAST((8 + doc_id % 7) // 2 AS INT) AS oh
+        FROM documents WHERE doc_id < 120)
+      SELECT doc_id, ow AS out_w, oh AS out_h,
+        list_reduce(list_transform(range(ow*oh),
+          i -> ((2*(i % ow) * 7 + 2*(i // ow) * 13 + doc_id * 31) % 256)
+                 * 65536
+             + ((2*(i % ow) * 3 + 2*(i // ow) * 5 + doc_id * 17) % 256)
+                 * 256
+             + ((2*(i % ow) * 11 + 2*(i // ow) * 2 + doc_id * 23) % 256)),
+          (acc, v) -> (acc * 131 + v) % 1000000007) AS pix_checksum,
+        TRUE AS roundtrip_ok
+      FROM dims ORDER BY doc_id"""))
+
+  /** REAL audio decode (javax.sound.sampled): genuine RIFF/WAVE
+    * payloads of a synthetic integer waveform; Spark parses the actual
+    * header (rate, frame count) and decodes the PCM; the oracle
+    * recomputes the waveform statistics analytically. */
+  private val audioDecode = GraftQuery(
+    "mm_audio_decode",
+    (s, dir) =>
+      Multimodal.decodeAudio(Multimodal.audioTable(
+          Tables(s, dir, "documents").filter(col("doc_id") < 150))).toDF()
+        .orderBy(col("doc_id")),
+    Some("""WITH a AS (
+        SELECT doc_id, CAST(400 + (doc_id % 5) * 40 AS BIGINT) AS n,
+          list_transform(range(400 + (doc_id % 5) * 40),
+            i -> (i * (3 + doc_id % 5) + doc_id) % 2001 - 1000) AS s
+        FROM documents WHERE doc_id < 150)
+      SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        CAST(list_min(s) AS INT) AS min_amp,
+        CAST(list_max(s) AS INT) AS max_amp,
+        CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) AS sum_sq
+      FROM a ORDER BY doc_id"""))
+
+  override val queries: Seq[GraftQuery] =
+    Seq(meta, features, frames, imageDecode, imageResize, audioDecode)
 }
