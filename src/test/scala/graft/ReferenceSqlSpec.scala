@@ -1425,9 +1425,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
   private def replayFile(file: String, tag: String,
       keep: String => Boolean,
       state: ReplayState = new ReplayState,
-      countDml: Boolean = false): (Int, Int) = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(refDir, file).toPath))
+      countDml: Boolean = false,
+      transform: String => String = identity): (Int, Int) = {
+    val raw = transform(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, file).toPath)))
     // statements PG itself rejects (expected .out records ERROR) are
     // negative tests, not surface — they don't enter the counts
     val pgErrs = pgExpectedErrors(file)
@@ -1454,9 +1455,23 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // tested surface — unwrap and run it directly
     val explWrapRe =
       """(?is)SELECT\s+[^;()]*?\bexplain_json(?:_2)?\s*\(\s*\$\$(.*?)\$\$\s*\)\s*;""".r
-    val unwrapped = explWrapRe.replaceAllIn(converted, m =>
+    val unwrapped0 = explWrapRe.replaceAllIn(converted, m =>
       java.util.regex.Matcher.quoteReplacement(
         m.group(1).trim.stripSuffix(";") + ";\n"))
+    // `SELECT public.explain_with_pg17_initplan_format($Q$ EXPLAIN
+    // (...) <query>; $Q$) as "QUERY PLAN";` — the reference's plan-diff
+    // spelling (ch_bench_having.sql, having_subquery.sql). The wrapped
+    // query is the surface: unwrap and drop the EXPLAIN prefix so it
+    // executes.
+    val pg17WrapRe =
+      ("""(?is)SELECT\s+[^;()]*?\bexplain_with_pg17_initplan_format\s*""" +
+        """\(\s*\$Q\$(.*?)\$Q\$\s*\)\s*(?:as\s+"[^"]*")?\s*;""").r
+    val unwrapped = pg17WrapRe.replaceAllIn(unwrapped0, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1).trim
+          .replaceAll("(?is)^EXPLAIN\\s*\\([^)]*\\)\\s*", "")
+          .replaceAll("(?is)^EXPLAIN\\s+", "")
+          .stripSuffix(";") + ";\n"))
     val stmts = splitSqlText(unwrapped
       // psql meta: `\gset` ends its statement; other backslash
       // commands are client-side noise
@@ -2731,6 +2746,51 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // denominator excludes statements PG itself rejects (.out ERROR)
     assert(ran >= 130, s"expected a large corpus, got $ran")
     assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of the HAVING-pushdown corpora — " +
+      "ch_bench_having.sql (subqueries in HAVING over the CH stock " +
+      "table; reference: multi_logical_optimizer.c HAVING pushdown), " +
+      "ch_bench_subquery_repartition.sql (IN/NOT-IN + repartition + " +
+      "HAVING), having_subquery.sql (HAVING-as-one-time-filter)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("$Q$")
+    // ch_bench_subquery_repartition creates ITS OWN supplier/nation
+    // (su_*/n_* columns) inside its schema, drops them mid-file, and
+    // falls back to the public TPC-H tables (s_* columns). Schema
+    // qualifiers are stripped in replay, so rename the schema-local
+    // pair to keep both namespaces live.
+    val renameLocal: String => String = raw => raw
+      .replaceAll("(?is)create table nation\\b", "CREATE TABLE chsr_nation")
+      .replaceAll("(?is)create table supplier\\b",
+        "CREATE TABLE chsr_supplier")
+      .replaceAll("(?is)from\\s+supplier,\\s+nation(\\s+where\\s+su_suppkey)",
+        "from chsr_supplier, chsr_nation$1")
+      .replaceAll(
+        "(?is)DROP\\s+table\\s+ch_bench_subquery_repartition\\.supplier,\\s*" +
+          "ch_bench_subquery_repartition\\.nation",
+        "DROP TABLE chsr_supplier, chsr_nation")
+    val perFile = Seq(
+      ("ch_bench_having.sql", identity[String] _),
+      ("ch_bench_subquery_repartition.sql", renameLocal),
+      ("having_subquery.sql", identity[String] _)).map { case (f, tr) =>
+      val (ok, ran) = replayFile(f, "HAVFAIL", keep, new ReplayState,
+        countDml = false, transform = tr)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    perFile.foreach { case (f, ok, all) =>
+      assert(all >= 2, s"$f: expected a corpus, got $all")
+      assert(ok.toDouble / all >= 0.9, s"$f: only $ok/$all ran")
+    }
   }
 
   test("sequential replay of the partitioned-table corpora — PG " +
