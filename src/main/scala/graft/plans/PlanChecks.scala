@@ -83,6 +83,47 @@ object PlanChecks {
     }.toDF("node", "kind", "relation", "detail")
   }
 
+  /** All physical nodes of the executed plan in pre-order (AQE stages
+    * and subqueries included) — the raw material for plan-shape pins
+    * (the engine's analogue of the reference's EXPLAIN-diff corpus,
+    * `sql/multi_explain.sql`). */
+  def planNodes(df: DataFrame): Seq[SparkPlan] =
+    collectAll(executedPlan(df))
+
+  /** Aggregate phases in pre-order: for each aggregate node, the
+    * distinct AggregateMode names of its aggregate expressions (e.g.
+    * Seq("Final"), Seq("Partial")). The reference's two-phase
+    * partial/final split ("HashAggregate below the Custom Scan, one
+    * above") maps to Final preceding Partial in pre-order with the
+    * shuffle between them. */
+  def aggModes(df: DataFrame): Seq[Seq[String]] =
+    planNodes(df).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.map(_.mode.toString).distinct.toSeq
+    }
+
+  /** Pre-order kind labels for structural ordering pins: "final_agg",
+    * "partial_agg", "shuffle", "broadcast_join", "sort_merge_join",
+    * "sort", "topk", "filter", "scan", or the bare class name. */
+  def nodeKinds(df: DataFrame): Seq[String] =
+    planNodes(df).map {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        val modes = a.aggregateExpressions.map(_.mode.toString).distinct
+        if (modes.contains("Partial")) "partial_agg"
+        else if (modes.contains("Final")) "final_agg"
+        else if (modes.isEmpty) "group_agg" // grouping-only, no agg fns
+        else "agg_" + modes.mkString("_").toLowerCase
+      case _: ShuffleExchangeLike => "shuffle"
+      case _: BroadcastHashJoinExec => "broadcast_join"
+      case _: SortMergeJoinExec => "sort_merge_join"
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        "topk"
+      case _: org.apache.spark.sql.execution.SortExec => "sort"
+      case _: org.apache.spark.sql.execution.FilterExec => "filter"
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => "scan"
+      case p => p.getClass.getSimpleName.stripSuffix("Exec")
+    }
+
   /** EXPLAIN ANALYZE (`multi_explain.c:279`
     * `worker_save_query_explain_analyze` — the reference captures
     * per-task row counts and timings from the workers): execute the

@@ -65,6 +65,44 @@ object PgDialect {
   /** `expr::type` → CAST(expr AS type). Handles chained casts
     * left-to-right; operand = literal, quoted literal, identifier,
     * or parenthesized expression. */
+  /** Explicit `CAST(x AS <pg-type>)` spellings: map PG-only type
+    * names (text, int4, float8, ...) through the same table the `::`
+    * path uses. The type word is matched immediately before the
+    * cast's closing paren (`AS text)`), with the open `CAST(` required
+    * somewhere earlier on a paren-balanced prefix — so a column alias
+    * `x AS text` inside a subquery never rewrites (no enclosing
+    * CAST). */
+  def rewriteExplicitCastTypes(sql: String): String =
+    withMaskedLiterals(sql) { s0 =>
+      val re = """(?i)\bAS\s+([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+      re.replaceAllIn(s0, m => {
+        val t = m.group(1).toLowerCase
+        if (!typeMap.contains(t)) m.matched
+        else {
+          // the matching open paren of this close must be `CAST (`
+          var depth = 1
+          var i = m.end - 1 - 1 // char before the ')'
+          var open = -1
+          while (open < 0 && i >= 0) {
+            s0.charAt(i) match {
+              case ')' => depth += 1
+              case '(' => depth -= 1; if (depth == 0) open = i
+              case _ => ()
+            }
+            i -= 1
+          }
+          val isCast = open > 3 &&
+            """(?i)CAST\s*$""".r
+              .findFirstIn(s0.substring(math.max(0, open - 8), open))
+              .isDefined
+          if (isCast)
+            java.util.regex.Matcher.quoteReplacement(
+              s"AS ${typeMap(t)})")
+          else m.matched
+        }
+      })
+    }
+
   def rewriteCasts(sql: String): String = {
     // the paren operand allows one nesting level, so a rewritten json
     // accessor — `(get_json_object(col, '$.k'))::int8` — still casts;
@@ -414,9 +452,11 @@ object PgDialect {
     s = """(?is)\bJOIN\s+random\s*\(\s*\)\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"JOIN (SELECT random() AS ${m.group(2)}) ${m.group(1)}"))
-    // generate_series with a table+column alias — `AS t(c)` — in any
-    // FROM/JOIN position (args may hold calls like random()::int)
-    s = """(?is)\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)\s+AS\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    // generate_series with a table+column alias — `[AS] t(c)` — in any
+    // FROM/JOIN position (args may hold calls like random()::int; PG
+    // lets the AS be omitted — `generate_series(a, b) f(x)`)
+    s = ("""(?is)\bgenerate_series\s*\(((?:[^()]|\([^()]*\))*)\)\s+""" +
+      s"""(?:AS\\s+)?(?!(?:$NonAliasKw)\\b)([A-Za-z_]\\w*)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)""").r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(SELECT explode(sequence(${m.group(1)})) AS ${m.group(3)}) ${m.group(2)}"))
     // aliased SRF as the whole targetlist (`SELECT
@@ -1254,7 +1294,10 @@ object PgDialect {
     ("", sql)
   }
 
-  def translate(sql: String): String = {
+  def translate(sql0: String): String = {
+    // function scans in FROM/JOIN expand FIRST so their spliced bodies
+    // ride the full dialect pipeline below
+    val sql = TableFunctions.expand(sql0)
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
@@ -1262,10 +1305,10 @@ object PgDialect {
     // ... and on the main query, which may sit after a WITH prelude
     val (withPre, mainQ) = splitWithPrelude(scoped)
     val top = withPre + rewriteDistinctOn(rewriteNamedWindows(mainQ))
-    rewriteConcatPrecedence(rewriteCasts(rewriteRegexOps(rewriteArrayOps(
+    rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(
-          rewriteTableSpelling(top)))))))))))
+          rewriteTableSpelling(top))))))))))))
   }
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`

@@ -110,7 +110,15 @@ class PgSession(spark: SparkSession) {
       if (name.equalsIgnoreCase("ALL")) prepared.clear()
       else prepared.remove(name.toLowerCase)
       None
-    case ddl if userAggs.handle(ddl) => None
+    case ddl if {
+      // CREATE FUNCTION also registers for FROM/JOIN function-scan
+      // macro expansion (side effect; UserAggregates may additionally
+      // claim it as an aggregate transition function)
+      if ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\b""".r
+          .findPrefixMatchOf(ddl.trim).isDefined)
+        TableFunctions.registerFromCreate(ddl)
+      userAggs.handle(ddl)
+    } => None
     case other =>
       Some(PgDialect.sql(spark, userAggs.rewrite(other)))
   }

@@ -1,0 +1,391 @@
+package graft.sql
+
+/** PG function scans in FROM/JOIN position.
+  *
+  * The reference plans `SELECT * FROM table1 JOIN add(3,5) sum ON ...`
+  * by wrapping the function call in a `(SELECT * FROM fnc())` subquery
+  * and shipping it to the workers (reference:
+  * `src/backend/distributed/planner/function_call_delegation.c:1-11`,
+  * `src/test/regress/sql/multi_function_in_join.sql`). The Spark-first
+  * analogue is macro expansion at the dialect layer: a registered SQL
+  * (or simple-plpgsql) function body is inlined as a derived table
+  * with the PG column-naming rules —
+  *
+  *   - scalar return: the call-site alias names the single column
+  *     (`JOIN add(3,5) sum ON (id = sum)` → `(SELECT 3+5) AS
+  *     sum(sum)`);
+  *   - `RETURNS TABLE(...)` / OUT parameters: the declared names;
+  *   - `SETOF RECORD`: the call site's column-definition list
+  *     (`AS t2(x int, y int)`);
+  *   - composite-type return: the body's own aliases.
+  *
+  * Expansion happens BEFORE the rest of the dialect pipeline, so
+  * bodies may use any PG spelling the dialect supports
+  * (generate_series, `||`, casts, ...). At scale the inlined body is
+  * just more of the same declarative plan — Catalyst sees through the
+  * derived table, so a scalar function body is a one-row broadcast
+  * side, never a per-row call.
+  *
+  * The registry is session-global (like PG schema objects in a test
+  * schema); `clear()` between corpus replays.
+  */
+object TableFunctions {
+
+  /** One registered function: `params` are IN parameters in order
+    * (name may be empty for positional-only `$N` bodies, with an
+    * optional DEFAULT expression); `outCols` are declared output
+    * column names (TABLE(...) / OUT); `scalar` marks a simple-type
+    * return whose single column the call-site alias renames. */
+  final case class FnDef(
+      name: String,
+      params: Seq[(String, Option[String])],
+      body: String,
+      outCols: Seq[String],
+      scalar: Boolean)
+
+  private val fns =
+    scala.collection.concurrent.TrieMap[String, FnDef]()
+
+  /** Built-in scalar functions that may legally appear as a function
+    * scan (`JOIN abs(100) AS hundred`): expanded as one-row selects. */
+  private val builtinScalar = Set("abs", "upper", "lower", "length",
+    "sqrt", "floor", "ceil", "ceiling", "round")
+
+  def register(fd: FnDef): Unit = fns(fd.name.toLowerCase) = fd
+  def registered: Set[String] = fns.keySet.toSet
+  def clear(): Unit = fns.clear()
+
+  private val scalarTypes = Set("int", "integer", "int2", "int4",
+    "int8", "bigint", "smallint", "serial", "bigserial", "text",
+    "varchar", "char", "character", "numeric", "decimal", "boolean",
+    "bool", "date", "timestamp", "timestamptz", "time", "float",
+    "float4", "float8", "real", "double", "regclass", "void")
+
+  private def isTypeWord(w: String): Boolean =
+    scalarTypes.contains(w.toLowerCase)
+
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var depth = 0; var inQ = false
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse one `CREATE [OR REPLACE] FUNCTION name(params) RETURNS ...
+    * AS <body> LANGUAGE sql|plpgsql` statement and register it when
+    * the body is an expressible SQL form. Returns true when
+    * registered. Honest residuals: plpgsql bodies beyond `RETURN
+    * expr` / `RETURN QUERY select` / `SELECT INTO var items FROM ...;
+    * RETURN var` stay unregistered (their call sites then fail
+    * exactly as unsupported surface should). */
+  def registerFromCreate(stmt0: String): Boolean = {
+    val stmt = stmt0.trim
+    val headRe =
+      ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+""" +
+        """([A-Za-z_][\w.]*)\s*\(""").r
+    val m = headRe.findFirstMatchIn(stmt).getOrElse(return false)
+    val name = {
+      val n = m.group(1)
+      n.substring(n.lastIndexOf('.') + 1).toLowerCase
+    }
+    // matching close paren of the parameter list
+    var depth = 1; var i = m.end
+    while (depth > 0 && i < stmt.length) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth != 0) return false
+    val paramText = stmt.substring(m.end, i - 1)
+    val tail = stmt.substring(i)
+
+    // parameters: [IN|OUT|INOUT|VARIADIC] [name] type [DEFAULT e | = e]
+    var inParams = Seq.empty[(String, Option[String])]
+    var outNames = Seq.empty[String]
+    splitTop(paramText).foreach { it0 =>
+      val (mode, it) = {
+        val mRe = """(?is)^(IN|OUT|INOUT|VARIADIC)\s+(.*)$""".r
+        it0.trim match {
+          case mRe(md, rest) => (md.toUpperCase, rest.trim)
+          case other => ("IN", other)
+        }
+      }
+      val (rest, default) = {
+        val dRe = """(?is)^(.*?)\s+DEFAULT\s+(.+)$""".r
+        val eRe = """(?is)^(.*?)\s*=\s*(.+)$""".r
+        it match {
+          case dRe(r, d) => (r.trim, Some(d.trim))
+          case eRe(r, d) => (r.trim, Some(d.trim))
+          case other => (other, None)
+        }
+      }
+      val words = rest.split("\\s+", 2)
+      val pname =
+        if (words.length >= 2 && !isTypeWord(words(0))) words(0).toLowerCase
+        else "" // positional-only ($N in the body)
+      mode match {
+        case "OUT" => outNames :+= (if (pname.nonEmpty) pname else "column1")
+        case "INOUT" =>
+          inParams :+= (pname -> default); outNames :+= pname
+        case _ => inParams :+= (pname -> default)
+      }
+    }
+
+    // RETURNS clause → output shape
+    val retTableRe = """(?is)\bRETURNS\s+(?:SETOF\s+)?TABLE\s*\(""".r
+    val retRe = """(?is)\bRETURNS\s+(SETOF\s+)?([A-Za-z_][\w ]*)""".r
+    var outCols = outNames
+    var scalar = false
+    retTableRe.findFirstMatchIn(tail) match {
+      case Some(tm) =>
+        var d = 1; var j = tm.end
+        while (d > 0 && j < tail.length) {
+          tail.charAt(j) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        outCols = splitTop(tail.substring(tm.end, j - 1))
+          .map(_.split("\\s+")(0).toLowerCase)
+      case None =>
+        retRe.findFirstMatchIn(tail).foreach { rm =>
+          val t = rm.group(2).trim.split("\\s+")(0).toLowerCase
+          if (t == "record") () // call-site column definitions
+          else if (isTypeWord(t)) { if (outCols.isEmpty) scalar = true }
+          else () // composite type: body aliases name the columns
+        }
+    }
+
+    // body: $tag$...$tag$ or a single-quoted literal after AS
+    val body0 =
+      """(?s)\$([A-Za-z]*)\$(.*?)\$\1\$""".r.findFirstMatchIn(tail)
+        .map(_.group(2)).orElse {
+        """(?is)\bAS\s+'(.*?)'\s*(?:LANGUAGE|$)""".r
+          .findFirstMatchIn(tail).map(_.group(1).replace("''", "'"))
+      }.getOrElse(return false).trim
+    val isPlpgsql =
+      """(?is)LANGUAGE\s+'?plpgsql'?""".r.findFirstIn(tail).isDefined
+
+    val sqlBody: String =
+      if (!isPlpgsql) {
+        val b = body0.stripSuffix(";").trim
+        if (b.toUpperCase.startsWith("SELECT") ||
+          b.toUpperCase.startsWith("WITH") ||
+          b.toUpperCase.startsWith("VALUES")) b
+        else return false
+      } else {
+        val retQueryRe =
+          """(?is)BEGIN\s+RETURN\s+QUERY\s+(.*?);\s*END""".r
+        val selIntoRe =
+          ("""(?is)\bSELECT\s+INTO\s+\w+\s+(.*?);\s*""" +
+            """RETURN\s+\w+\s*;""").r
+        val retExprRe = """(?is)BEGIN\s+RETURN\s+(.*?);\s*END""".r
+        retQueryRe.findFirstMatchIn(body0).map(_.group(1).trim)
+          .orElse(selIntoRe.findFirstMatchIn(body0)
+            .map(mm => "SELECT " + mm.group(1).trim))
+          .orElse(retExprRe.findFirstMatchIn(body0)
+            .map(mm => "SELECT (" + mm.group(1).trim + ")"))
+          .getOrElse(return false)
+      }
+
+    register(FnDef(name, inParams, sqlBody, outCols, scalar))
+    true
+  }
+
+  /** Splice call-site arguments into the body: `$N` positionally and
+    * named parameters by word-boundary substitution (parenthesized).
+    * Missing trailing arguments take their DEFAULTs; no default →
+    * None (call site left unexpanded). */
+  private def substitute(fd: FnDef, args: Seq[String]): Option[String] = {
+    val vals = fd.params.zipWithIndex.map { case ((_, dflt), i) =>
+      if (i < args.length) args(i)
+      else dflt.getOrElse(return None)
+    }
+    // simple literals/identifiers splice bare (keeps downstream
+    // pattern rewrites like generate_series(...) matchable); compound
+    // expressions get protective parens
+    def spliced(v: String): String =
+      if (v.matches("""(?s)^-?[\w.']+$""")) v else s"($v)"
+    var b = """\$(\d+)""".r.replaceAllIn(fd.body, mm => {
+      val i = mm.group(1).toInt - 1
+      if (i < vals.length)
+        java.util.regex.Matcher.quoteReplacement(spliced(vals(i)))
+      else mm.matched
+    })
+    fd.params.zipWithIndex.foreach { case ((pn, _), i) =>
+      if (pn.nonEmpty)
+        b = ("""(?i)(?<![\w.$])""" + pn + """\b""").r
+          .replaceAllIn(b, java.util.regex.Matcher
+            .quoteReplacement(spliced(vals(i))))
+    }
+    Some(b)
+  }
+
+  /** Build the derived-table replacement for one call. */
+  private def expandCall(fd: FnDef, args: Seq[String], alias: String,
+      siteCols: Seq[String]): Option[String] = {
+    val body = substitute(fd, args).getOrElse(return None)
+    val colList =
+      if (siteCols.nonEmpty) siteCols
+      else if (fd.outCols.nonEmpty) fd.outCols
+      else if (fd.scalar) Seq(alias)
+      else Nil
+    val cols = if (colList.isEmpty) "" else colList.mkString("(", ", ", ")")
+    Some(s"($body) AS $alias$cols")
+  }
+
+  private val keywords = Set("on", "where", "group", "order", "having",
+    "limit", "offset", "join", "left", "right", "full", "inner",
+    "cross", "natural", "union", "intersect", "except", "using",
+    "with", "ordinality", "as", "lateral", "select", "for", "window")
+
+  /** Mask single-quoted literal CONTENTS so scans never match inside
+    * strings (positions preserved). */
+  private def maskLiterals(s: String): String = {
+    val a = s.toCharArray
+    var inQ = false
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == '\'') inQ = !inQ
+      else if (inQ) a(i) = ' '
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Expand registered (and whitelisted-builtin) function scans in
+    * `FROM fn(args) [AS] alias [(cols)]` / `JOIN fn(args) ...` and
+    * `ROWS FROM (fn1(...), fn2(...)) AS a(c1, c2)` positions. Leaves
+    * everything else byte-identical. */
+  def expand(sql: String): String = {
+    // fast path: nothing registered → nothing can expand (the builtin
+    // JOIN-wrap only matters for corpora that also register functions)
+    if (fns.isEmpty || !sql.contains("(")) return sql
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      val masked = maskLiterals(out)
+      // ROWS FROM (f1(...), f2(...)) AS alias(c1, c2) — zip SRFs by
+      // row position (PG pads the shorter with NULLs; FULL JOIN on
+      // row_number matches that)
+      val rowsRe = """(?i)\bROWS\s+FROM\s*\(""".r
+      val rf = rowsRe.findFirstMatchIn(masked)
+      if (rf.isDefined) {
+        val mm = rf.get
+        var d = 1; var i = mm.end
+        while (d > 0 && i < out.length) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val inner = out.substring(mm.end, i - 1)
+        val aliasRe =
+          """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)""".r
+        aliasRe.findPrefixMatchOf(out.substring(i)) match {
+          case Some(am) =>
+            val alias = am.group(1)
+            val cols = am.group(2).split(",")
+              .map(_.trim.split("\\s+")(0)).toSeq
+            val calls = splitTop(inner)
+            val callRe = """(?is)^([A-Za-z_]\w*)\s*\((.*)\)$""".r
+            val parts = calls.zip(cols).zipWithIndex.flatMap {
+              case ((c, colName), idx) => c.trim match {
+                case callRe(fn, argText) =>
+                  fns.get(fn.toLowerCase).flatMap { fd =>
+                    substitute(fd, splitTop(argText)).map { body =>
+                      s"(SELECT __c AS $colName, row_number() OVER " +
+                        s"(ORDER BY __c) AS __rn FROM ($body) " +
+                        s"AS __t$idx(__c)) __z$idx"
+                    }
+                  }
+                case _ => None
+              }
+            }
+            if (parts.length == calls.length && parts.nonEmpty) {
+              val joined = parts.head + parts.tail.map(p =>
+                s" FULL OUTER JOIN $p USING (__rn)").mkString
+              val repl =
+                s"(SELECT ${cols.mkString(", ")} FROM $joined) AS $alias"
+              out = out.substring(0, mm.start) + repl +
+                out.substring(i + am.end)
+              changed = true
+            }
+          case None => ()
+        }
+      }
+      if (!changed) {
+        val scanRe = """(?i)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s*\(""".r
+        val hit = scanRe.findAllMatchIn(maskLiterals(out)).find { sm =>
+          val nm = sm.group(2).toLowerCase
+          (fns.contains(nm) ||
+            (sm.group(1).equalsIgnoreCase("JOIN") &&
+              builtinScalar.contains(nm))) && !keywords.contains(nm)
+        }
+        hit.foreach { sm =>
+          val masked2 = maskLiterals(out)
+          val nm = sm.group(2).toLowerCase
+          var d = 1; var i = sm.end
+          while (d > 0 && i < out.length) {
+            masked2.charAt(i) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          val argText = out.substring(sm.end, i - 1)
+          val after = out.substring(i)
+          // WITH ORDINALITY is not expressible this way — leave as-is
+          if ("""(?is)^\s*WITH\s+ORDINALITY""".r
+              .findPrefixMatchOf(after).isDefined) return out
+          val aliasRe =
+            """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)(\s*\(([^)]*)\))?""".r
+          val (alias, siteCols, consumed) =
+            aliasRe.findPrefixMatchOf(after) match {
+              case Some(am) if !keywords.contains(
+                  am.group(1).toLowerCase) =>
+                val sc = Option(am.group(3)).map(_.split(",")
+                  .map(_.trim.split("\\s+")(0).toLowerCase).toSeq)
+                  .getOrElse(Nil)
+                (am.group(1), sc, am.end)
+              case _ => (nm, Seq.empty[String], 0)
+            }
+          val fd = fns.getOrElse(nm,
+            FnDef(nm, Seq.empty, "", Seq.empty, scalar = true))
+          val replOpt =
+            if (fns.contains(nm)) expandCall(fd, splitTop(argText),
+              alias, siteCols)
+            else Some(s"(SELECT $nm($argText)) AS $alias($alias)")
+          replOpt.foreach { repl =>
+            out = out.substring(0, sm.start) + sm.group(1) + " " + repl +
+              after.substring(consumed)
+            changed = true
+          }
+        }
+      }
+    }
+    out
+  }
+}

@@ -777,4 +777,58 @@ class ExtensionSpec extends AnyFunSuite {
       DistributionCatalog.reset()
     }
   }
+
+  test("function-scan macro expansion: JOIN f(args) alias ON ... " +
+      "inlines registered SQL/plpgsql bodies with PG column naming") {
+    import graft.sql.TableFunctions
+    TableFunctions.clear()
+    try {
+      spark.range(1, 21).selectExpr("CAST(id AS INT) AS id",
+        "CAST(id * id AS INT) AS data")
+        .createOrReplaceTempView("fn_t1")
+      // scalar SQL function, positional params: alias names the column
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION add(integer, integer) RETURNS integer " +
+          "AS 'SELECT $1 + $2;' LANGUAGE SQL"))
+      val r1 = PgDialect.sql(spark,
+        "SELECT * FROM fn_t1 JOIN add(3,5) sum ON (id = sum)")
+        .collect()
+      assert(r1.length === 1 && r1.head.getInt(0) === 8)
+      // plpgsql RETURN expr with a named parameter
+      assert(TableFunctions.registerFromCreate(
+        "CREATE OR REPLACE FUNCTION increment(i integer) RETURNS " +
+          "integer AS $$ BEGIN RETURN i + 1; END; $$ LANGUAGE plpgsql"))
+      val r2 = PgDialect.sql(spark,
+        "SELECT * FROM fn_t1 JOIN increment(2) val ON (id = val)")
+        .collect()
+      assert(r2.length === 1 && r2.head.getInt(0) === 3)
+      // RETURNS TABLE: declared column names bind in the ON clause
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION dup(int) RETURNS TABLE(f1 int, f2 text) AS " +
+          "$$ SELECT $1, CAST($1 AS text) || ' is text' $$ LANGUAGE SQL"))
+      val r3 = PgDialect.sql(spark,
+        "SELECT f.* FROM fn_t1 t JOIN dup(16) f ON (f1 = id)").collect()
+      assert(r3.length === 1 && r3.head.getString(1) === "16 is text")
+      // SETOF with OUT param name + DEFAULT argument
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION next_k(IN first_value INTEGER, IN k INTEGER " +
+          "DEFAULT 3, OUT result INTEGER) RETURNS SETOF INTEGER AS $$ " +
+          "BEGIN RETURN QUERY SELECT x FROM " +
+          "generate_series(first_value, first_value+k-1) f(x); END; " +
+          "$$ LANGUAGE plpgsql"))
+      val r4 = PgDialect.sql(spark,
+        "SELECT * FROM fn_t1 JOIN next_k(3,2) nk ON (id = nk.result) " +
+          "ORDER BY id").collect()
+      assert(r4.map(_.getInt(0)).toSeq === Seq(3, 4))
+      val r5 = PgDialect.sql(spark, // DEFAULT k=3
+        "SELECT * FROM fn_t1 JOIN next_k(7) nk ON (id = nk.result) " +
+          "ORDER BY id").collect()
+      assert(r5.map(_.getInt(0)).toSeq === Seq(7, 8, 9))
+      // built-in scalar as a function scan
+      val r6 = PgDialect.sql(spark,
+        "SELECT * FROM fn_t1 JOIN abs(10) AS ten ON (id = ten)")
+        .collect()
+      assert(r6.length === 1 && r6.head.getInt(0) === 10)
+    } finally TableFunctions.clear()
+  }
 }

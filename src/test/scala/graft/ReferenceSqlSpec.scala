@@ -2257,6 +2257,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // statements; plpgsql/helper languages store empty (their
         // later invocations no-op instead of failing the replay)
         case s if createFnRe.findFirstMatchIn(s).isDefined =>
+          // arg-ful SQL / simple-plpgsql functions register for
+          // FROM/JOIN function-scan macro expansion (the reference's
+          // function_call_delegation surface)
+          graft.sql.TableFunctions.registerFromCreate(s)
           val m = createFnRe.findFirstMatchIn(s).get
           val name = strip(m.group(1))
           val tail = m.group(2)
@@ -2836,9 +2840,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("$$") && !s.contains("RETURNING")
     val perFile = Seq("join_pushdown.sql",
       "multi_function_in_join.sql").map { f =>
+      graft.sql.TableFunctions.clear() // per-file function namespace
       val (ok, ran) = replayFile(f, "JPFAIL", keep)
       (f, ok, ran)
     }
+    graft.sql.TableFunctions.clear()
     perFile.foreach { case (f, ok, all) =>
       info(s"$f: $ok/$all statements run") }
     val (okTotal, allTotal) =
@@ -2846,6 +2852,164 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.7,
       s"only $okTotal/$allTotal ran")
+    // function-scan macro expansion (function_call_delegation.c):
+    // the named file moves from 1/10 to ≥8/10
+    val (_, fOk, fAll) = perFile(1)
+    assert(fAll >= 9, s"multi_function_in_join: expected ≥9, got $fAll")
+    assert(fOk >= 8, s"multi_function_in_join: only $fOk/$fAll ran")
+  }
+
+  test("EXPLAIN-shape corpus: plan pins derived from the reference's " +
+      "multi_explain.sql EXPLAIN-diff assertions (two-phase aggregate " +
+      "placement, limit/top-k pushdown, router zero-shuffle, filter " +
+      "pushdown to the scan, join strategy) — ≥20 pins") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the reference's extra fixture spellings alias the same relations
+    spark.table("customer").createOrReplaceTempView("customer_append")
+    spark.table("supplier").createOrReplaceTempView("supplier_single_shard")
+    spark.table("lineitem").createOrReplaceTempView("lineitem_hash_part")
+    spark.table("orders").createOrReplaceTempView("orders_hash_part")
+    import graft.plans.PlanChecks
+    var pins = 0
+    def pin(cond: Boolean, what: String): Unit = {
+      assert(cond, what); pins += 1
+    }
+    def plan(q: String) = PlanChecks.nodeKinds(PgDialect.sql(spark, q))
+    def shuffles(ks: Seq[String]) = ks.count(_ == "shuffle")
+
+    // multi_explain.sql:74 — GROUP BY + ORDER BY: reference pins
+    // Sort above coordinator HashAggregate above per-task
+    // HashAggregate. Ours: Final agg before the shuffle (pre-order),
+    // Partial below it, exactly one exchange, a sort on top.
+    val q1 = "SELECT l_quantity, count(*) count_quantity FROM lineitem " +
+      "GROUP BY l_quantity ORDER BY count_quantity, l_quantity"
+    val k1 = plan(q1)
+    pin(k1.contains("partial_agg") && k1.contains("final_agg"),
+      "q1: two-phase aggregate")
+    pin(shuffles(k1) >= 1 && {
+      val fi = k1.indexOf("final_agg"); val pi = k1.indexOf("partial_agg")
+      fi >= 0 && pi > fi &&
+        (fi until pi).exists(k1(_) == "shuffle")
+    }, "q1: partial below the exchange, final above")
+    pin(k1.contains("sort"), "q1: coordinator sort")
+    pin(shuffles(k1) <= 2, "q1: no extra exchanges")
+
+    // multi_explain.sql:165 — global aggregate, no grouping:
+    // per-task partials, one coordinator combine.
+    val k2 = plan("SELECT sum(l_quantity) / avg(l_quantity) FROM lineitem")
+    pin(k2.contains("partial_agg") && k2.contains("final_agg"),
+      "q2: two-phase global aggregate")
+    pin(shuffles(k2) == 1, "q2: exactly one exchange (single combine)")
+
+    // multi_explain.sql:169 — join + ORDER BY ... LIMIT 10: reference
+    // pushes Limit into every task; ours plans the top-k operator
+    // (TakeOrderedAndProject) instead of a global sort.
+    val q3 = "SELECT * FROM lineitem JOIN orders ON l_orderkey = " +
+      "o_orderkey AND l_quantity < 5.0 ORDER BY l_quantity LIMIT 10"
+    val df3 = PgDialect.sql(spark, q3)
+    val k3 = PlanChecks.nodeKinds(df3)
+    pin(k3.contains("topk"), "q3: ORDER BY+LIMIT plans top-k pushdown")
+    pin(k3.contains("broadcast_join") || k3.contains("sort_merge_join"),
+      "q3: equi-join strategy selected (no nested loop)")
+    pin(PlanChecks.pushedFilters(df3)
+      .exists(_.contains("l_quantity")),
+      "q3: l_quantity residual pushed to the lineitem scan")
+
+    // multi_explain.sql:211 — single-shard router SELECT: one task,
+    // no data movement. Ours: ZERO exchanges and the key filter
+    // pushed into the parquet scan.
+    val q4 = "SELECT l_quantity FROM lineitem WHERE l_orderkey = 5"
+    val df4 = PgDialect.sql(spark, q4)
+    val k4 = PlanChecks.nodeKinds(df4)
+    pin(shuffles(k4) == 0, "q4: router query moves no data")
+    pin(PlanChecks.pushedFilters(df4)
+      .exists(_.contains("l_orderkey")),
+      "q4: router key filter pushed to the scan")
+
+    // multi_explain.sql:221 — HAVING over a global aggregate:
+    // coordinator filter sits above the final aggregate.
+    val q5 = "SELECT sum(l_quantity) / avg(l_quantity) FROM lineitem " +
+      "HAVING sum(l_quantity) > 100"
+    val k5 = plan(q5)
+    pin(k5.contains("final_agg") && k5.contains("partial_agg"),
+      "q5: HAVING keeps the two-phase split")
+    pin(k5.indexOf("filter") >= 0 &&
+      k5.indexOf("filter") < k5.indexOf("final_agg"),
+      "q5: HAVING filter above the final aggregate")
+
+    // multi_explain.sql:226 — HAVING on the group key (no aggregate
+    // in the qual): still two-phase, filter anywhere above partial.
+    val k6 = plan("SELECT l_quantity FROM lineitem GROUP BY l_quantity " +
+      "HAVING l_quantity > (100 * random())")
+    pin(k6.contains("partial_agg") || k6.contains("group_agg"),
+      "q6: grouping pushed below the exchange")
+    pin(shuffles(k6) >= 1, "q6: grouped HAVING shuffles once")
+
+    // multi_explain.sql:467 — filtered global avg: the WHERE range
+    // predicate reaches the parquet scan (PushedFilters), partials
+    // below.
+    val q7 = "SELECT avg(l_linenumber) FROM lineitem WHERE l_orderkey > 9030"
+    val df7 = PgDialect.sql(spark, q7)
+    val k7 = PlanChecks.nodeKinds(df7)
+    pin(PlanChecks.pushedFilters(df7)
+      .exists(f => f.contains("l_orderkey") && f.contains("9030")),
+      "q7: range filter pushed to the scan")
+    pin(k7.contains("partial_agg") && k7.contains("final_agg") &&
+      shuffles(k7) == 1, "q7: filtered two-phase aggregate, one exchange")
+
+    // multi_explain.sql:643 — the 4-relation repartition-join count:
+    // lineitem ⋈ orders ⋈ customer_append ⋈ supplier_single_shard.
+    // Reference plans repartition tasks; ours joins stats-driven (dims
+    // broadcast at this scale, shuffle beyond the threshold) — pinned:
+    // three equi-joins, no cartesian, one final aggregate.
+    val q8 = "SELECT count(*) FROM lineitem, orders, customer_append, " +
+      "supplier_single_shard WHERE l_orderkey = o_orderkey AND " +
+      "o_custkey = c_custkey AND l_suppkey = s_suppkey"
+    val k8 = plan(q8)
+    pin(k8.count(k => k == "broadcast_join" || k == "sort_merge_join") == 3,
+      "q8: three equi-joins planned")
+    pin(!k8.exists(_.contains("CartesianProduct")) &&
+      !k8.exists(_.contains("BroadcastNestedLoop")),
+      "q8: no cartesian fallback")
+    pin(k8.contains("final_agg"), "q8: count combined once")
+
+    // multi_explain.sql:144 — join on NON-distribution columns
+    // (t1.a = t2.b): the reference repartitions both sides; ours
+    // plans an equi-join over re-shuffled (or broadcast) inputs.
+    spark.range(0, 100).selectExpr("CAST(id AS INT) a",
+      "CAST(id % 7 AS INT) b").createOrReplaceTempView("expl_t1")
+    spark.range(0, 100).selectExpr("CAST(id AS INT) a",
+      "CAST(id % 11 AS INT) b").createOrReplaceTempView("expl_t2")
+    val k9 = plan(
+      "SELECT count(*) FROM expl_t1 t1, expl_t2 t2 WHERE t1.a = t2.b")
+    pin(k9.contains("broadcast_join") || k9.contains("sort_merge_join"),
+      "q9: repartition join becomes an equi-join, not a cartesian")
+    pin(k9.contains("final_agg"), "q9: count over the join combines once")
+
+    // multi_explain.sql:526 — CTE with ORDER BY+LIMIT inside, count
+    // outside: the limit plans as top-k below the count.
+    val k10 = plan("WITH a AS (SELECT l_quantity, count(*) " +
+      "count_quantity FROM lineitem GROUP BY l_quantity ORDER BY " +
+      "count_quantity, l_quantity LIMIT 10) SELECT count(*) FROM a")
+    pin(k10.contains("topk"), "q10: CTE's ORDER BY+LIMIT plans top-k")
+    pin(k10.count(_ == "final_agg") >= 2,
+      "q10: inner grouped agg and outer count both combine")
+
+    // multi_explain.sql:656 — recursive planning: MATERIALIZED CTEs
+    // (DISTINCT keys ⋈ generated series) then ORDER BY: a join plus
+    // sorted output survive the rewrite.
+    val k11 = plan("WITH keys AS (SELECT DISTINCT l_orderkey FROM " +
+      "lineitem_hash_part), series AS (SELECT explode(sequence(1, 10)) " +
+      "AS s) SELECT l_orderkey FROM series JOIN keys ON " +
+      "(s = l_orderkey) ORDER BY s")
+    pin(k11.contains("broadcast_join") || k11.contains("sort_merge_join"),
+      "q11: intermediate-result join planned as equi-join")
+    pin(k11.contains("sort") || k11.contains("topk"),
+      "q11: coordinator orders the joined output")
+
+    info(s"$pins plan-shape pins verified against multi_explain.sql")
+    assert(pins >= 20, s"expected ≥20 pins, got $pins")
   }
 
   test("the reference's non-colocated-subquery recursive-planning " +
