@@ -110,9 +110,15 @@ object PgDialect {
     // paren nesting to 4 levels so chained casts survive: each pass
     // wraps in CAST(...), which the next pass must re-match as an
     // operand (`x::int::bool::text::bool`)
+    // POSSESSIVE quantifiers throughout: the alternation's branches
+    // are disjoint on their first character (non-paren vs `(`), so
+    // possessive matching is semantically identical to greedy here —
+    // but it eliminates the exponential backtracking a long
+    // paren-heavy statement with no `::` otherwise triggers (observed:
+    // minutes of regex CPU on corpus INSERT..SELECT bodies).
     val nested = {
-      var body = """[^()]*"""
-      (1 to 4).foreach(_ => body = s"""(?:[^()]|\\($body\\))*""")
+      var body = """[^()]*+"""
+      (1 to 4).foreach(_ => body = s"""(?:[^()]++|\\($body\\))*+""")
       body
     }
     // the (?<!:) guard keeps a chain's TYPE name (`x::int::bool` —
@@ -151,16 +157,34 @@ object PgDialect {
           if (rawT == "interval")
             // dynamic string→interval (the literal form became an
             // INTERVAL literal above): PG accepts '1001 days' text —
-            // parse day/hour/min/sec units into a day-time interval
+            // parse week/day/hour/min/sec units into a day-time
+            // interval (weeks fold into days); a bare number is
+            // seconds (PG: '5'::interval = 00:00:05); month/year
+            // units are NOT representable as a comparable day-time
+            // interval — fail loudly instead of yielding zero
             s"make_dt_interval(" +
+              s"CAST(IF(regexp_like(CAST($operand AS STRING), " +
+              s"'(?i)(mon|year)'), " +
+              // NB: the message must not contain a colon-colon cast
+              // spelling — this replacement re-enters the fixpoint
+              // loop, and a literal cast token inside it would match
+              // again and grow the text forever
+              s"raise_error('interval cast with month/year units is " +
+              s"not representable as a day-time interval'), " +
               s"CAST(coalesce(nullif(regexp_extract($operand, " +
-              s"'(-?[0-9]+) *day', 1), ''), '0') AS INT), " +
+              s"'(-?[0-9]+) *day', 1), ''), '0') AS INT) " +
+              s"+ 7 * CAST(coalesce(nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+) *week', 1), ''), '0') AS INT)) AS INT), " +
               s"CAST(coalesce(nullif(regexp_extract($operand, " +
               s"'(-?[0-9]+) *hour', 1), ''), '0') AS INT), " +
               s"CAST(coalesce(nullif(regexp_extract($operand, " +
               s"'(-?[0-9]+) *min', 1), ''), '0') AS INT), " +
-              s"CAST(coalesce(nullif(regexp_extract($operand, " +
-              s"'(-?[0-9]+(\\.[0-9]+)?) *sec', 1), ''), '0') AS DOUBLE))"
+              s"CAST(coalesce(" +
+              s"nullif(regexp_extract($operand, " +
+              s"'(-?[0-9]+(\\.[0-9]+)?) *sec', 1), ''), " +
+              s"nullif(regexp_extract($operand, " +
+              s"'^ *(-?[0-9]+(\\.[0-9]+)?) *$$', 1), ''), " +
+              s"'0') AS DOUBLE))"
           else {
             val head = rawT.takeWhile(c => c.isLetter || c == '_')
             if (!typeMap.contains(rawT) && !sparkKnownTypes.contains(head))
@@ -409,10 +433,13 @@ object PgDialect {
   def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
     // PG's 1-arg numeric trunc (toward zero); Spark's trunc is the
-    // 2-arg date form — only the comma-free call rewrites
+    // 2-arg date form — only the comma-free call rewrites. `x - x%1`
+    // truncates toward zero while PRESERVING the operand's type
+    // (PG: trunc(4.7::float8) = 4.0 double, trunc(numeric) stays
+    // numeric) and never overflows a bigint cast.
     s = """(?is)\btrunc\s*\(((?:[^(),]|\([^()]*\))+)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"CAST((${m.group(1)}) AS BIGINT)"))
+        s"((${m.group(1)}) - ((${m.group(1)}) % 1))"))
     s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(CAST(unix_micros(CAST(${m.group(1).trim} AS TIMESTAMP)) " +
@@ -1313,11 +1340,17 @@ object PgDialect {
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`
     * concatenates i-1); Spark's `||` binds tighter (it would compute
-    * `('s_' || i) - 1`). Parenthesize the simple ident±term form. */
+    * `('s_' || i) - 1`). Parenthesize the ident ± term chain form —
+    * the WHOLE chain (`a || b - 1 - 2` concatenates b-1-2), with
+    * string literals masked so text inside quotes never rewrites. */
   def rewriteConcatPrecedence(sql: String): String =
-    """\|\|\s*([A-Za-z_][\w.]*)\s*([+\-])\s*(\d+|[A-Za-z_][\w.]*)(?!\s*[\w.(])""".r
-      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-        s"|| (${m.group(1)} ${m.group(2)} ${m.group(3)})"))
+    withMaskedLiterals(sql) { s =>
+      ("""\|\|\s*([A-Za-z_][\w.]*""" +
+        """(?:\s*[+\-]\s*(?:\d+(?:\.\d+)?|[A-Za-z_][\w.]*))+)""" +
+        """(?!\s*[\w.(+\-])""").r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"|| (${m.group(1)})"))
+    }
 
   /** PG's bare `TABLE name` query spelling (`TABLE t` ≡ `SELECT *
     * FROM t`), legal standalone and as a set-operation branch

@@ -331,7 +331,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       collection.mutable.Buffer[(String, String, String)]()
     val likeRe = """(?is)^\s*LIKE\s+([A-Za-z_][\w.]*).*$""".r
     val insertRe =
-      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*SELECT\s.*)$""".r
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*\(?\s*SELECT\s.*)$""".r
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val ctasRe =
@@ -1453,9 +1453,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // tripping queries through plpgsql helpers (`SELECT true AS valid
     // FROM explain_json_2($$ <query> $$)`); the wrapped query IS the
     // tested surface — unwrap and run it directly
+    // comment lines go BEFORE the unwrap passes: a comment ending in
+    // "select" would otherwise satisfy the wrapper regex's SELECT
+    // anchor and splice the unwrapped query into the comment line
+    // (multi_insert_select_conflict.sql:152 "...for the insert/select")
+    val convertedNC = converted.linesIterator
+      .filterNot(_.trim.startsWith("--")).mkString("\n")
     val explWrapRe =
       """(?is)SELECT\s+[^;()]*?\bexplain_json(?:_2)?\s*\(\s*\$\$(.*?)\$\$\s*\)\s*;""".r
-    val unwrapped0 = explWrapRe.replaceAllIn(converted, m =>
+    val unwrapped0 = explWrapRe.replaceAllIn(convertedNC, m =>
       java.util.regex.Matcher.quoteReplacement(
         m.group(1).trim.stripSuffix(";") + ";\n"))
     // `SELECT public.explain_with_pg17_initplan_format($Q$ EXPLAIN
@@ -1464,7 +1470,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // query is the surface: unwrap and drop the EXPLAIN prefix so it
     // executes.
     val pg17WrapRe =
-      ("""(?is)SELECT\s+[^;()]*?\bexplain_with_pg17_initplan_format\s*""" +
+      ("""(?is)SELECT\s+[^;()]*?\b(?:explain_with_pg17_initplan_format|""" +
+        """coordinator_plan)\s*""" +
         """\(\s*\$Q\$(.*?)\$Q\$\s*\)\s*(?:as\s+"[^"]*")?\s*;""").r
     val unwrapped = pg17WrapRe.replaceAllIn(unwrapped0, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -1549,6 +1556,17 @@ class ReferenceSqlSpec extends AnyFunSuite {
           }
         }.orElse(inRe.findFirstMatchIn(spec).map(m =>
           s"$c IN (${m.group(1)})"))
+        .orElse {
+          // HASH partitioning (FOR VALUES WITH (MODULUS m, REMAINDER
+          // r)): PG's internal hash is not replicable — any uniform
+          // deterministic hash keeps the partition-routing SEMANTICS
+          // (each row lands in exactly one child, children disjoint)
+          val hashRe =
+            ("""(?is)FOR\s+VALUES\s+WITH\s*\(\s*MODULUS\s+(\d+)\s*""" +
+              """,\s*REMAINDER\s+(\d+)\s*\)""").r
+          hashRe.findFirstMatchIn(spec).map(m =>
+            s"pmod(hash($c), ${m.group(1)}) = ${m.group(2)}")
+        }
         .getOrElse {
           // DEFAULT partition: whatever no sibling bound accepts
           val sib = state.parts.collect {
@@ -1770,7 +1788,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val insertRe =
-      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*SELECT\s.*)$""".r
+      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*\(?\s*SELECT\s.*)$""".r
     // DELETE FROM t [alias] [USING items] [WHERE cond] — head + tail;
     // the tail parses via top-level keyword split (USING/WHERE)
     val deleteHeadRe =
@@ -1866,13 +1884,46 @@ class ReferenceSqlSpec extends AnyFunSuite {
           val vcols = (0 until arity).map(i => s"__c$i")
           PgDialect.sql(spark,
             s"SELECT * FROM (VALUES $tuples) AS __v(${vcols.mkString(", ")})")
-        } else PgDialect.sql(spark, restBody)
+        } else {
+          // `INSERT INTO t ((SELECT ..) UNION (SELECT ..))`: peel
+          // outer parens that wrap the WHOLE body (balanced to the
+          // end) so the set-op query parses
+          var body = restBody.trim
+          var peel = true
+          while (peel && body.startsWith("(")) {
+            var d = 0; var j = 0; var end = -1
+            while (j < body.length && end < 0) {
+              body.charAt(j) match {
+                case '(' => d += 1
+                case ')' => d -= 1; if (d == 0) end = j
+                case '\'' =>
+                  j += 1
+                  while (j < body.length && body.charAt(j) != '\'') j += 1
+                case _ => ()
+              }
+              j += 1
+            }
+            if (end == body.length - 1)
+              body = body.substring(1, end).trim
+            else peel = false
+          }
+          PgDialect.sql(spark, body)
+        }
       val srcN = src.columns.length
       val renamed = src.toDF((0 until srcN).map(i => s"__src$i"): _*)
       val proj = schema.map { case (cn, ct) =>
         val i = given.indexOf(cn.toLowerCase)
-        if (i >= 0 && i < srcN) col(s"__src$i").cast(ct).as(cn)
-        else lit(null).cast(ct).as(cn)
+        if (i >= 0 && i < srcN) {
+          // PG array literal text ('{"a","b"}') into an array column:
+          // brace-to-bracket then from_json (string → array casts
+          // don't exist in Spark)
+          val srcIsString = renamed.schema(s"__src$i").dataType ==
+            org.apache.spark.sql.types.StringType
+          if (srcIsString && ct.trim.toUpperCase.startsWith("ARRAY"))
+            org.apache.spark.sql.functions.expr(
+              s"from_json(translate(__src$i, '{}', '[]'), '$ct')").as(cn)
+          else col(s"__src$i").cast(ct).as(cn)
+        } else lit(null).cast(ct).as(cn)
       }
       var batch = renamed.select(proj: _*)
       conflictSets match {
@@ -2002,7 +2053,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
 
     /** Register each CTE of a WITH-prefixed statement as a temp view —
       * a data-modifying body (PG wCTE) applies its mutation and the
-      * view carries its RETURNING rows — and return (names, tail). */
+      * view carries its RETURNING rows — and return (names, tail).
+      *
+      * KNOWN DIVERGENCE (documented, not corpus-visible): PG executes
+      * all data-modifying CTEs of one statement against a single
+      * snapshot — sibling CTEs cannot see each other's writes to the
+      * same table — while this replay applies them sequentially, so a
+      * later CTE observes earlier CTEs' mutations. None of the
+      * replayed corpora (with_modifying.sql, with_dml.sql,
+      * multi_insert_select_conflict.sql) modify the SAME table from
+      * two sibling CTEs, so live state cannot diverge there; a full
+      * fix would snapshot every touched table's pre-statement frame
+      * and run each body against the snapshots, merging after the
+      * tail. */
     def extractCtes(stmt0: String): (Seq[String], String) = {
       var rest = stmt0.trim.substring(4)
       val names = collection.mutable.Buffer[String]()
@@ -2054,9 +2117,50 @@ class ReferenceSqlSpec extends AnyFunSuite {
       """(?is)^CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)""".r
         .findFirstMatchIn(stmt)
         .foreach(m => state.schemaNames += m.group(1).toLowerCase)
-      state.schemaNames.foreach(sc =>
-        stmt = stmt.replaceAll("(?i)\\b" + sc + "\\.", ""))
+      // strip only OUTSIDE string literals and only when an
+      // identifier follows (`'text with schema.'` and `sc.` at
+      // expression end stay intact); a table alias sharing a created
+      // schema's name would still strip — none of the replayed
+      // corpora alias tables with their schema names
+      if (state.schemaNames.nonEmpty) {
+        val parts = stmt.split("'", -1)
+        var qi = 0 // even indices are outside single-quoted literals
+        stmt = parts.map { seg =>
+          val out =
+            if (qi % 2 == 0)
+              state.schemaNames.foldLeft(seg)((s2, sc) =>
+                s2.replaceAll("(?i)\\b" + sc + "\\.(?=[A-Za-z_])", ""))
+            else seg
+          qi += 1
+          out
+        }.mkString("'")
+      }
+      // PG's ONLY on a declarative-partition parent addresses the
+      // parent's OWN storage, which is empty (all rows live in
+      // partitions): query position → empty relation; DML position →
+      // no-op (handled below)
+      if ("""(?is)^\s*(SELECT|WITH|TABLE|\()""".r
+          .findPrefixMatchOf(stmt).isDefined)
+        stmt = """(?i)\b(FROM|JOIN)\s+ONLY\s+([A-Za-z_][\w.]*)""".r
+          .replaceAllIn(stmt, m => {
+            val n = strip(m.group(2))
+            java.util.regex.Matcher.quoteReplacement(
+              if (state.partCol.contains(n))
+                s"${m.group(1)} (SELECT * FROM ${m.group(2)} WHERE 1=0)"
+              else s"${m.group(1)} ${m.group(2)}")
+          })
       stmt match {
+        case s0 if {
+          val m = ("""(?is)^(?:UPDATE\s+ONLY|DELETE\s+FROM\s+ONLY)""" +
+            """\s+([A-Za-z_][\w.]*)""").r.findPrefixMatchOf(s0)
+          m.exists(mm => state.partCol.contains(strip(mm.group(1))))
+        } =>
+          // ONLY-DML on a partitioned parent: zero rows in PG; the
+          // statement still runs successfully
+          if (!pgErrs.contains(normSql(stmt))) {
+            val counted = countable && countDml && keep(stmt)
+            if (counted) { ran += 1; ok += 1 }
+          }
         case partOfRe(child0, parent0, spec)
             if schemas.contains(strip(parent0)) =>
           val child = strip(child0); val parent = strip(parent0)
@@ -2188,7 +2292,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
             data(strip(name)) = None
             // single-column RANGE/LIST partitioned parent: remember
             // the key so children's bounds become filters
-            """(?is)PARTITION\s+BY\s+(?:RANGE|LIST)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$""".r
+            """(?is)PARTITION\s+BY\s+(?:RANGE|LIST|HASH)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$""".r
               .findFirstMatchIn(stmt).foreach(m =>
                 state.partCol(strip(name)) = m.group(1).toLowerCase)
             register(strip(name))
@@ -2222,7 +2326,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
             } catch { case e: Throwable => dbgFail(stmt, e) }
           }
         case truncateRe(names) =>
-          splitTop(names).map(strip).foreach { n =>
+          splitTop(names).map(_.replaceAll("(?is)\\s+CASCADE\\s*$", ""))
+            .map(strip).foreach { n =>
             state.parts.get(n) match {
               case Some((parent, cond)) =>
                 // truncating a child clears only its bound's rows
@@ -2666,6 +2771,57 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 150, s"expected a large corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.85,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of multi_partitioning.sql — the canonical " +
+      "partition-management corpus (2,066 lines): RANGE/LIST/HASH " +
+      "partition DDL, ATTACH/DETACH, COPY into partitions, ONLY " +
+      "semantics, cross-partition UPDATEs, queries over partition " +
+      "hierarchies") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("information_schema") &&
+        // catalog/locking introspection and the time-partitioning
+        // maintenance UDFs are metadata surface, not query semantics
+        !s.contains("pg_") && !s.contains("table_attrs") &&
+        !s.contains("table_fkeys") && !s.contains("lockinfo") &&
+        !s.contains("time_partition") &&
+        !s.contains("get_missing_time") &&
+        !s.contains("fix_pre_citus10") && // constraint-rename maintenance
+        !s.contains("relation_size") && !s.contains("worker_") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("\"schema-test\"") // quoted-ident schema section
+    val (ok, ran) = replayFile("multi_partitioning.sql", "PARTFAIL",
+      keep, new ReplayState, countDml = true)
+    info(s"multi_partitioning.sql: $ok/$ran statements run")
+    assert(ran >= 60, s"expected a large corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.75, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_insert_select_conflict.sql — the " +
+      "reference's INSERT..SELECT..ON CONFLICT corpus: DO NOTHING / " +
+      "DO UPDATE with EXCLUDED, recursive-planning sources (LIMIT " +
+      "subqueries, UNIONs, materialized CTEs), wCTE RETURNING reads") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("coordinator_plan")
+    val (ok, ran) = replayFile("multi_insert_select_conflict.sql",
+      "ISCFAIL", keep, new ReplayState, countDml = true)
+    info(s"multi_insert_select_conflict.sql: $ok/$ran statements run")
+    assert(ran >= 20, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
 
   test("sequential replay of pgmerge.sql — the PG-community MERGE " +
