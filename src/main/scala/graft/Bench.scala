@@ -26,9 +26,17 @@ object Bench {
     // 5.57 s/set at shuffle=1). Keep it for real partition counts —
     // at 100 TB shufParts is in the thousands and AQE is load-bearing.
     val aqe = shufParts >= 8
+    // Scan-split rule, same data-proportional spirit: aim for ~2 scan
+    // tasks per core when the data supports it, never exceeding the
+    // 128 MB cluster default (at 100 TB the default is right; below
+    // ~4 GB local it would leave cores idle on the big fact files).
+    // Floor 16 MB keeps tiny SFs at 1 task (split overhead dominates).
+    val partBytes = math.max(16L << 20,
+      math.min(128L << 20, inputBytes / (cpus.toLong * 2)))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.sql.files.maxPartitionBytes", partBytes.toString)
       .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe.toString)

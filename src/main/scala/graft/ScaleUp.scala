@@ -62,8 +62,12 @@ object ScaleUp {
 
     def write(df: DataFrame, n: String): Unit = {
       // single file per table, matching the testdata layout the bench
-      // auto-sizes from (file bytes -> shuffle partitions)
+      // auto-sizes from (file bytes -> shuffle partitions) — but with
+      // 16 MB row groups so the file stays SPLITTABLE: one default
+      // 128 MB row group would force every scan of the 113 MB sf1
+      // lineitem into a single task regardless of maxPartitionBytes
       df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16L << 20).toString)
         .parquet(s"$out/__tmp_$n")
       // driver-style flat file name: move part file to <n>.parquet
       val dir = new java.io.File(s"$out/__tmp_$n")
