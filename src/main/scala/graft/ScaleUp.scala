@@ -87,8 +87,18 @@ object ScaleUp {
     write(scaled(tbl("customer"), Map("c_custkey" -> custOff)), "customer")
     write(scaled(tbl("supplier"), Map("s_suppkey" -> suppOff)), "supplier")
     write(scaled(tbl("part"), Map("p_partkey" -> partOff)), "part")
-    Seq("nation", "region", "events", "documents", "embeddings")
-      .foreach(n => write(tbl(n), n))
+    // extension tables scale on their own keys (texts/embeddings/event
+    // payloads repeat — near-dup pipelines see 10× corpus with the
+    // same similarity structure per replica)
+    write(scaled(tbl("documents"),
+      Map("doc_id" -> offsetFor(tbl("documents"), "doc_id"))), "documents")
+    write(scaled(tbl("embeddings"),
+      Map("vec_id" -> offsetFor(tbl("embeddings"), "vec_id"))),
+      "embeddings")
+    write(scaled(tbl("events"), Map(
+      "event_id" -> offsetFor(tbl("events"), "event_id"),
+      "user_id" -> offsetFor(tbl("events"), "user_id"))), "events")
+    Seq("nation", "region").foreach(n => write(tbl(n), n))
     println(s"scaleup done: $out at ${factor}x of $in")
     spark.stop()
   }
