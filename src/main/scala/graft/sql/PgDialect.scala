@@ -450,7 +450,15 @@ object PgDialect {
     s = """(?i)\bAS\s+(NOT\s+)?MATERIALIZED\s*\(""".r
       .replaceAllIn(s, "AS (")
     // row-locking clause: no locks in an analytics engine
-    s = """(?i)\bFOR\s+UPDATE\b""".r.replaceAllIn(s, "")
+    // PG row-locking clauses (FOR UPDATE / NO KEY UPDATE / SHARE /
+    // KEY SHARE, optional OF <tables>, NOWAIT/SKIP LOCKED): snapshot
+    // reads here — the clause has no dataframe meaning
+    s = ("""(?i)\bFOR\s+(?:NO\s+KEY\s+)?UPDATE\b(\s+OF\s+[A-Za-z_]\w*""" +
+      """(\s*,\s*[A-Za-z_]\w*)*)?(\s+NOWAIT|\s+SKIP\s+LOCKED)?""").r
+      .replaceAllIn(s, "")
+    s = ("""(?i)\bFOR\s+(?:KEY\s+)?SHARE\b(\s+OF\s+[A-Za-z_]\w*""" +
+      """(\s*,\s*[A-Za-z_]\w*)*)?(\s+NOWAIT|\s+SKIP\s+LOCKED)?""").r
+      .replaceAllIn(s, "")
     // PG groups chained joins right-to-left when the inner pair's ON
     // comes first: `A FULL JOIN B b INNER JOIN C c ON c1 ON c2` is
     // A FULL JOIN (B b JOIN C c ON c1) ON c2. Spark's grammar needs
@@ -536,6 +544,9 @@ object PgDialect {
         s"inline(${m.group(1)})"))
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
+    // PG row_to_json(row(...)) → to_json(struct(...)) (the row→struct
+    // rewrite below converts the operand)
+    s = """(?i)\brow_to_json\s*\(""".r.replaceAllIn(s, "to_json(")
     // PG postfix null tests: `expr ISNULL` / `expr NOTNULL`
     s = """(?i)\bISNULL\b""".r.replaceAllIn(s, "IS NULL")
     s = """(?i)\bNOTNULL\b""".r.replaceAllIn(s, "IS NOT NULL")
@@ -722,9 +733,13 @@ object PgDialect {
     // (the NULL disjuncts reproduce PG's NULL≈false WHERE semantics:
     // a NULL comparison blocks ALL from holding but never proves ANY)
     locally {
-      val lhs = """([A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\))*\)|\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*|[0-9]+(?:\.[0-9]+)?|'[^']*')"""
+      // possessive nested-paren groups: branches are disjoint on the
+      // first char, so semantics are unchanged, but a long ident(...)
+      // span (a 4 KB VALUES list) no longer recurses one regex frame
+      // per character (observed StackOverflowError on corpus loads)
+      val lhs = """([A-Za-z_][\w.]*\s*\((?:[^()]++|\([^()]*+\))*+\)|\((?:[^()]++|\([^()]*+\))*+\)|[A-Za-z_][\w.]*|[0-9]+(?:\.[0-9]+)?|'[^']*')"""
       val op = """(<=|>=|<|>|=|<>|!=)"""
-      val sub = """\(\s*(SELECT\b(?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)"""
+      val sub = """\(\s*(SELECT\b(?:[^()]++|\((?:[^()]++|\([^()]*+\))*+\))*+)\)"""
       val qRe = (s"""(?is)$lhs\\s*$op\\s*(ANY|SOME|ALL)\\s*$sub""").r
       s = qRe.replaceAllIn(s, m => {
         val (e, o, q) = (m.group(1).trim, m.group(2), m.group(4).trim)
@@ -786,12 +801,16 @@ object PgDialect {
     // volatile calls (random()) — those become a UNION ALL of SELECTs
     locally {
       val tup = {
-        var body = """[^()]*"""
-        (1 to 5).foreach(_ => body = s"""(?:[^()]|\\($body\\))*""")
+        // possessive: disjoint-first-char branches, so identical
+        // semantics — but a multi-KB VALUES list no longer recurses
+        // one regex frame per character (StackOverflowError on the
+        // 30-row customer fixture loads otherwise)
+        var body = """[^()]*+"""
+        (1 to 5).foreach(_ => body = s"""(?:[^()]++|\\($body\\))*+""")
         s"""\\($body\\)"""
       }
       val valuesRe =
-        s"""(?is)\\(\\s*VALUES\\s*((?:$tup\\s*,?\\s*)+)\\)""".r
+        s"""(?is)\\(\\s*VALUES\\s*((?:$tup\\s*,?\\s*)++)\\)""".r
       s = valuesRe.replaceAllIn(s, m => {
         val body = m.group(1)
         if (!"""(?i)\b(random|rand|now)\s*\(""".r
@@ -1147,7 +1166,17 @@ object PgDialect {
         else {
           val body = mapSubqueryBodies(s.substring(i + 1, close), f)
           val out = if (body.trim.toUpperCase.startsWith("SELECT"))
-            f(body) else body
+            f(body)
+          else if (body.trim.toUpperCase.startsWith("WITH")) {
+            // nested-WITH CTE body: the statement-scoped rewrites
+            // apply to its MAIN query (`cte AS (WITH ... SELECT
+            // count(*) ...)` — the enclosing query reads PG's
+            // default column name from that main query)
+            val (pre, mainQ) = splitWithPrelude(body)
+            if (mainQ.trim.toUpperCase.startsWith("SELECT"))
+              pre + f(mainQ)
+            else body
+          } else body
           sb.append('(').append(out).append(')')
           i = close + 1
         }

@@ -1688,11 +1688,30 @@ class ReferenceSqlSpec extends AnyFunSuite {
             org.apache.spark.sql.functions.monotonically_increasing_id())
             .localCheckpoint(true)
           withRid.createOrReplaceTempView("__graft_del")
-          val hits = PgDialect.sql(spark,
-            s"SELECT DISTINCT $a.__rid AS __rid FROM __graft_del $a, $u" +
+          // keep the USING columns on the deleted snapshot: PG's
+          // RETURNING may project them (`DELETE ... USING cte
+          // RETURNING cte.col`); one row per deleted target row (the
+          // matching source row is arbitrary when several match —
+          // same as PG). Source columns COLLIDING with target names
+          // are dropped (an unqualified reference would be ambiguous
+          // in PG too).
+          val tColsD = schemas(n).map(_._1)
+          val srcCols =
+            try PgDialect.sql(spark, s"SELECT * FROM $u").columns.toSeq
+              .filterNot(c => tColsD.exists(_.equalsIgnoreCase(c)) ||
+                c == "__rid")
+              .filter(c => c.matches("[A-Za-z_]\\w*"))
+            catch { case _: Throwable => Seq.empty[String] }
+          val selList = (s"$a.__rid AS __rid" +:
+            tColsD.map(c => s"$a.$c")) ++ srcCols
+          val joinedHits = PgDialect.sql(spark,
+            s"SELECT ${selList.mkString(", ")} FROM __graft_del $a, $u" +
               (if (eff == null) "" else s" WHERE COALESCE(($eff), false)"))
+            .dropDuplicates("__rid")
+            .localCheckpoint(true)
+          val hits = joinedHits.select("__rid")
           (withRid.join(hits, Seq("__rid"), "left_anti").drop("__rid"),
-            withRid.join(hits, Seq("__rid"), "left_semi").drop("__rid"))
+            joinedHits.drop("__rid"))
       }
       val snap = freshen(deleted.localCheckpoint(true))
       data(n) = Some(compact(freshen(kept.localCheckpoint(true))))
@@ -1989,7 +2008,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       * (affected rows, alias to expose them under), or None if `s`
       * is not DML on a known table. */
     def applyDmlText(s0: String)
-        : Option[(org.apache.spark.sql.DataFrame, String)] = {
+        : Option[(org.apache.spark.sql.DataFrame, String, String)] = {
       val s = s0.trim
       s match {
         case deleteHeadRe(name, alias, tail0)
@@ -2001,7 +2020,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
           val using = """(?is)^USING\s+(.*)$""".r
             .findFirstMatchIn(pre).map(_.group(1))
           Some((applyDelete(name, Option(alias), using, cond),
-            Option(alias).getOrElse(strip(name))))
+            Option(alias).getOrElse(strip(name)), base(strip(name))))
         case updateHeadRe(name, alias, rest0)
             if schemas.contains(strip(name)) =>
           val (sets, from, cond) = topSplit(rest0.trim, "FROM") match {
@@ -2015,11 +2034,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
             }
           }
           Some((applyUpdate(name, Option(alias), sets, from, cond),
-            Option(alias).getOrElse(strip(name))))
+            Option(alias).getOrElse(strip(name)), base(strip(name))))
         case insertRe(name, colList, rest)
             if schemas.contains(strip(name)) =>
           Some((applyInsert(name, Option(colList), rest.trim),
-            strip(name)))
+            strip(name), base(strip(name))))
         case _ => None
       }
     }
@@ -2038,13 +2057,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
       } else {
         val (core, ret) = stripReturning(b)
         applyDmlText(core) match {
-          case Some((df, a)) =>
+          case Some((df, a, tname)) =>
             ret match {
               case Some(r) if normSql(r) != "*" =>
                 df.createOrReplaceTempView("__graft_ret")
                 PgDialect.sql(spark, s"SELECT $r FROM __graft_ret $a")
                   .localCheckpoint(true)
-              case _ => df
+              case _ =>
+                // RETURNING * (or none) = the TARGET's columns; a
+                // DELETE..USING snapshot may carry source columns too
+                val tcols = schemas.get(tname).map(_.map(_._1))
+                  .getOrElse(Seq.empty)
+                if (tcols.nonEmpty &&
+                  tcols.forall(c => df.columns.exists(_.equalsIgnoreCase(c))) &&
+                  df.columns.length > tcols.length)
+                  df.select(tcols.map(col): _*)
+                else df
             }
           case None => PgDialect.sql(spark, b)
         }
@@ -2071,7 +2099,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       val names = collection.mutable.Buffer[String]()
       var more = true
       while (more) {
-        val m = """(?is)^\s*,?\s*([A-Za-z_]\w*)\s+AS\s*(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(""".r
+        val m = ("""(?is)^\s*,?\s*([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?""" +
+          """\s+AS\s*(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(""").r
           .findFirstMatchIn(rest)
           .getOrElse(sys.error("unparsed CTE head"))
         val start = m.end
@@ -2090,9 +2119,30 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // lineage would otherwise join with duplicate exprIds ("key
         // not found") — snapshot through a new LogicalRDD
         val df0 = evalCteBody(body)
+        val df1 = Option(m.group(2)) match {
+          // `WITH cte(a, b) AS (...)`: positional column aliases
+          case Some(cols) =>
+            val cs = cols.split(",").map(_.trim).filter(_.nonEmpty)
+            if (cs.length == df0.columns.length) df0.toDF(cs.toIndexedSeq: _*)
+            else df0
+          case None =>
+            // PG default-names an unaliased aggregate item after the
+            // function (`SELECT count(DISTINCT x)` → column `count`)
+            // — enclosing queries read that name; Spark's generated
+            // `count(DISTINCT x)` spelling is unreferenceable
+            val renamed = df0.columns.map { c =>
+              val j = c.indexOf('(')
+              if (j > 0 && c.endsWith(")") &&
+                c.substring(0, j).matches("[a-z_]+")) c.substring(0, j)
+              else c
+            }
+            if (renamed.sameElements(df0.columns) ||
+              renamed.distinct.length != renamed.length) df0
+            else df0.toDF(renamed.toIndexedSeq: _*)
+        }
         val fresh =
-          try spark.createDataFrame(df0.rdd, df0.schema)
-          catch { case _: Throwable => df0 }
+          try spark.createDataFrame(df1.rdd, df1.schema)
+          catch { case _: Throwable => df1 }
         fresh.createOrReplaceTempView(name)
         names += name
         rest = rest.substring(i)
@@ -2906,6 +2956,101 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // denominator excludes statements PG itself rejects (.out ERROR)
     assert(ran >= 130, s"expected a large corpus, got $ran")
     assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of the recursive-DML / wCTE-executor " +
+      "corpora — dml_recursive.sql (recursively planned UPDATE/DELETE " +
+      "sources), with_dml.sql, with_executors.sql, " +
+      "with_transactions.sql, cte_nested_modification.sql, " +
+      "subquery_local_tables.sql, subquery_executors.sql, " +
+      "multi_select_for_update.sql — on their inline fixtures") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("pg_sleep") && !s.contains("pg_") &&
+        !s.contains("information_schema") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("coordinator_plan") && !s.contains("EXPLAIN") &&
+        !s.contains("explain")
+    val perFile = Seq("dml_recursive.sql", "with_dml.sql",
+      "with_executors.sql", "with_transactions.sql",
+      "cte_nested_modification.sql", "subquery_local_tables.sql",
+      "subquery_executors.sql", "multi_select_for_update.sql").map { f =>
+      val (ok, ran) = replayFile(f, "RDMLFAIL", keep, new ReplayState,
+        countDml = true)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 70, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal ran")
+  }
+
+  test("sequential replay of the outer-join corpora — " +
+      "multi_outer_join_reference.sql (hash ⋈ reference outer joins, " +
+      "anti-joins, three-way broadcast chains, on the reference's own " +
+      "shipped customer-*.data fixtures) and multi_outer_join_columns" +
+      ".sql (PG16+ varnullingrels: window functions over outer-join " +
+      "columns)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // psql client-side `\copy t FROM :var` (variable-spliced) →
+    // INSERT INTO t VALUES read from the shipped |-delimited data file
+    val dataRoot = refDir.getParentFile // .../regress
+    val loadCopies: String => String = raw => {
+      val vars = collection.mutable.Map[String, String]()
+      """(?m)^\\set\s+(\w+)\s+:abs_srcdir\s+'([^']+)'\s*$""".r
+        .findAllMatchIn(raw).foreach(m => vars(m.group(1)) = m.group(2))
+      val cmdRe = ("""(?m)^\\set\s+client_side_copy_command\s+'\\\\copy\s+""" +
+        """([\w.]+)\s+FROM\s+'\s+:'(\w+)'\s+' with delimiter '''\|''';'""" +
+        """\s*\n:client_side_copy_command""").r
+      cmdRe.replaceAllIn(raw, m => {
+        val table = m.group(1)
+        val path = vars.getOrElse(m.group(2), "")
+        val f = new java.io.File(dataRoot, path)
+        if (!f.isFile) " "
+        else {
+          val rows = scala.io.Source.fromFile(f, "ISO-8859-1")
+            .getLines().filter(_.trim.nonEmpty).map { ln =>
+              "(" + ln.split("\\|", -1).map(v =>
+                "'" + v.replace("'", "''") + "'").mkString(", ") + ")"
+            }.mkString(", ")
+          java.util.regex.Matcher.quoteReplacement(
+            if (rows.isEmpty) " "
+            else s"INSERT INTO $table VALUES $rows;")
+        }
+      })
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("explain_filter") && !s.contains("nextval") &&
+        !s.contains("$$") && !s.contains("$Q$")
+    val perFile = Seq(
+      ("multi_outer_join_reference.sql", loadCopies),
+      ("multi_outer_join_columns.sql", identity[String] _))
+      .map { case (f, tr) =>
+        val (ok, ran) = replayFile(f, "OJFAIL", keep, new ReplayState,
+          countDml = false, transform = tr)
+        (f, ok, ran)
+      }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.8,
+      s"only $okTotal/$allTotal ran")
   }
 
   test("sequential replay of the HAVING-pushdown corpora — " +
