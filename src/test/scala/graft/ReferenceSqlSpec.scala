@@ -2980,7 +2980,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val perFile = Seq("dml_recursive.sql", "with_dml.sql",
       "with_executors.sql", "with_transactions.sql",
       "cte_nested_modification.sql", "subquery_local_tables.sql",
-      "subquery_executors.sql", "multi_select_for_update.sql").map { f =>
+      "subquery_executors.sql", "multi_select_for_update.sql",
+      "insert_select_single_shard_table.sql").map { f =>
       val (ok, ran) = replayFile(f, "RDMLFAIL", keep, new ReplayState,
         countDml = true)
       (f, ok, ran)
