@@ -2958,6 +2958,54 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
   }
 
+  test("prepared-statement CTE corpora through PgSession — " +
+      "with_prepare.sql (prepared multi-CTE queries, EXECUTE with " +
+      "parameters) and subquery_prepared_statements.sql on the " +
+      "behavioral fixtures") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val perFile = Seq("with_prepare.sql",
+      "subquery_prepared_statements.sql").map { f =>
+      val pgErrs = pgExpectedErrors(f)
+      val stmts = dollarAwareStatements(f)
+      val session = new graft.sql.PgSession(spark)
+      var prepared = 0; var executes = 0; var ok = 0
+      stmts.foreach { s =>
+        val up = s.trim.toUpperCase
+        if (up.startsWith("PREPARE")) {
+          try { session.execute(s); prepared += 1 }
+          catch { case _: Throwable => () }
+        } else if (up.startsWith("EXECUTE") &&
+          !pgErrs.contains(normSql(s)) &&
+          // prepared DATA-MODIFYING CTEs are replay-layer surface
+          // (with_modifying.sql / with_dml.sql corpora); the
+          // PgSession path runs read-only prepared statements
+          !"""(?i)^EXECUTE\s+(\w+)""".r.findFirstMatchIn(s.trim)
+            .flatMap(m => session.preparedBody(m.group(1)))
+            .exists(b =>
+              """(?i)\b(INSERT\s+INTO|UPDATE\s+[A-Za-z_]|DELETE\s+FROM)"""
+                .r.findFirstIn(b).isDefined)) {
+          executes += 1
+          try { session.execute(s).foreach(_.count()); ok += 1 }
+          catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println(s"PREPFAIL[$f]: " +
+                s.split('\n').map(_.trim).mkString(" ").take(160) +
+                " => " + Option(e.getMessage).getOrElse("?")
+                  .linesIterator.take(1).mkString.take(140))
+          }
+        }
+      }
+      info(s"$f: $prepared prepared; $ok/$executes EXECUTEs run")
+      (f, ok, executes)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.85,
+      s"only $okTotal/$allTotal EXECUTEs ran")
+  }
+
   test("sequential replay of the recursive-DML / wCTE-executor " +
       "corpora — dml_recursive.sql (recursively planned UPDATE/DELETE " +
       "sources), with_dml.sql, with_executors.sql, " +
