@@ -690,8 +690,12 @@ object PgDialect {
     // struct(int,int) errors) — expand lexicographically so each
     // element pair gets its own implicit cast
     locally {
+      // one paren nesting level per side: prepared-statement splices
+      // parenthesize arguments (`row((NULL), 0)`)
       val rowCmpRe =
-        """(?is)\brow\s*\(([^()]*)\)\s*(<=|>=|<>|!=|=|<|>)\s*row\s*\(([^()]*)\)""".r
+        ("""(?is)\brow\s*\(((?:[^()]++|\([^()]*+\))*+)\)\s*""" +
+          """(<=|>=|<>|!=|=|<|>)\s*""" +
+          """row\s*\(((?:[^()]++|\([^()]*+\))*+)\)""").r
       s = rowCmpRe.replaceAllIn(s, m => {
         val ls = splitTopLevel(m.group(1)).map(_.trim)
         val rs = splitTopLevel(m.group(3)).map(_.trim)
@@ -1066,7 +1070,10 @@ object PgDialect {
     // `x <> ALL(arr)` (its negation), `x = ALL(arr)` / `x <> ANY(arr)`
     val scalarOperand =
       """((?:[A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][A-Za-z0-9_.]*)|(?:[0-9]+(?:\.[0-9]+)?))"""
-    val arrOperand = """((?:array\([^()]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
+    // one paren nesting level inside array(...): prepared-statement
+    // splices parenthesize arguments (`array((NULL), 'x')`)
+    val arrOperand =
+      """((?:array\((?:[^()]++|\([^()]*+\))*+\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val quantified = (scalarOperand +
       """\s*(=|<>|!=)\s*(?i:(ANY|ALL))\s*\(\s*""" + arrOperand + """\s*\)""").r
     val quant = quantified.replaceAllIn(lit, m => {

@@ -2964,8 +2964,17 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "behavioral fixtures") {
     assume(refDir.isDirectory, "reference tree not present")
     registerBehavioralFixtures()
+    // null_parameters.sql's own tables (empty: the corpus tests that
+    // NULL-parameter pruning PLANS and runs, not row content; jsonb
+    // rides as its text form)
+    spark.sql("SELECT CAST(NULL AS STRING) AS key, " +
+      "CAST(NULL AS STRING) AS value WHERE 1=0")
+      .createOrReplaceTempView("text_dist_column")
+    spark.sql("SELECT CAST(NULL AS STRING) AS key, " +
+      "CAST(NULL AS STRING) AS value WHERE 1=0")
+      .createOrReplaceTempView("jsonb_dist_column")
     val perFile = Seq("with_prepare.sql",
-      "subquery_prepared_statements.sql").map { f =>
+      "subquery_prepared_statements.sql", "null_parameters.sql").map { f =>
       val pgErrs = pgExpectedErrors(f)
       val stmts = dollarAwareStatements(f)
       val session = new graft.sql.PgSession(spark)
