@@ -31,12 +31,15 @@ object Dedup {
   val portableHash: Column => Column =
     c => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  /** Word shingles of size n as one array column (distinct). */
+  /** Word shingles of size n as one array column (distinct). A doc
+    * with fewer than n tokens yields an EMPTY array (never a reversed
+    * `sequence` artifact or NULL slices). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     val idx = sequence(lit(0), size(toks) - n)
-    array_distinct(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
   /** MinHash signature: k permutations simulated as
@@ -95,16 +98,27 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs via MinHash LSH. Output: (a_id, b_id,
-    * n_shared_bands). */
+    * n_shared_bands).
+    *
+    * Docs too short to produce any shingle (≤ shingleSize-1 tokens)
+    * are dropped BEFORE banding: their signature would be all-NULL and
+    * `concat_ws` skips NULLs, which would collapse every degenerate doc
+    * into one shared band hash — a spurious all-pairs clique. Dropping
+    * them matches the SQL-engine semantics where a NULL band hash never
+    * joins. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 32, bands: Int = 8,
       hashFn: Column => Column = xxHash): DataFrame = {
     val rows = k / bands
     val sigs = docs.select(
       col(idCol).as("doc"),
-      explode(lshBands(
-        minhashSignature(shingles(col(textCol), shingleSize), k, hashFn),
-        bands, rows, hashFn)).as("band"))
+      shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(
+        col("doc"),
+        explode(lshBands(
+          minhashSignature(col("__sh"), k, hashFn),
+          bands, rows, hashFn)).as("band"))
       .select(col("doc"), col("band.band_id"), col("band.band_hash"))
     val a = sigs.toDF("a_id", "band_id", "band_hash")
     val b = sigs.toDF("b_id", "band_id", "band_hash")
@@ -270,13 +284,14 @@ object Dedup {
     * 100% recall) — then exact hamming filter for precision. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6,
-      hashFn: Column => Column = null): DataFrame = {
-    // Default (hashFn = null): the single-pass native codegen
-    // expression. A portable hashFn swaps in the composed-builtin
-    // signature so the whole pipeline is engine-independent.
-    val sig =
-      if (hashFn == null) simhash64(split(col(textCol), " "))
-      else simhash64Composed(split(col(textCol), " "), hashFn)
+      hashFn: Option[Column => Column] = None): DataFrame = {
+    // Default (None): the single-pass native codegen expression. A
+    // portable hashFn swaps in the composed-builtin signature so the
+    // whole pipeline is engine-independent.
+    val sig = hashFn match {
+      case None     => simhash64(split(col(textCol), " "))
+      case Some(fn) => simhash64Composed(split(col(textCol), " "), fn)
+    }
     simhashCandidatesFromSigs(
       docs.select(col(idCol).as("doc"), sig.as("sig")),
       maxHamming)

@@ -235,7 +235,7 @@ object SimilarityQueries extends QueryModule {
     (s, dir) =>
       Dedup.simhashCandidates(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
-        maxHamming = 8, hashFn = Dedup.portableHash)
+        maxHamming = 8, hashFn = Some(Dedup.portableHash))
         .select(col("a_id"), col("b_id"),
           col("hamming").cast(LongType).as("hamming"))
         .orderBy(col("a_id"), col("b_id")),

@@ -437,9 +437,18 @@ object PgDialect {
     // truncates toward zero while PRESERVING the operand's type
     // (PG: trunc(4.7::float8) = 4.0 double, trunc(numeric) stays
     // numeric) and never overflows a bigint cast.
+    // The rewrite duplicates the operand, so a volatile operand
+    // (random()/now()/uuid()) would be evaluated twice and the result
+    // would be the truncation of NEITHER evaluation — leave those
+    // spellings alone (Spark's own trunc error surfaces instead,
+    // which is honest about the unsupported case).
+    val volatileRe = """(?i)\b(random|rand|now|uuid)\s*\(""".r
     s = """(?is)\btrunc\s*\(((?:[^(),]|\([^()]*\))+)\)""".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"((${m.group(1)}) - ((${m.group(1)}) % 1))"))
+      .replaceAllIn(s, m =>
+        if (volatileRe.findFirstIn(m.group(1)).isDefined)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"((${m.group(1)}) - ((${m.group(1)}) % 1))"))
     s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(CAST(unix_micros(CAST(${m.group(1).trim} AS TIMESTAMP)) " +

@@ -315,9 +315,18 @@ object TableFunctions {
                 case callRe(fn, argText) =>
                   fns.get(fn.toLowerCase).flatMap { fd =>
                     substitute(fd, splitTop(argText)).map { body =>
+                      // Ordinal = GENERATION order, not value order: PG
+                      // zips ROWS FROM positionally, so a descending
+                      // generate_series or a body with its own ORDER BY
+                      // must keep its output ordering. A per-row
+                      // monotonically_increasing_id (partition-major,
+                      // row-minor) is sorted exactly in generation
+                      // order; row_number over it is the PG ordinal.
                       s"(SELECT __c AS $colName, row_number() OVER " +
-                        s"(ORDER BY __c) AS __rn FROM ($body) " +
-                        s"AS __t$idx(__c)) __z$idx"
+                        s"(ORDER BY __mid) AS __rn FROM " +
+                        s"(SELECT __c, monotonically_increasing_id() " +
+                        s"AS __mid FROM ($body) AS __t$idx(__c)) " +
+                        s"AS __m$idx) __z$idx"
                     }
                   }
                 case _ => None
@@ -336,17 +345,9 @@ object TableFunctions {
         }
       }
       if (!changed) {
-        val scanRe = """(?i)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s*\(""".r
-        val hit = scanRe.findAllMatchIn(maskLiterals(out)).find { sm =>
-          val nm = sm.group(2).toLowerCase
-          (fns.contains(nm) ||
-            (sm.group(1).equalsIgnoreCase("JOIN") &&
-              builtinScalar.contains(nm))) && !keywords.contains(nm)
-        }
-        hit.foreach { sm =>
-          val masked2 = maskLiterals(out)
-          val nm = sm.group(2).toLowerCase
-          var d = 1; var i = sm.end
+        val masked2 = maskLiterals(out)
+        def closeParen(start: Int): Int = {
+          var d = 1; var i = start
           while (d > 0 && i < out.length) {
             masked2.charAt(i) match {
               case '(' => d += 1
@@ -355,11 +356,26 @@ object TableFunctions {
             }
             i += 1
           }
+          i
+        }
+        val scanRe = """(?i)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s*\(""".r
+        // Skip (never abort on) WITH ORDINALITY call sites: ordinality
+        // is handled elsewhere, but OTHER function scans in the same
+        // statement must still expand — a non-local return here would
+        // leave them untouched.
+        val hit = scanRe.findAllMatchIn(masked2).find { sm =>
+          val nm = sm.group(2).toLowerCase
+          val eligible = (fns.contains(nm) ||
+            (sm.group(1).equalsIgnoreCase("JOIN") &&
+              builtinScalar.contains(nm))) && !keywords.contains(nm)
+          eligible && """(?is)^\s*WITH\s+ORDINALITY""".r
+            .findPrefixMatchOf(out.substring(closeParen(sm.end))).isEmpty
+        }
+        hit.foreach { sm =>
+          val nm = sm.group(2).toLowerCase
+          val i = closeParen(sm.end)
           val argText = out.substring(sm.end, i - 1)
           val after = out.substring(i)
-          // WITH ORDINALITY is not expressible this way — leave as-is
-          if ("""(?is)^\s*WITH\s+ORDINALITY""".r
-              .findPrefixMatchOf(after).isDefined) return out
           val aliasRe =
             """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)(\s*\(([^)]*)\))?""".r
           val (alias, siteCols, consumed) =

@@ -48,6 +48,29 @@ class DedupSpec extends AnyFunSuite {
       "LSH banding should prune most of the O(n^2) pair space")
   }
 
+  test("docs too short to shingle never become minhash candidates " +
+      "(no all-NULL-signature clique)") {
+    import spark.implicits._
+    // Two 1-token docs have ZERO 2-shingles each. Their signatures
+    // would be all-NULL, and concat_ws skips NULLs — without the
+    // empty-shingle filter they'd share every band hash and pair up.
+    val df = Seq(
+      (1L, "x"), (2L, "y"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "doc_id", "text",
+      shingleSize = 2, k = 32, bands = 16)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 2L)),
+      "degenerate short docs must not pair with each other")
+    assert(cands.forall { case (a, b) => a >= 3L && b >= 3L },
+      s"short docs leaked into the candidate set: $cands")
+    assert(cands.contains((3L, 4L)),
+      "real near-dup pair must still surface")
+  }
+
   test("simhash of identical token streams is identical; hamming 0") {
     import spark.implicits._
     val df = Seq("a b c d e f", "a b c d e f", "totally different words here")

@@ -831,4 +831,41 @@ class ExtensionSpec extends AnyFunSuite {
       assert(r6.length === 1 && r6.head.getInt(0) === 10)
     } finally TableFunctions.clear()
   }
+
+  test("ROWS FROM zips SRF outputs by generation order (not value " +
+      "order); a WITH ORDINALITY site skips without blocking later " +
+      "expansions") {
+    import graft.sql.TableFunctions
+    TableFunctions.clear()
+    try {
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION desc_ser(a integer, b integer) RETURNS SETOF " +
+          "integer AS $$ SELECT * FROM generate_series(a, b, -1) g(x) " +
+          "$$ LANGUAGE SQL"))
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION asc_ser(a integer, b integer) RETURNS SETOF " +
+          "integer AS $$ SELECT * FROM generate_series(a, b) g(x) " +
+          "$$ LANGUAGE SQL"))
+      // PG zips ROWS FROM positionally: the descending series must
+      // keep its own output order, pairing (5,1),(4,2),(3,3),(2,4),(1,5)
+      val r = PgDialect.sql(spark,
+        "SELECT a, b FROM ROWS FROM (desc_ser(5,1), asc_ser(1,5)) " +
+          "AS f(a, b) ORDER BY b").collect()
+      assert(r.map(x => (x.getInt(0), x.getInt(1))).toSeq ===
+        Seq((5, 1), (4, 2), (3, 3), (2, 4), (1, 5)))
+      // A WITH ORDINALITY call site is not expressible via this
+      // rewrite — it must be SKIPPED, and any other registered
+      // function scan in the same statement must still expand.
+      assert(TableFunctions.registerFromCreate(
+        "CREATE FUNCTION add2(integer, integer) RETURNS integer AS " +
+          "'SELECT $1 + $2;' LANGUAGE SQL"))
+      val expanded = TableFunctions.expand(
+        "SELECT * FROM asc_ser(1,3) WITH ORDINALITY AS g(x, ord) " +
+          "JOIN add2(1,2) s ON (x = s)")
+      assert(expanded.contains("WITH ORDINALITY"),
+        s"ordinality site must be left as-is: $expanded")
+      assert(!"""(?is).*JOIN\s+add2\s*\(.*""".r.matches(expanded),
+        s"add2 site must still expand: $expanded")
+    } finally TableFunctions.clear()
+  }
 }
