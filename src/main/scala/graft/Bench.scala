@@ -79,6 +79,16 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // Machine-load context: ambient load inflated a recorded round
+    // total by ~23% once (r5; a quiet rerun reproduced r4's numbers).
+    // Record the 1-minute loadavg before and after the timed passes so
+    // a drifted bench is self-diagnosing — a high loadavg with flat
+    // plans means "noisy machine", not "regression".
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
     // A single timed pass at 0.2-1.0s/query is noise-dominated (10-15%
     // day-to-day variance measured in SCALING.md). Time 5 passes per
     // query, report the median, and carry min/max so a regression can
@@ -107,8 +117,9 @@ object Bench {
       "\"" + n + f"""\":{"min":${s.min}%.4f,"max":${s.max}%.4f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$timedPasses,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"spread":$spread,"passes":$timedPasses,"loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,6 +54,31 @@ object JoinQueries extends QueryModule {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     bench = true)
 
+  /** DUAL_PARTITION_JOIN, plan-FORCED: the same fact⋈fact join with a
+    * MERGE join hint so the shuffle path is actually TIMED at bench
+    * scale. At sf≤1 table stats let `join_shuffle_large` broadcast the
+    * orders side (64 MB threshold vs a ~22 MB file), so the bench never
+    * exercised the exchange; at 100 TB both sides shuffle and this plan
+    * is the dominant cost. A hint (not a config flip) keeps semantics
+    * identical and scopes the forcing to this one entry; EXPLAINS.md
+    * pins SortMergeJoin + two Exchanges for it. Reference:
+    * `multi_join_order.h:41` (DUAL_PARTITION_JOIN),
+    * `repartition_join_execution.c:1-24`. */
+  private val shuffleFact = GraftQuery(
+    "join_shuffle_fact",
+    (s, dir) =>
+      t(s, dir, "orders").hint("merge")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * CAST(round((1-l_discount)*100,0) AS BIGINT)) AS DOUBLE)/10000 AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    bench = true)
+
   /** LEFT OUTER with a distributed inner side: customers with zero orders
     * kept (COUNT(o_orderkey) ignores the null-extended rows). */
   private val leftOuter = GraftQuery(
@@ -220,6 +245,6 @@ object JoinQueries extends QueryModule {
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
   override val queries: Seq[GraftQuery] = Seq(
-    broadcastRef, shuffleJoin, leftOuter, recurringOuter, fullOuter,
-    semiJoin, antiJoin, crossJ, thetaJoin, skewSalted)
+    broadcastRef, shuffleJoin, shuffleFact, leftOuter, recurringOuter,
+    fullOuter, semiJoin, antiJoin, crossJ, thetaJoin, skewSalted)
 }
