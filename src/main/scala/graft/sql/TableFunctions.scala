@@ -250,6 +250,83 @@ object TableFunctions {
     Some(s"($body) AS $alias$cols")
   }
 
+  /** Does the (masked) body contain a top-level FROM? Bodies with FROM
+    * are relations, not inlinable scalar expressions. */
+  private def hasTopLevelFrom(body: String): Boolean = {
+    val masked = maskLiterals(body).toUpperCase
+    var depth = 0; var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && masked.startsWith("FROM", i) &&
+            (i == 0 || { val c = masked.charAt(i - 1)
+              !c.isLetterOrDigit && c != '_' }) &&
+            (i + 4 >= masked.length || { val c = masked.charAt(i + 4)
+              !c.isLetterOrDigit && c != '_' }))
+            return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** PG SQL-function INLINING (the planner's `inline_function`
+    * analogue, src/backend/optimizer/util/clauses.c in PG): a
+    * registered SCALAR function whose body is a bare single-expression
+    * SELECT (no FROM) inlines at any remaining call site — WHERE,
+    * select list, join conditions — as a parenthesized expression with
+    * arguments substituted. Runs AFTER function-scan expansion, so
+    * FROM/JOIN sites are already derived tables; the only skipped
+    * sites are WITH ORDINALITY scans and bodies that are volatile
+    * (random/now/uuid — inlining would change per-row evaluation
+    * semantics). */
+  private def inlineScalarCalls(sql0: String): String = {
+    var out = sql0
+    var guard = 0
+    var changed = true
+    val volatileRe = """(?i)\b(random|rand|now|uuid)\s*\(""".r
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      val masked = maskLiterals(out)
+      def closeParen(start: Int): Int = {
+        var d = 1; var i = start
+        while (d > 0 && i < out.length) {
+          masked.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        i
+      }
+      val callRe = """(?i)(?<![\w.'"])([A-Za-z_]\w*)\s*\(""".r
+      val hit = callRe.findAllMatchIn(masked).find { cm =>
+        fns.get(cm.group(1).toLowerCase).exists { fd =>
+          fd.scalar && !hasTopLevelFrom(fd.body) &&
+            """(?is)^SELECT\s""".r.findPrefixMatchOf(fd.body).isDefined &&
+            volatileRe.findFirstIn(fd.body).isEmpty
+        } && """(?is)^\s*WITH\s+ORDINALITY""".r
+          .findPrefixMatchOf(out.substring(closeParen(cm.end))).isEmpty
+      }
+      hit.foreach { cm =>
+        val fd = fns(cm.group(1).toLowerCase)
+        val i = closeParen(cm.end)
+        val argText = out.substring(cm.end, i - 1)
+        substitute(fd, splitTop(argText)).foreach { b =>
+          val expr = """(?is)^SELECT\s+""".r.replaceFirstIn(b, "").trim
+          out = out.substring(0, cm.start) + "(" + expr + ")" +
+            out.substring(i)
+          changed = true
+        }
+      }
+    }
+    out
+  }
+
   private val keywords = Set("on", "where", "group", "order", "having",
     "limit", "offset", "join", "left", "right", "full", "inner",
     "cross", "natural", "union", "intersect", "except", "using",
@@ -402,6 +479,6 @@ object TableFunctions {
         }
       }
     }
-    out
+    inlineScalarCalls(out)
   }
 }

@@ -136,4 +136,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(collectAll(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       s"top-25 must plan as TakeOrderedAndProject: $nodes")
   }
+
+  test("columnar chunk filtering: a selective predicate READS fewer " +
+      "parquet rows than the table holds — metrics-level proof of " +
+      "row-group min/max skipping (reference: columnar.h:85-125 " +
+      "stripe skip lists, columnar_chunk_filtering.sql) — on both the " +
+      "flat and __shard-partitioned layouts") {
+    import org.apache.spark.sql.functions._
+    val n = 200000L
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // populate metrics on THIS queryExecution
+      val scans = collectAll(PlanChecks.executedPlan(df)).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    // flat layout: one sorted file, ~64 KB row groups → tight per-
+    // group min/max on `a`
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft_rowgroup_flat").toFile.getAbsolutePath
+    spark.range(n)
+      .select(col("id").cast("int").as("a"),
+        (col("id") + 1).cast("int").as("b"))
+      .coalesce(1).sortWithinPartitions("a")
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .mode("overwrite").parquet(flatDir)
+    val flat = spark.read.parquet(flatDir)
+    assert(flat.count() === n)
+    val filtered = flat.filter(col("a") < 1000)
+    val readFlat = scannedRows(filtered)
+    assert(readFlat < n / 4,
+      s"selective predicate must skip most row groups: read $readFlat of $n")
+    assert(readFlat >= 1000, "matching rows must still be read")
+    // the qual must actually reach the parquet reader
+    val pushed = PlanChecks.pushedFilters(filtered).mkString(",")
+    assert(pushed.contains("LessThan"), s"filter not pushed: $pushed")
+    // __shard layout (range/append-distribution physical layout):
+    // skipping still applies WITHIN each shard's files, independent of
+    // shard pruning on the partition column
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft_rowgroup_shard").toFile.getAbsolutePath
+    spark.range(n)
+      .select(col("id").cast("int").as("a"),
+        (col("id") + 1).cast("int").as("b"),
+        (col("id") / 50000).cast("int").as("__shard"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions("a")
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .partitionBy("__shard").mode("overwrite").parquet(shardDir)
+    val sharded = spark.read.parquet(shardDir).filter(col("a") < 1000)
+    val readShard = scannedRows(sharded)
+    assert(readShard < n / 4,
+      s"sharded layout must also row-group-skip: read $readShard of $n")
+    assert(readShard >= 1000)
+  }
 }
