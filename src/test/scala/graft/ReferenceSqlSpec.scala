@@ -3015,6 +3015,49 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal EXECUTEs ran")
   }
 
+  test("sequential replay of the citus-local-table join corpora — " +
+      "local_dist_join_mixed.sql + local_dist_join.sql (shared " +
+      "fixtures: joins between coordinator-local and distributed " +
+      "tables, CITUS_LOCAL_TABLE in metadata_cache.h:123-140; the " +
+      "reference recursively plans one side) and " +
+      "citus_local_dist_joins.sql (UPDATE..FROM / DELETE..USING " +
+      "across local↔distributed↔mat-view, 7-way mixed joins)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_add_local") && !s.contains("citus.") &&
+        !s.contains("master_") && !s.contains("run_command") &&
+        !s.contains("pg_dist_") && !s.contains("pg_catalog") &&
+        !s.contains("current_setting") && !s.contains("$$") &&
+        !s.contains("RETURNING")
+    // PG's internal hashtext() drives the corpus's "join on a computed
+    // key" cases — any deterministic int hash has the same join
+    // semantics; Spark's hash() is the analogue
+    val tr: String => String = raw =>
+      raw.replaceAll("(?i)\\bhashtext\\s*\\(", "hash(")
+        // UNLOGGED is a WAL knob — no dataframe meaning
+        .replaceAll("(?i)\\bCREATE\\s+UNLOGGED\\s+TABLE\\b", "CREATE TABLE")
+    // local_dist_join.sql runs ON the mixed file's schema (its head
+    // SETs search_path to local_dist_join_mixed) — share one state
+    val mixedState = new ReplayState
+    val perFile = Seq(
+      ("local_dist_join_mixed.sql", mixedState, false),
+      ("local_dist_join.sql", mixedState, false),
+      ("citus_local_dist_joins.sql", new ReplayState, true)).map {
+      case (f, st, dml) =>
+        val (ok, ran) = replayFile(f, "LDJFAIL", keep, st,
+          countDml = dml, transform = tr)
+        (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    perFile.foreach { case (f, ok, all) =>
+      assert(all >= 20, s"$f: expected a corpus, got $all")
+      assert(ok.toDouble / all >= 0.85, s"$f: only $ok/$all ran")
+    }
+  }
+
   test("coordinator_evaluation_select.sql through PgSession — the " +
       "reference's volatile-function evaluation-placement corpus " +
       "(planner/README.md:74, citus_clauses.c): every (fast-path) " +
