@@ -3566,9 +3566,24 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("undistribute_table") &&
         !s.contains("alter_distributed_table") &&
         !s.contains("compare_tables") && !s.contains("check_data") &&
-        !s.contains("compare_data")
-    val perFile = Seq("merge.sql", "merge_repartition1.sql").map { f =>
-      val (ok, ran) = replayFile(f, "MERGEFAIL", keep)
+        !s.contains("compare_data") &&
+        // show_tables is a view over pg_dist_partition — distribution-
+        // metadata introspection, same exclusion as pg_dist_ itself
+        !s.contains("show_tables")
+    // PG-internal hash spellings → Spark's hash(): hashtext backs the
+    // file's immutable_hash fixture; worker_hash IS the reference's
+    // distribution hash (what our catalog buckets by)
+    val trHash: String => String = raw => raw
+      .replaceAll("(?i)\\bhashtext\\s*\\(", "hash(")
+      .replaceAll("(?i)\\bworker_hash\\s*\\(", "hash(")
+    val perFile = Seq("merge.sql", "merge_repartition1.sql",
+      // the non-colocated-source sibling (merge_planner.c:73-115):
+      // same dual pg/citus harness, sources distributed WITHOUT
+      // colocation so the reference repartitions — Spark's shuffle
+      // IS that repartition; the MERGE surface replays identically
+      "merge_repartition2.sql").map { f =>
+      val (ok, ran) = replayFile(f, "MERGEFAIL", keep,
+        transform = trHash)
       (f, ok, ran)
     }
     perFile.foreach { case (f, ok, all) =>
