@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-at-a-time per
   * partition.
   *
-  * The image and audio paths are REAL codecs — `javax.imageio`
-  * (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV/PCM), both
-  * JDK-builtin: payloads are genuinely encoded, decoded, resized and
-  * re-encoded inside the partition-wise batch loop. `decodeStub`
-  * remains as the documented FALLBACK for formats the JDK cannot
-  * decode (e.g. video — no JDK codec), keeping the pipeline total.
+  * The image, audio AND video paths are REAL codecs — `javax.imageio`
+  * (PNG/JPEG/BMP, multi-frame GIF for video) and `javax.sound.sampled`
+  * (WAV/PCM), all JDK-builtin: payloads are genuinely encoded,
+  * decoded, resized/frame-sampled and re-encoded inside the
+  * partition-wise batch loop. `decodeStub` remains as the documented
+  * FALLBACK for formats the JDK cannot decode (e.g. H.264), keeping
+  * the pipeline total.
   *
   * Scale: content bytes never pass through a shuffle wider than their
   * partition; feature extraction is mapPartitions (one JVM-local pass,
@@ -360,16 +361,125 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th chunk of
-    * `frameLen` bytes becomes one frame row (explode keeps it narrow). */
-  def sampleFrames(media: Dataset[MediaItem], frameLen: Int = 64,
-      stride: Int = 4): DataFrame = {
-    val m = media.toDF()
-    m.filter(col("media_type") === "video")
-      .select(col("doc_id"),
-        posexplode(sequence(lit(0),
-          greatest((length(col("content")) / (frameLen * stride))
-            .cast(IntegerType) - 1, lit(0)))))
-      .select(col("doc_id"), col("pos").as("frame_idx"))
+  // ===================================================================
+  // REAL video path (animated GIF via javax.imageio — the JDK's one
+  // multi-frame container; reference: the video/frame-sampling stage a
+  // training-data pipeline runs before vision encoders). Frames carry
+  // an EXPLICIT 8-color palette (TYPE_BYTE_INDEXED + IndexColorModel),
+  // so GIF's 256-color limit is never hit and encode→decode is
+  // LOSSLESS; each frame's palette index is a pure function of
+  // (doc_id, frame, x, y), so every decoded statistic is analytically
+  // recomputable by an oracle that cannot decode GIF at all.
+  // ===================================================================
+
+  /** 8-color palette: index i → (36i, 28i, 20i). Multipliers < 256/7
+    * keep each channel in range without a mod, so the oracle's SQL
+    * recompute is a plain product. */
+  private val PaletteR = Array.tabulate(8)(i => (36 * i).toByte)
+  private val PaletteG = Array.tabulate(8)(i => (28 * i).toByte)
+  private val PaletteB = Array.tabulate(8)(i => (20 * i).toByte)
+
+  /** Palette index of a synthetic video pixel — the analytic ground
+    * truth for the GIF codec roundtrip. */
+  @inline def synthFramePixel(docId: Long, frame: Int, x: Int, y: Int): Int =
+    ((x * 3 + y * 5 + frame * 7 + docId * 11) % 8).toInt
+
+  @inline def synthFrameCount(docId: Long): Int = 3 + (docId % 4).toInt
+
+  /** REAL animated-GIF payload: render every synthetic frame into an
+    * indexed-color BufferedImage and write the sequence with the JDK
+    * GIF ImageWriter — a genuine multi-frame GIF89a byte stream. */
+  def synthGif(docId: Long): Array[Byte] = {
+    val (w, h) = synthDims(docId)
+    val nF = synthFrameCount(docId)
+    val cm = new java.awt.image.IndexColorModel(
+      8, 8, PaletteR, PaletteG, PaletteB)
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nF) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, synthFramePixel(docId, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  final case class VideoItem(doc_id: Long, content: Array[Byte])
+
+  final case class VideoFrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      n_frames: Int,             // from the REAL container (frame count)
+      width: Int, height: Int,   // REAL decoded frame dimensions
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      pix_checksum: Long)        // rolling hash over decoded RGB pixels
+
+  /** Video fixture: one REAL animated GIF per document id. */
+  def videoTable(docs: DataFrame): Dataset[VideoItem] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => VideoItem(id, synthGif(id))))
+  }
+
+  /** REAL frame sampling + decode: open the GIF container, read the
+    * frame count from the stream, decode every `stride`-th frame, and
+    * emit per-frame channel sums + a pixel checksum. Blobs never cross
+    * a shuffle — one partition-local pass, small feature rows out. */
+  def sampleVideoFrames(videos: Dataset[VideoItem], stride: Int = 2)
+      : Dataset[VideoFrameFeatures] = {
+    import videos.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    videos.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { v =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(v.content)))
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var crc = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF
+                val b = p & 0xFF
+                sr += r; sg += g; sb += b
+                crc = pixChecksum(crc, r, g, b)
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameFeatures(v.doc_id, f, n, w, h, sr, sg, sb, crc)
+          }
+        } finally reader.dispose()
+      }
+    }
   }
 }

@@ -59,17 +59,62 @@ object MultimodalQueries extends QueryModule {
         CAST(8.0 AS DOUBLE) AS avg_dim
       FROM documents GROUP BY 1 ORDER BY 1"""))
 
-  /** Frame sampling row counts per video payload. */
+  /** REAL frame sampling: each payload is a genuine multi-frame GIF;
+    * the sampled-frame count per doc comes from the decoded container
+    * (stride 2 over the real frame count), not byte math. */
   private val frames = GraftQuery(
     "mm_frame_sample",
     (s, dir) =>
-      Multimodal.sampleFrames(media(s, dir))
+      Multimodal.sampleVideoFrames(Multimodal.videoTable(
+          Tables(s, dir, "documents").filter(col("doc_id") < 150))).toDF()
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("n_frames")).cast("int").as("n_frames"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
-        GREATEST(length(text) // 256 - 1, 0) + 1 AS n_frames
-      FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id"""))
+        (CAST(3 + doc_id % 4 AS BIGINT) + 1) // 2 AS n_sampled,
+        CAST(3 + doc_id % 4 AS INT) AS n_frames
+      FROM documents WHERE doc_id < 150 ORDER BY doc_id"""))
+
+  /** REAL video decode (javax.imageio multi-frame GIF): genuine
+    * animated-GIF payloads whose frames use an explicit 8-color
+    * palette (lossless); Spark opens the actual container, reads the
+    * frame count, decodes every 2nd frame and checksums its pixels;
+    * the oracle — which cannot decode GIF — recomputes every decoded
+    * statistic analytically from the palette-index formula. */
+  private val videoFrames = GraftQuery(
+    "mm_video_frames",
+    (s, dir) =>
+      Multimodal.sampleVideoFrames(Multimodal.videoTable(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100))).toDF()
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""WITH v AS (
+        SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w,
+               CAST(8 + doc_id % 7 AS INT) AS h,
+               CAST(3 + doc_id % 4 AS INT) AS nf
+        FROM documents WHERE doc_id < 100),
+      f AS (
+        SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS fi FROM v)
+      SELECT doc_id, CAST(fi AS INT) AS frame_idx, nf AS n_frames,
+        w AS width, h AS height,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+               * 36)) AS BIGINT) AS sum_r,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+               * 28)) AS BIGINT) AS sum_g,
+        CAST(list_sum(list_transform(range(w*h),
+          i -> (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+               * 20)) AS BIGINT) AS sum_b,
+        list_reduce(list_transform(range(w*h),
+          i -> (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+                 * 36 * 65536
+             + (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+                 * 28 * 256
+             + (((i % w) * 3 + (i // w) * 5 + fi * 7 + doc_id * 11) % 8)
+                 * 20),
+          (acc, p) -> (acc * 131 + p) % 1000000007) AS pix_checksum
+      FROM f ORDER BY doc_id, frame_idx"""))
 
   /** REAL image decode (javax.imageio): each payload is a genuine PNG
     * rendered from pixels that are a pure function of (doc_id, x, y).
@@ -153,5 +198,6 @@ object MultimodalQueries extends QueryModule {
       FROM a ORDER BY doc_id"""))
 
   override val queries: Seq[GraftQuery] =
-    Seq(meta, features, frames, imageDecode, imageResize, audioDecode)
+    Seq(meta, features, frames, imageDecode, imageResize, audioDecode,
+      videoFrames)
 }

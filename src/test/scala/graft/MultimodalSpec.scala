@@ -41,12 +41,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
-  test("frame sampling yields at least one frame per video payload") {
-    val frames = Multimodal.sampleFrames(media)
-      .groupBy("doc_id").count()
-    val videos = media.filter(col("media_type") === "video")
-    assert(frames.count() === videos.count())
-    assert(frames.filter(col("count") < 1).count() === 0)
+  test("real GIF video: payloads are genuine GIF89a containers; the " +
+      "decoded frame count, sampled frames, and per-frame pixels all " +
+      "equal the analytic formula (lossless 8-color palette)") {
+    val docs = Tables(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 40)
+    val vids = Multimodal.videoTable(docs)
+    val payloads = vids.collect()
+    assert(payloads.nonEmpty)
+    // genuine GIF89a magic on every payload
+    assert(payloads.forall { v =>
+      new String(v.content.take(6), "US-ASCII") == "GIF89a"
+    })
+    val frames = Multimodal.sampleVideoFrames(vids, stride = 2).collect()
+    // every doc: frame count from the REAL container, stride-2 sampling
+    payloads.foreach { v =>
+      val nF = Multimodal.synthFrameCount(v.doc_id)
+      val mine = frames.filter(_.doc_id == v.doc_id).sortBy(_.frame_idx)
+      assert(mine.map(_.frame_idx).toSeq === (0 until nF by 2).toSeq)
+      assert(mine.forall(_.n_frames == nF))
+    }
+    // decoded pixels equal the palette-index formula (GIF lossless)
+    assert(frames.forall { f =>
+      val (w, h) = Multimodal.synthDims(f.doc_id)
+      var sr = 0L; var crc = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = Multimodal.synthFramePixel(f.doc_id, f.frame_idx, x, y)
+        val (r, g, b) = (36 * i, 28 * i, 20 * i)
+        sr += r
+        crc = (crc * 131 + ((r << 16) | (g << 8) | b)) % 1000000007L
+      }
+      f.width == w && f.height == h && f.sum_r == sr &&
+        f.pix_checksum == crc
+    })
   }
 
   private def docs50 = Tables(spark, TestSpark.sf, "documents")
