@@ -423,7 +423,119 @@ object SimilarityQueries extends QueryModule {
         string_agg(CAST(code AS VARCHAR), '' ORDER BY j) AS pq_code
       FROM coded GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** IVF-PQ asymmetric-distance search (the standard billion-vector ANN
+    * shape: coarse IVF cell probe + PQ codes + per-query lookup table;
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"). The query never decodes a candidate: it builds one
+    * 8×4 LUT of (subquantizer, codeword) → squared-L2 distance,
+    * BROADCASTS it, and each candidate's distance is the j-ordered sum
+    * of 8 LUT lookups over its code — table lookups, not vector math.
+    * At 100 TB: codes are 8 crumbs/vector (the only per-vector state
+    * read), the LUT is bytes, the probe touches one cell's partitions,
+    * and the top-k is TakeOrderedAndProject. The ADC sum folds in
+    * fixed j order (sort_array → sequential aggregate) so the doubles
+    * are bit-identical to the oracle's ORDER BY j list_reduce. */
+  private val ivfpqTopK = GraftQuery(
+    "sim_ivfpq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def subvecs(src: DataFrame, idCol: String) = src
+        .select(col(idCol), explode(sequence(lit(0), lit(7))).as("j"),
+          slice(col("embedding"), col("j") * 8 + 1, lit(8)).as("sv"))
+      def l2(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+        }), lit(0.0), (acc, v) => acc + v)
+      // coarse quantizer: cells from the 4 seed centroids
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cells = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(Similarity.dot(col("embedding"), col("c_vec")).as("score"),
+            (-col("c_id")).as("negidx")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg((-max(col("sc")).getField("negidx")).as("cell"))
+      // PQ codebook (8 subquantizers × 4 codewords) + per-vector codes
+      val cbook = subvecs(e.filter(col("vec_id") < 4)
+          .withColumnRenamed("vec_id", "c_id"), "c_id")
+        .withColumnRenamed("sv", "cv")
+        .withColumnRenamed("c_id", "code")
+      val codes = subvecs(e, "vec_id").join(broadcast(cbook), "j")
+        .select(col("vec_id"), col("j"),
+          struct((-l2(col("sv"), col("cv"))).as("negd"),
+            (-col("code")).as("negc")).as("sc"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg((-max(col("sc")).getField("negc")).as("code"))
+      // per-query LUT: distance from the query's subvector j to every
+      // codeword of subquantizer j — 32 rows, broadcast
+      val lut = subvecs(e.filter(col("vec_id") === 0), "vec_id")
+        .select(col("j"), col("sv").as("qv"))
+        .join(cbook, "j")
+        .select(col("j"), col("code"), l2(col("qv"), col("cv")).as("dist"))
+      val qcell = cells.filter(col("vec_id") === 0)
+        .select(col("cell").as("q_cell"))
+      // probe the query's cell; ADC = j-ordered fold of LUT lookups
+      cells.crossJoin(broadcast(qcell))
+        .filter(col("cell") === col("q_cell") && col("vec_id") =!= 0)
+        .join(codes, "vec_id")
+        .join(broadcast(lut), Seq("j", "code"))
+        .groupBy(col("vec_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("j"), col("dist")))),
+          lit(0.0), (acc, x) => acc + x.getField("dist")).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH cents AS (
+        SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+        WHERE vec_id < 4),
+      cscored AS (
+        SELECT vec_id, c_id,
+          list_reduce(list_transform(list_zip(embedding, c_vec),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)
+          AS score
+        FROM embeddings, cents),
+      cells AS (
+        SELECT vec_id, c_id AS cell FROM (
+          SELECT vec_id, c_id, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, c_id) AS rn
+          FROM cscored) WHERE rn = 1),
+      cbook AS (
+        SELECT vec_id AS code, CAST(j AS INT) AS j,
+          list_slice(embedding, j*8 + 1, j*8 + 8) AS cv
+        FROM embeddings, unnest(range(0, 8)) AS u(j) WHERE vec_id < 4),
+      subs AS (
+        SELECT vec_id, CAST(j AS INT) AS j,
+          list_slice(embedding, j*8 + 1, j*8 + 8) AS sv
+        FROM embeddings, unnest(range(0, 8)) AS u(j)),
+      coded AS (
+        SELECT vec_id, j, code FROM (
+          SELECT s.vec_id, s.j, c.code, ROW_NUMBER() OVER (
+            PARTITION BY s.vec_id, s.j ORDER BY
+              list_reduce(list_transform(list_zip(s.sv, c.cv),
+                x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+                     (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                (a, b) -> a + b), c.code) AS rn
+          FROM subs s JOIN cbook c USING (j)) WHERE rn = 1),
+      lut AS (
+        SELECT c.j, c.code,
+          list_reduce(list_transform(list_zip(q.sv, c.cv),
+            x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) *
+                 (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b) AS dist
+        FROM cbook c JOIN (SELECT j, sv FROM subs WHERE vec_id = 0) q
+          USING (j)),
+      qcell AS (SELECT cell AS q_cell FROM cells WHERE vec_id = 0)
+      SELECT v.vec_id,
+        list_reduce(list(l.dist ORDER BY l.j), (a, b) -> a + b)
+          AS adc_dist
+      FROM cells v, qcell, coded k, lut l
+      WHERE v.cell = q_cell AND v.vec_id <> 0
+        AND k.vec_id = v.vec_id AND l.j = k.j AND l.code = k.code
+      GROUP BY v.vec_id
+      ORDER BY adc_dist, v.vec_id LIMIT 10"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     cosineTopK, lshBuckets, ivfAssign, ivfTopK, embStats, minhash, simhash,
-    cosineNearDup, kmeansUpdate, pqEncode)
+    cosineNearDup, kmeansUpdate, pqEncode, ivfpqTopK)
 }
