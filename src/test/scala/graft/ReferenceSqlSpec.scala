@@ -171,6 +171,29 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(byFile("multi_tpch_query3.sql") > 0)
   }
 
+  test("multi_single_relation_subquery.sql runs verbatim — single-" +
+      "relation subquery aggregate patterns (avg-of-grouped-count, " +
+      "HAVING vs outer WHERE, count(distinct) over a grouped derived " +
+      "table) over the TPC-H lineitem") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    var ok = 0; var ran = 0
+    selectsOf("multi_single_relation_subquery.sql").foreach { stmt =>
+      ran += 1
+      try { PgDialect.sql(spark, stmt).count(); ok += 1 }
+      catch { case e: Throwable =>
+        if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+          println("MSRSFAIL: " + stmt.split('\n').map(_.trim)
+            .mkString(" ").take(160) + " => " +
+            Option(e.getMessage).getOrElse("?")
+              .linesIterator.take(1).mkString.take(140))
+      }
+    }
+    info(s"multi_single_relation_subquery.sql: $ok/$ran statements run")
+    assert(ran >= 9, s"expected the subquery battery, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
   test("reference LIMIT and SELECT DISTINCT corpora run verbatim " +
       "(multi_limit_clause.sql, multi_select_distinct.sql)") {
     assume(refDir.isDirectory, "reference tree not present")
@@ -3714,6 +3737,117 @@ class ReferenceSqlSpec extends AnyFunSuite {
     graft.sql.TableFunctions.clear()
     assert(ran >= 40, s"expected a sizable query surface, got $ran")
     assert(ok.toDouble / ran >= 0.9, s"only $ok/$ran ran")
+  }
+
+  test("partitioned_intermediate_results.sql — " +
+      "worker_partition_query_result / read_intermediate_result(s) " +
+      "analogue (worker_partition_protocol.c): a query's result hash/" +
+      "range-partitions into named fragments, fragments read back with " +
+      "call-site column definitions, and the union of fragments equals " +
+      "the source query — the file's own PASSED criterion") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir, "partitioned_intermediate_results.sql")
+        .toPath))
+      // the query-shaped surface: everything before the negative-test
+      // battery (PG ERROR cases) and the plpgsql CALL harness, whose
+      // union==source check is re-asserted below
+      .split("-- Some error cases")(0)
+    val frags =
+      collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    var ran = 0; var ok = 0
+    // worker_partition_query_result(prefix, query, partIdx, method,
+    // mins, maxs, binary) → evaluate the query ONCE, split rows into
+    // fragment frames by hash/range of the partition column (the
+    // reference writes fragment files; localCheckpoint is the same
+    // materialize-once contract)
+    val wpqrRe = ("""(?is)SELECT\s+\*\s+FROM\s+worker_partition_query_result\s*\(\s*""" +
+      """'([^']+)'\s*,\s*'((?:[^']|'')*)'\s*,\s*(-?\d+)\s*,\s*'(\w+)'\s*,\s*""" +
+      """'\{([^}]*)\}'::text\[\]\s*,\s*'\{([^}]*)\}'::text\[\]\s*,\s*\w+[^;]*;""").r
+    val stmts = raw.linesIterator.filterNot(_.trim.startsWith("--"))
+      .mkString("\n").replaceAll("(?s)/\\*.*?\\*/", " ")
+    wpqrRe.findAllMatchIn(stmts).foreach { m =>
+      ran += 1
+      try {
+        val prefix = m.group(1)
+        val query = m.group(2).replace("''", "'")
+        val partIdx = m.group(3).toInt
+        val method = m.group(4)
+        val mins = m.group(5).split(",").map(_.trim.toLong)
+        val maxs = m.group(6).split(",").map(_.trim.toLong)
+        val df = PgDialect.sql(spark, query).localCheckpoint(true)
+        val pc = org.apache.spark.sql.functions.col(df.columns(partIdx))
+        val key =
+          if (method == "hash")
+            org.apache.spark.sql.functions.hash(pc.cast("int")).cast("long")
+          else pc.cast("long")
+        mins.indices.foreach { i =>
+          frags(s"${prefix}_$i") =
+            df.filter(key >= mins(i) && key <= maxs(i))
+        }
+        ok += 1
+      } catch { case _: Throwable => () }
+    }
+    // read_intermediate_result('name','fmt') AS res (c t, ...) →
+    // positional rename of the stored fragment's columns
+    def fragSelect(name: String, colDefs: String): String = {
+      val f = frags(name)
+      val names = colDefs.split(",").map(_.trim.split("\\s+")(0))
+      f.toDF(names.toIndexedSeq: _*).createOrReplaceTempView(s"__ir_$name")
+      s"__ir_$name"
+    }
+    val readRe = ("""(?is)read_intermediate_result\s*\(\s*'(\w+)'\s*,\s*""" +
+      """'\w+'\s*\)\s*AS\s+(\w+)\s*\(([^)]*)\)""").r
+    val readsRe = ("""(?is)read_intermediate_results\s*\(\s*ARRAY\[""" +
+      """([^\]]*)\]\s*,\s*'\w+'\s*\)\s*AS\s+(\w+)\s*\(([^)]*)\)""").r
+    splitSqlText(stmts).filter(s =>
+      s.trim.toUpperCase.startsWith("SELECT") &&
+        !s.contains("worker_partition_query_result")).foreach { s0 =>
+      ran += 1
+      try {
+        var s = readRe.replaceAllIn(s0, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${fragSelect(m.group(1), m.group(3))} AS ${m.group(2)}"))
+        s = readsRe.replaceAllIn(s, m => {
+          val names = m.group(1).split(",")
+            .map(_.trim.stripPrefix("'").stripSuffix("'"))
+          val views = names.map(n => fragSelect(n, m.group(3)))
+          java.util.regex.Matcher.quoteReplacement(
+            "(" + views.map(v => s"SELECT * FROM $v")
+              .mkString(" UNION ALL ") + s") AS ${m.group(2)}")
+        })
+        s = s.replaceAll("(?i)\\bhashint4\\s*\\(", "hash(")
+        PgDialect.sql(spark, s).count()
+        ok += 1
+      } catch { case e: Throwable =>
+        if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+          println("PIRFAIL: " + s0.take(120) + " => " +
+            Option(e.getMessage).getOrElse("?").take(120))
+      }
+    }
+    info(s"partitioned_intermediate_results.sql: $ok/$ran statements run")
+    assert(ran >= 14, s"expected the partition+read surface, got $ran")
+    assert(ok == ran, s"only $ok/$ran ran")
+    // the file's own PASSED criteria, re-asserted at the value level:
+    // (1) union of hash fragments == the source query (EXCEPT empty
+    // both ways), (2) range fragments respect their bounds, (3) the
+    // 1M-row stress partitions losslessly
+    import spark.implicits._
+    val squares = (1 to 10).map(i => (i, i * i)).toDF("x", "x2")
+    val hashUnion = (0 to 3).map(i => frags(s"squares_hash_$i"))
+      .reduce(_ unionAll _)
+    assert(hashUnion.exceptAll(squares.toDF(hashUnion.columns.toIndexedSeq: _*))
+      .isEmpty && squares.count() == hashUnion.count())
+    (0 to 3).foreach { i =>
+      val f = frags(s"squares_range_$i")
+      val bounds = Seq((0, 20), (21, 40), (41, 60), (61, 100))(i)
+      val vals = f.collect().map(_.getInt(1))
+      assert(vals.forall(v => v >= bounds._1 && v <= bounds._2),
+        s"range fragment $i violates bounds: ${vals.mkString(",")}")
+    }
+    val mUnion = (0 to 3).map(i => frags(s"doubles_hash_$i"))
+      .reduce(_ unionAll _)
+    assert(mUnion.count() === 1000000L, "1M-row hash partition lost rows")
   }
 
   /** All statements of a regression file, split on `;` with dollar-
