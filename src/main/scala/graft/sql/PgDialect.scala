@@ -1831,6 +1831,112 @@ object PgDialect {
     }
 
   /** Translate a PG-dialect query and run it on Spark. */
+  /** A correlated subquery whose GROUP BY references ONLY outer-query
+    * tables groups by a per-outer-row CONSTANT: the aggregate equals
+    * the ungrouped aggregate, and in scalar-comparison position the
+    * empty-input difference (0 groups vs one NULL row) is
+    * indistinguishable — both compare as NULL. The reference pushes
+    * such subqueries to shards where the outer ref is a literal
+    * (multi_subquery_in_where_reference_clause.sql:472-511); Catalyst
+    * refuses outer refs outside the subquery's filter, so dropping the
+    * constant GROUP BY hands it the equivalent decorrelatable form.
+    * Applied only on CORRELATED_REFERENCE analysis failure; EXISTS
+    * subqueries are skipped (there 0-groups vs 1-row IS observable). */
+  private[sql] def dropOuterOnlyGroupBy(sql0: String): String = {
+    var result = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 10) {
+      changed = false
+      guard += 1
+      val text = result
+      val hit = """(?i)\(\s*SELECT\b""".r.findAllMatchIn(text).find { m =>
+        // not an EXISTS subquery
+        val before = text.substring(0, m.start).reverse
+        val notExists = !before.dropWhile(_.isWhitespace)
+          .take(6).reverse.equalsIgnoreCase("EXISTS")
+        notExists && {
+          var d = 1; var i = m.start + 1
+          while (d > 0 && i < text.length) {
+            text.charAt(i) match {
+              case '(' => d += 1
+              case ')' => d -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          val body = text.substring(m.start + 1, i - 1)
+          groupByDropSpan(body).isDefined
+        }
+      }
+      hit.foreach { m =>
+        var d = 1; var i = m.start + 1
+        while (d > 0 && i < text.length) {
+          text.charAt(i) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+        val body = text.substring(m.start + 1, i - 1)
+        groupByDropSpan(body).foreach { case (from, until) =>
+          result = text.substring(0, m.start + 1) +
+            body.substring(0, from) + " " + body.substring(until) +
+            text.substring(i - 1)
+          changed = true
+        }
+      }
+    }
+    result
+  }
+
+  /** The [from, until) span of a droppable outer-only GROUP BY inside
+    * one subquery body, if any: the select list is a single aggregate,
+    * and every identifier in the GROUP BY expressions is a qualified
+    * reference whose qualifier is NOT a name from this body's FROM. */
+  private def groupByDropSpan(body: String): Option[(Int, Int)] = {
+    val gi = topLevelIndex(body, "GROUP BY")
+    if (gi < 0) return None
+    val fi = topLevelIndex(body, "FROM")
+    if (fi < 0 || fi > gi) return None
+    // single-aggregate select list
+    val selList = body.substring(0, fi)
+      .replaceFirst("(?is)^\\s*SELECT\\s+", "")
+    if (!"""(?is)^\s*(count|sum|min|max|avg)\s*\(""".r
+        .findPrefixMatchOf(selList).isDefined) return None
+    // FROM-clause identifiers (tables + aliases, permissive)
+    val fromEnd = Seq("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+      .map(k => topLevelIndex(body.substring(fi + 4), k))
+      .filter(_ >= 0).sorted.headOption.map(_ + fi + 4)
+      .getOrElse(body.length)
+    val fromWords = """[A-Za-z_]\w*""".r
+      .findAllIn(body.substring(fi, fromEnd)).map(_.toLowerCase).toSet
+    // GROUP BY expression text
+    val tail = body.substring(gi)
+    val gbBody = tail.replaceFirst("(?is)^GROUP\\s+BY\\s*", "")
+    val gbOff = gi + (tail.length - gbBody.length)
+    val gbEnd = Seq("HAVING", "ORDER BY", "LIMIT", "OFFSET")
+      .map(k => topLevelIndex(gbBody, k))
+      .filter(_ >= 0).sorted.headOption.map(_ + gbOff)
+      .getOrElse(body.length)
+    val gbText = body.substring(gbOff, gbEnd)
+    val quals = """([A-Za-z_]\w*)\s*\.""".r
+      .findAllMatchIn(gbText).map(_.group(1).toLowerCase).toSet
+    // every identifier must be part of a qualified ref: the lookbehind
+    // rejects field names (preceded by '.'), the lookahead rejects
+    // qualifiers (followed by '.') — what remains are bare columns,
+    // whose scope we can't prove, so their presence vetoes the drop
+    // possessive \w*+ so the matcher can't backtrack to a shorter
+    // identifier prefix just to satisfy the not-followed-by-dot check
+    val bare = """(?<![\w.])([A-Za-z_]\w*+)(?!\s*\.)""".r
+      .findAllMatchIn(gbText).map(_.group(1).toLowerCase).toSeq
+    if (quals.nonEmpty && bare.isEmpty &&
+        quals.forall(q => !fromWords.contains(q)))
+      Some((gi, gbEnd))
+    else None
+  }
+
   def sql(spark: SparkSession, pgSql: String): DataFrame = {
     ensureSketchFns(spark)
     // PG `SELECT ... INTO tbl FROM ...` (CTAS spelling): run the
@@ -1874,6 +1980,12 @@ object PgDialect {
           if (wHoisted == text) throw e
           spark.sql(wHoisted)
         }
+      case e: Throwable
+        if Option(e.getMessage)
+          .exists(_.contains("CORRELATED_REFERENCE")) =>
+        val dropped = dropOuterOnlyGroupBy(text)
+        if (dropped == text) throw e
+        spark.sql(dropped)
     }
   }
 

@@ -832,6 +832,33 @@ class ExtensionSpec extends AnyFunSuite {
     } finally TableFunctions.clear()
   }
 
+  test("correlated scalar subquery with an outer-only GROUP BY drops " +
+      "the constant grouping — semantics preserved incl. the " +
+      "empty-input case (0 groups ≡ NULL in comparison position)") {
+    import spark.implicits._
+    Seq((1, 5), (1, 9), (2, 3), (3, 7)).toDF("user_id", "value_2")
+      .createOrReplaceTempView("gbo_users")
+    Seq((1, 4), (1, 8), (2, 10)).toDF("user_id", "value_2")
+      .createOrReplaceTempView("gbo_events")
+    // user 1: max=8 → 9>8 qualifies; user 2: 3>10 no; user 3: no
+    // events → grouped-empty ≡ NULL → no
+    val got = PgDialect.sql(spark,
+      "SELECT user_id FROM gbo_users WHERE value_2 > " +
+        "(SELECT max(value_2) FROM gbo_events WHERE " +
+        "gbo_users.user_id = gbo_events.user_id " +
+        "GROUP BY gbo_users.user_id) ORDER BY user_id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1))
+    // expression form: GROUP BY (outer.col * 2)
+    val got2 = PgDialect.sql(spark,
+      "SELECT user_id FROM gbo_users WHERE value_2 > " +
+        "(SELECT max(value_2) FROM gbo_events WHERE " +
+        "gbo_users.user_id = gbo_events.user_id " +
+        "GROUP BY (gbo_users.user_id * 2)) ORDER BY user_id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got2 === Seq(1))
+  }
+
   test("ROWS FROM zips SRF outputs by generation order (not value " +
       "order); a WITH ORDINALITY site skips without blocking later " +
       "expansions") {
