@@ -1075,24 +1075,52 @@ object PgDialect {
     })
     val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(masked, m =>
       java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    // PG array-literal strings in quantifier position
+    // (`ANY ('{1,2,3}')`, optionally `::int[]`-cast) → array(...)
+    val arrLitRe = ("""(?i)\b(ANY|ALL|SOME)\s*\(\s*__GRAFT_LIT_(\d+)__""" +
+      """\s*(?:::\s*\w+\s*\[\s*\])?\s*\)""").r
+    val lit1 = arrLitRe.replaceAllIn(lit, m => {
+      val raw = literals(m.group(2).toInt)
+      val inner = raw.stripPrefix("'").stripSuffix("'").trim
+      if (inner.startsWith("{") && inner.endsWith("}") &&
+          inner.length > 2) {
+        val elems = inner.substring(1, inner.length - 1).split(",")
+          .map(_.trim).map(it =>
+            if (it.matches("""-?\d+(\.\d+)?""") ||
+              it.equalsIgnoreCase("null")) it
+            else "'" + it + "'").mkString(", ")
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}(array($elems))")
+      } else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
     // quantified comparisons over arrays: `x = ANY(arr)` (membership),
-    // `x <> ALL(arr)` (its negation), `x = ALL(arr)` / `x <> ANY(arr)`
+    // `x <> ALL(arr)` (its negation), `x = ALL(arr)` / `x <> ANY(arr)`,
+    // and the ordered spellings `x < ALL(arr)` (below the min) etc.
     val scalarOperand =
       """((?:[A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][A-Za-z0-9_.]*)|(?:[0-9]+(?:\.[0-9]+)?))"""
+    // a quantifier over a NULL array is NULL regardless of the lhs
+    // (PG: no elements to witness, unknown array) — three-valued NULL
+    val nullQuantRe = (scalarOperand +
+      """\s*(?:=|<>|!=|<=|>=|<|>)\s*(?i:(?:ANY|ALL|SOME))\s*\(\s*(?i:NULL)\s*\)""").r
+    val lit2 = nullQuantRe.replaceAllIn(lit1,
+      java.util.regex.Matcher.quoteReplacement("CAST(NULL AS BOOLEAN)"))
     // one paren nesting level inside array(...): prepared-statement
     // splices parenthesize arguments (`array((NULL), 'x')`)
     val arrOperand =
       """((?:array\((?:[^()]++|\([^()]*+\))*+\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val quantified = (scalarOperand +
-      """\s*(=|<>|!=)\s*(?i:(ANY|ALL))\s*\(\s*""" + arrOperand + """\s*\)""").r
-    val quant = quantified.replaceAllIn(lit, m => {
-      val (x, op, q, arr) =
+      """\s*(=|<>|!=|<=|>=|<|>)\s*(?i:(ANY|SOME|ALL))\s*\(\s*""" + arrOperand + """\s*\)""").r
+    val quant = quantified.replaceAllIn(lit2, m => {
+      val (x, op, q0, arr) =
         (m.group(1), m.group(2), m.group(3).toUpperCase, m.group(4))
+      val q = if (q0 == "SOME") "ANY" else q0
       java.util.regex.Matcher.quoteReplacement((op, q) match {
-        case ("=", "ANY") => s"array_contains($arr, $x)"
-        case ("=", "ALL") => s"forall($arr, __x -> __x = $x)"
-        case (_, "ANY")   => s"exists($arr, __x -> __x != $x)"
-        case _            => s"(NOT array_contains($arr, $x))"
+        case ("=", "ANY")         => s"array_contains($arr, $x)"
+        case ("=", "ALL")         => s"forall($arr, __x -> __x = $x)"
+        case ("<>" | "!=", "ANY") => s"exists($arr, __x -> __x != $x)"
+        case ("<>" | "!=", "ALL") => s"(NOT array_contains($arr, $x))"
+        case (o, "ANY")           => s"exists($arr, __x -> $x $o __x)"
+        case (o, _)               => s"forall($arr, __x -> $x $o __x)"
       })
     })
     val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""

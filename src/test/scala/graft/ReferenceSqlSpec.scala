@@ -640,7 +640,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "multi_subquery_complex_queries.sql",
       "multi_subquery_complex_reference_clause.sql",
       "multi_subquery_in_where_reference_clause.sql",
-      "multi_behavioral_analytics_basics.sql").map { f =>
+      "multi_behavioral_analytics_basics.sql",
+      "multi_behavioral_analytics_single_shard_queries.sql").map { f =>
       val stmts = selectsAndInsertBodies(f).filterNot(s =>
         s.contains("create_distributed_table") ||
           s.contains("master_") || s.contains("citus_") ||
@@ -3067,7 +3068,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val perFile = Seq(
       ("local_dist_join_mixed.sql", mixedState, false),
       ("local_dist_join.sql", mixedState, false),
-      ("citus_local_dist_joins.sql", new ReplayState, true)).map {
+      ("citus_local_dist_joins.sql", new ReplayState, true),
+      // UPDATE..FROM / DELETE..USING where one side is the local
+      // table and the other distributed — the modification surface of
+      // the same family (own fixture schema)
+      ("local_dist_join_modifications.sql", new ReplayState, true)).map {
       case (f, st, dml) =>
         val (ok, ran) = replayFile(f, "LDJFAIL", keep, st,
           countDml = dml, transform = tr)
@@ -3599,12 +3604,20 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val trHash: String => String = raw => raw
       .replaceAll("(?i)\\bhashtext\\s*\\(", "hash(")
       .replaceAll("(?i)\\bworker_hash\\s*\\(", "hash(")
+      // `MERGE INTO ONLY t` — ONLY addresses inheritance parents,
+      // a no-op here; EXPLAIN'd MERGEs execute their statement (the
+      // reference diffs plan text, our surface is the semantics)
+      .replaceAll("(?i)\\bMERGE\\s+INTO\\s+ONLY\\b", "MERGE INTO")
+      .replaceAll("(?is)\\bEXPLAIN\\s*\\([^)]*\\)\\s*MERGE", "MERGE")
     val perFile = Seq("merge.sql", "merge_repartition1.sql",
       // the non-colocated-source sibling (merge_planner.c:73-115):
       // same dual pg/citus harness, sources distributed WITHOUT
       // colocation so the reference repartitions — Spark's shuffle
       // IS that repartition; the MERGE surface replays identically
-      "merge_repartition2.sql").map { f =>
+      "merge_repartition2.sql",
+      // single-shard/reference/postgres distribution combinations of
+      // one MERGE shape (merge_planner.c vcore tests)
+      "merge_vcore.sql").map { f =>
       val (ok, ran) = replayFile(f, "MERGEFAIL", keep,
         transform = trHash)
       (f, ok, ran)
@@ -3657,6 +3670,37 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 25, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.8,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  test("sequential replay of multi_hash_pruning.sql — shard/join " +
+      "pruning predicates on hash-distributed tables " +
+      "(shard_pruning.c): dist-key equality, IN/ANY lists, NULLs, " +
+      "ORs of EQs, NOT-pushdown, subquery constraints, and " +
+      "prune-through-outer-join shapes all execute; plan-level " +
+      "pruning itself is pinned by CatalogSpec's bucket-pruning pins") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the file references lineitem_hash_part/lineitem_range, the
+    // TPC-H lineitem loaded hash- and range-distributed by
+    // multi_create_table_superuser.sql — same rows, different layout;
+    // the compat view serves all three names
+    spark.table("lineitem").createOrReplaceTempView("lineitem_hash_part")
+    spark.table("lineitem").createOrReplaceTempView("lineitem_range")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("$Q$")
+    // EXPLAIN (COSTS OFF) Q → Q: executing the explained query is the
+    // surface (the reference diffs task counts; our pruning evidence
+    // is CatalogSpec's "1 of 8 buckets" metric pins)
+    val tr: String => String = raw =>
+      """(?is)\bEXPLAIN\s*\([^)]*\)\s*""".r.replaceAllIn(raw, "")
+    val (ok, ran) = replayFile("multi_hash_pruning.sql", "HPFAIL",
+      keep, new ReplayState, countDml = false, transform = tr)
+    info(s"multi_hash_pruning.sql: $ok/$ran statements run")
+    assert(ran >= 50, s"expected the pruning battery, got $ran")
+    assert(ok.toDouble / ran >= 0.9, s"only $ok/$ran ran")
   }
 
   test("sequential replay of columnar_chunk_filtering.sql — the " +
