@@ -1402,9 +1402,13 @@ object PgDialect {
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
-    // ... and on the main query, which may sit after a WITH prelude
+    // ... and on the main query, which may sit after a WITH prelude.
+    // Default agg aliases apply at top level too: PG names the OUTPUT
+    // column (`SELECT count(*)` → column `count`), which matters when
+    // the statement feeds a view that later queries reference by name.
     val (withPre, mainQ) = splitWithPrelude(scoped)
-    val top = withPre + rewriteDistinctOn(rewriteNamedWindows(mainQ))
+    val top = withPre +
+      rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
     rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(

@@ -3672,6 +3672,99 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal reference statements ran")
   }
 
+  test("sequential replay of distributed_planning.sql (on its " +
+      "_create_load fixtures) — the arbitrary-configs planner corpus: " +
+      "edge-case hash values, wCTE updates, ON CONFLICT upsert " +
+      "variants incl. constraint-name spelling, COPY in/out, " +
+      "dropped-column tables, composite-typed columns") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("create_time_partitions") && !s.contains("$$") &&
+        !s.contains("EXPLAIN") &&
+        !s.contains("PREPARE") && !s.contains("EXECUTE")
+    val tr: String => String = raw => raw
+      // `ON CONFLICT ON CONSTRAINT <auto-name>` — PG auto-names the
+      // unique constraint <table>_<col>_key; spell the column form
+      .replaceAll(
+        "(?i)ON\\s+CONFLICT\\s+ON\\s+CONSTRAINT\\s+upsert_test_part_key_key",
+        "ON CONFLICT (part_key)")
+      // RETURNING on upsert/wCTE: the replayer strips and applies
+      .replaceAll("(?i)\\s+RETURNING\\s+\\*", "")
+      // composite literals ride as PG's composite TEXT form (the
+      // columns land as STRING via the unknown-type fallback)
+      .replaceAll(
+        """\(([^()']+),\s*'([^']*)'\)::new_type""",
+        "('(' || CAST($1 AS STRING) || ',$2)')")
+      .replaceAll("(?i)\\bhashint8\\s*\\(", "hash(")
+      // COPY (query) TO STDOUT → the query
+      .replaceAll("(?is)\\bCOPY\\s*\\(\\s*(SELECT[^;]*?)\\)\\s*TO\\s*STDOUT\\s*;",
+        "$1;\n")
+    val st = new ReplayState
+    val perFile = Seq("distributed_planning_create_load.sql",
+      "distributed_planning.sql").map { f =>
+      val (ok, ran) = replayFile(f, "DPFAIL", keep, st,
+        countDml = true, transform = tr)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okT, allT) = (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allT >= 80, s"expected a sizable corpus, got $allT")
+    assert(okT.toDouble / allT >= 0.8, s"only $okT/$allT ran")
+  }
+
+  test("sequential replay of intermediate_result_pruning.sql — " +
+      "MATERIALIZED-CTE subplan distribution " +
+      "(intermediate_result_pruning.c: which workers receive which " +
+      "intermediate result): CTE joins against distributed/reference " +
+      "tables, nested/chained CTEs, modifying CTEs, set ops — the " +
+      "query surface executes; Spark's exchange placement IS the " +
+      "pruning analogue") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN")
+    val tr: String => String = raw => raw
+      .replaceAll("(?i)\\s+RETURNING\\s+\\*", "")
+    val (ok, ran) = replayFile("intermediate_result_pruning.sql",
+      "IRPFAIL", keep, new ReplayState, countDml = true, transform = tr)
+    info(s"intermediate_result_pruning.sql: $ok/$ran statements run")
+    assert(ran >= 35, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of citus_local_tables_queries.sql — the " +
+      "CITUS_LOCAL_TABLE query surface (SELECTs, joins against " +
+      "reference/distributed/postgres-local tables, wCTEs, views, " +
+      "INSERT..SELECT in every direction, UPDATE/DELETE with " +
+      "local↔reference joins)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_add_local") && !s.contains("citus_table_size") &&
+        !s.contains("master_") && !s.contains("run_command") &&
+        !s.contains("pg_dist_") && !s.contains("pg_catalog") &&
+        !s.contains("current_setting") && !s.contains("$$") &&
+        !s.contains("RETURNING") && !s.contains("EXPLAIN") &&
+        !s.contains("PREPARE") && !s.contains("EXECUTE") &&
+        !s.contains("clear_and_init_test_tables")
+    val (ok, ran) = replayFile("citus_local_tables_queries.sql",
+      "CLTQFAIL", keep, new ReplayState, countDml = true)
+    info(s"citus_local_tables_queries.sql: $ok/$ran statements run")
+    assert(ran >= 60, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of multi_hash_pruning.sql — shard/join " +
       "pruning predicates on hash-distributed tables " +
       "(shard_pruning.c): dist-key equality, IN/ANY lists, NULLs, " +
