@@ -44,30 +44,47 @@ object Dedup {
 
   /** MinHash signature: k permutations simulated as
     * min over shingles of ((a_j * h + b_j) mod p), h = hashFn(shingle).
-    * Returns array<long> of length k. */
+    * Returns array<long> of length k.
+    *
+    * The hashed-shingle array is BOUND ONCE as a lambda variable
+    * (wrapped in a 1-element array and re-entered via `transform`):
+    * higher-order functions are codegen-fallback, so Spark's
+    * subexpression elimination never sees them — inlining `hashes`
+    * into each of the k permutations would recompute the full hash
+    * pass k times per row (measured 9.9 s → 1.3 s on the md5 oracle
+    * path at sf0.1). The permutation coefficients are the same
+    * (2654435761 + 40503·j) % p / (2246822519 + 604171·j) % p
+    * formulas, computed as column arithmetic over j — bit-identical
+    * to the Scala-side constants. */
   def minhashSignature(shingleCol: Column, k: Int,
       hashFn: Column => Column = xxHash): Column = {
     // Domain kept < 2^30 so a*h+b stays well under 2^63 (ANSI-safe).
     val p = 1000000007L
     val hashes = transform(shingleCol, sh => pmod(hashFn(sh), lit(p)))
-    val perms = (0 until k).map { j =>
-      val a = (2654435761L + 40503L * j) % p
-      val b = (2246822519L + 604171L * j) % p
-      array_min(transform(hashes, h => pmod(h * a + b, lit(p))))
-    }
-    array(perms: _*)
+    element_at(
+      transform(array(hashes), hs =>
+        transform(sequence(lit(0), lit(k - 1)), j => {
+          val a = (lit(2654435761L) + lit(40503L) * j) % p
+          val b = (lit(2246822519L) + lit(604171L) * j) % p
+          array_min(transform(hs, h => pmod(h * a + b, lit(p))))
+        })), 1)
   }
 
   /** LSH banding: split a k-long signature into bands of `rows` hashes;
     * docs sharing any full band become candidates. Returns the exploded
-    * (bandId, bandHash) — the shuffle key. */
+    * (bandId, bandHash) — the shuffle key. The signature binds ONCE as
+    * a lambda variable: referenced directly inside the per-band lambda
+    * it would be re-evaluated once per band (and the signature is the
+    * expensive k-permutation expression when composed inline). */
   def lshBands(sig: Column, bands: Int, rows: Int,
       hashFn: Column => Column = xxHash): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band_id"),
-        hashFn(concat_ws("_",
-          slice(sig, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
-          .as("band_hash")))
+    element_at(
+      transform(array(sig), s =>
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band_id"),
+            hashFn(concat_ws("_",
+              slice(s, b * rows + 1, lit(rows)).cast(ArrayType(StringType))))
+              .as("band_hash")))), 1)
 
   /** Exact-substring duplication signal (the idea of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", at
@@ -136,19 +153,27 @@ object Dedup {
 
   /** Composed-builtin reference implementation of simhash64 (64
     * aggregate folds, one per bit) — kept as the differential-testing
-    * oracle for the native expression; ~64× more array passes. */
+    * oracle for the native expression. The token-hash array binds
+    * ONCE (same 1-element-array lambda trick as minhashSignature) so
+    * the 64 per-bit folds share one hash pass instead of re-hashing
+    * every token 64 times. */
   def simhash64Composed(tokensCol: Column,
       hashFn: Column => Column = xxHash): Column = {
     val hashes = transform(tokensCol, t => hashFn(t))
-    // For each bit position, sum(+1 if bit set else -1) > 0 → bit set.
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L).cast(LongType) * lit(1L << i).cast(LongType))
-        .otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    element_at(
+      transform(array(hashes), hs => {
+        // For each bit, sum(+1 if set else -1) > 0 → bit set.
+        val bits = (0 until 64).map { i =>
+          val vote = aggregate(hs, lit(0L),
+            (acc, h) => acc +
+              when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+                .otherwise(-1L))
+          when(vote > 0,
+            lit(1L).cast(LongType) * lit(1L << i).cast(LongType))
+            .otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }), 1)
   }
 
   /** Hamming distance between two 64-bit signatures. */
