@@ -3765,6 +3765,79 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
   }
 
+  test("sequential replay of multi_copy.sql — the distributed COPY " +
+      "ingest corpus (commands/multi_copy.c): STDIN loads in text/csv " +
+      "with column lists, defaults, dropped columns, append_to_shard, " +
+      "client-side \\copy from the shipped TPC-H data files into " +
+      "hash/range/append distributions, quoted identifiers") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val dataRoot = refDir.getParentFile
+    val tr: String => String = raw0 => {
+      // \set <var> :abs_srcdir '/data/...' + client_side_copy_command
+      // blocks → INSERT INTO t VALUES from the shipped |-delimited file
+      val vars = collection.mutable.Map[String, String]()
+      """(?m)^\\set\s+(\w+)\s+:abs_srcdir\s+'([^']+)'\s*$""".r
+        .findAllMatchIn(raw0).foreach(m => vars(m.group(1)) = m.group(2))
+      val cmdRe = ("""(?m)^\\set\s+client_side_copy_command\s+'\\\\copy\s+""" +
+        """([\w."\\]+)\s+FROM\s+'\s+:'(\w+)'\s+'[^\n]*\n""" +
+        """:client_side_copy_command""").r
+      var s = cmdRe.replaceAllIn(raw0, m => {
+        val table = m.group(1)
+        val f = new java.io.File(dataRoot, vars.getOrElse(m.group(2), ""))
+        if (!f.isFile) " "
+        else {
+          val rows = scala.io.Source.fromFile(f, "ISO-8859-1")
+            .getLines().filter(_.trim.nonEmpty).map { ln =>
+              "(" + ln.split("\\|", -1).map(v =>
+                if (v.isEmpty) "NULL"
+                else "'" + v.replace("'", "''") + "'").mkString(", ") + ")"
+            }.mkString(", ")
+          java.util.regex.Matcher.quoteReplacement(
+            if (rows.isEmpty) " " else s"INSERT INTO $table VALUES $rows;")
+        }
+      })
+      // fold multi-line `FROM STDIN\nWITH (...)` onto one line so the
+      // generic COPY-to-INSERT conversion sees the whole clause
+      s = """(?s)FROM\s+STDIN\s*\n\s*WITH\s*\(([^)]*)\)\s*;""".r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"FROM STDIN WITH (${m.group(1)});"))
+      // EMPTY COPY blocks (negative tests: the terminator follows the
+      // command immediately) — the generic converter's lazy body match
+      // would otherwise skip forward to the NEXT terminator and eat
+      // real statements as data
+      s = """(?m)^COPY\s[^;\n]*FROM\s+STDIN[^;\n]*;\s*\n\\\.[ \t]*$""".r
+        .replaceAllIn(s, " ")
+      // COPY commands with NO data section at all (permission-failure
+      // negative tests: the server rejects before the client sends
+      // rows, so the file has no terminator either) — same forward-
+      // gobbling hazard; the next non-blank line is a comment/keyword,
+      // never CSV data
+      s = ("""(?m)^COPY\s[^;\n]*FROM\s+STDIN[^;\n]*;[ \t]*\n""" +
+        """(?=\s*(?:--|SELECT\b|ALTER\b|COPY\b|CREATE\b|DROP\b|SET\b|\\))""").r
+        .replaceAllIn(s, " ")
+      s
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("pg_stat") &&
+        !s.contains("current_setting") && !s.contains("$$") &&
+        !s.contains("wait_until") && !s.contains("pg_type") &&
+        !s.contains("worker_") && !s.contains("temp_dir") &&
+        !s.contains("pg_class") && !s.contains("EXPLAIN")
+    val (ok, ran) = replayFile("multi_copy.sql", "COPYFAIL", keep,
+      new ReplayState, countDml = true, transform = tr)
+    info(s"multi_copy.sql: $ok/$ran statements run")
+    // counted surface: STDIN loads converted to inserts + the
+    // data-file \copy loads + the verification SELECTs that don't
+    // read pg_dist_* metadata; quoted-identifier tables and the
+    // worker/metadata plumbing stay out of the denominator
+    assert(ran >= 20, s"expected the COPY battery, got $ran")
+    assert(ok.toDouble / ran >= 0.75, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of multi_hash_pruning.sql — shard/join " +
       "pruning predicates on hash-distributed tables " +
       "(shard_pruning.c): dist-key equality, IN/ANY lists, NULLs, " +
