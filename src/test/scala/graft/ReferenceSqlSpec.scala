@@ -1444,6 +1444,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // (`SELECT insert_data()` replays them; plpgsql bodies store empty
     // so helper calls no-op instead of failing)
     val fnBodies = collection.mutable.Map[String, Seq[String]]()
+    // PREPARE name(args) AS body — EXECUTE splices $N textually and
+    // reprocesses the spliced statement, so prepared SELECTs AND
+    // prepared DML both replay (the reference's coordinator_evaluation
+    // corpora lean on prepared INSERT/DELETE)
+    val prepared = collection.mutable.Map[String, String]()
   }
 
   private def replayFile(file: String, tag: String,
@@ -2224,6 +2229,37 @@ class ReferenceSqlSpec extends AnyFunSuite {
               else s"${m.group(1)} ${m.group(2)}")
           })
       stmt match {
+        // PREPARE/EXECUTE: record the body; EXECUTE splices $N
+        // arguments textually and reprocesses — prepared SELECTs and
+        // prepared DML replay through their normal statement kinds
+        case s if """(?is)^PREPARE\s""".r.findPrefixMatchOf(s).isDefined =>
+          """(?is)^PREPARE\s+([A-Za-z_]\w*)\s*(?:\([^)]*\))?\s*AS\s+(.*)$""".r
+            .findFirstMatchIn(s).foreach(m =>
+              state.prepared(m.group(1).toLowerCase) = m.group(2).trim)
+        case s if """(?is)^EXECUTE\s""".r.findPrefixMatchOf(s).isDefined
+            && !pgErrs.contains(normSql(s)) =>
+          """(?is)^EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*$""".r
+            .findFirstMatchIn(s).foreach { m =>
+              state.prepared.get(m.group(1).toLowerCase).foreach { body =>
+                val args =
+                  Option(m.group(2)).map(splitTop).getOrElse(Seq.empty)
+                val spliced = """\$(\d+)""".r.replaceAllIn(body, mm => {
+                  val i = mm.group(1).toInt
+                  if (i <= args.length)
+                    java.util.regex.Matcher
+                      .quoteReplacement(s"(${args(i - 1)})")
+                  else mm.matched
+                })
+                processStmt(spliced, countable)
+              }
+            }
+        case s if """(?is)^DEALLOCATE\b""".r
+            .findPrefixMatchOf(s).isDefined =>
+          """(?is)^DEALLOCATE\s+(?:PREPARE\s+)?(ALL|[A-Za-z_]\w*)""".r
+            .findFirstMatchIn(s).foreach { m =>
+              if (m.group(1).equalsIgnoreCase("ALL")) state.prepared.clear()
+              else state.prepared.remove(m.group(1).toLowerCase)
+            }
         case s0 if {
           val m = ("""(?is)^(?:UPDATE\s+ONLY|DELETE\s+FROM\s+ONLY)""" +
             """\s+([A-Za-z_][\w.]*)""").r.findPrefixMatchOf(s0)
@@ -3084,6 +3120,66 @@ class ReferenceSqlSpec extends AnyFunSuite {
       assert(all >= 20, s"$f: expected a corpus, got $all")
       assert(ok.toDouble / all >= 0.85, s"$f: only $ok/$all ran")
     }
+  }
+
+  test("sequential replay of coordinator_evaluation.sql and " +
+      "coordinator_evaluation_modify.sql — volatile/stable function " +
+      "evaluation in PREPARED statement bodies, parameters, and " +
+      "parameter expressions, for SELECTs AND DML (citus_clauses.c; " +
+      "prepared INSERT/DELETE RETURNING battery): the new " +
+      "PREPARE/EXECUTE replay splices arguments and applies the " +
+      "underlying statement kind") {
+    assume(refDir.isDirectory, "reference tree not present")
+    import graft.sql.TableFunctions
+    TableFunctions.clear()
+    try {
+      // the corpora's node-id probes: single logical node here; the
+      // plpgsql SELECT-INTO bodies don't parse as inline SQL, so
+      // register the equivalent scalar functions directly
+      TableFunctions.register(TableFunctions.FnDef(
+        "get_local_node_id_volatile", Seq.empty, "SELECT 1",
+        Seq.empty, scalar = true))
+      TableFunctions.register(TableFunctions.FnDef(
+        "get_local_node_id_stable", Seq.empty, "SELECT 1",
+        Seq.empty, scalar = true))
+      TableFunctions.register(TableFunctions.FnDef(
+        "get_constant_stable", Seq.empty, "SELECT 1",
+        Seq.empty, scalar = true))
+      TableFunctions.register(TableFunctions.FnDef(
+        "get_local_node_id_volatile_sum_with_param",
+        Seq("" -> None), "SELECT (1 + $1)", Seq.empty, scalar = true))
+      // composite literals ride as PG's composite TEXT form — the
+      // `u_data user_data` column lands as STRING via the replayer's
+      // unknown-type fallback, so '(name3,23)' is both what an insert
+      // stores and what a predicate compares
+      val el = """((?:'(?:[^']|'')*'|\((?:[^()]|\([^()]*\))*\)|[^,()'])+)"""
+      val structRe =
+        ("""\(\s*""" + el + """\s*,\s*""" + el + """\s*\)::user_data""").r
+      val tr: String => String = raw => structRe.replaceAllIn(
+        raw.replaceAll("(?i)\\s+RETURNING\\s+[^;]*", ""),
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"('(' || CAST((${m.group(1).trim}) AS STRING) || ',' || " +
+            s"CAST((${m.group(2).trim}) AS STRING) || ')')"))
+      val keep: String => Boolean = s =>
+        !s.contains("create_distributed") && !s.contains("citus_") &&
+          !s.contains("create_reference_table") &&
+          !s.contains("master_") && !s.contains("run_command") &&
+          !s.contains("pg_dist_") && !s.contains("pg_catalog") &&
+          !s.contains("current_setting") && !s.contains("$$") &&
+          !s.contains("EXPLAIN") && !s.contains("pg_sleep")
+      val perFile = Seq("coordinator_evaluation.sql",
+        "coordinator_evaluation_modify.sql").map { f =>
+        val (ok, ran) = replayFile(f, "CEFAIL", keep, new ReplayState,
+          countDml = true, transform = tr)
+        (f, ok, ran)
+      }
+      perFile.foreach { case (f, ok, all) =>
+        info(s"$f: $ok/$all statements run") }
+      perFile.foreach { case (f, ok, all) =>
+        assert(all >= 40, s"$f: expected the prepared battery, got $all")
+        assert(ok.toDouble / all >= 0.8, s"$f: only $ok/$all ran")
+      }
+    } finally TableFunctions.clear()
   }
 
   test("coordinator_evaluation_select.sql through PgSession — the " +
