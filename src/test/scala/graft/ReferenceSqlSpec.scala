@@ -1892,10 +1892,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
       val schema = schemas(n)
       val given = colList.map(_.split(",").map(_.trim.toLowerCase).toSeq)
         .getOrElse(schema.map(_._1.toLowerCase))
+      // the optional WHERE between the conflict target and DO is the
+      // arbiter INDEX predicate (PG partial-unique-index arbitration);
+      // live state has no indexes, so the target columns alone
+      // arbitrate and the predicate is dropped
       val conflictUpdRe =
-        """(?is)^(.*?)\s+ON\s+CONFLICT\s*\(([^)]*)\)\s+DO\s+UPDATE\s+SET\s+(.*)$""".r
+        ("""(?is)^(.*?)\s+ON\s+CONFLICT\s*\(([^)]*)\)\s*""" +
+          """(?:WHERE\s+.*?)??\s*DO\s+UPDATE\s+SET\s+(.*)$""").r
       val conflictRe =
-        """(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+NOTHING\s*$""".r
+        ("""(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*""" +
+          """(?:WHERE\s+.*?)??\s*DO\s+NOTHING\s*$""").r
       val (restBody, conflictCols, conflictSets) = rest1 match {
         case conflictUpdRe(b, cs, sets) =>
           (b, cs.split(",").map(_.trim.toLowerCase).toSeq, Some(sets))
@@ -3859,6 +3865,54 @@ class ReferenceSqlSpec extends AnyFunSuite {
     info(s"citus_local_tables_queries.sql: $ok/$ran statements run")
     assert(ran >= 60, s"expected a sizable corpus, got $ran")
     assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of local_shard_execution.sql — the local-" +
+      "execution corpus (executor/local_executor.c: shard queries the " +
+      "coordinator runs in-process): router SELECT/DML with volatile " +
+      "functions, ON CONFLICT upserts, wCTEs, LIST-partitioned " +
+      "targets, prepared statements — the plan-placement distinction " +
+      "dissolves in Spark (every task is 'local' to an executor), the " +
+      "query surface replays against live state") {
+    assume(refDir.isDirectory, "reference tree not present")
+    import graft.sql.TableFunctions
+    TableFunctions.clear()
+    try {
+      TableFunctions.register(TableFunctions.FnDef(
+        "get_local_node_id_volatile", Seq.empty, "SELECT 1",
+        Seq.empty, scalar = true))
+      val tr: String => String = raw => raw
+        .replaceAll("(?i)\\s+RETURNING\\s+\\*", "")
+      val keep: String => Boolean = s =>
+        !s.contains("create_distributed") && !s.contains("citus_") &&
+          !s.contains("create_reference_table") &&
+          !s.contains("master_") && !s.contains("run_command") &&
+          !s.contains("pg_dist_") && !s.contains("pg_catalog") &&
+          !s.contains("current_setting") && !s.contains("$$") &&
+          !s.contains("EXPLAIN") && !s.contains("pg_sleep") &&
+          !s.contains("RETURNING") && !s.contains("pg_class") &&
+          !s.contains("pg_total_relation_size") &&
+          // 2PC / sequence / server-config internals, and the
+          // multi-statement plpgsql probe function
+          !s.contains("recover_prepared_transactions") &&
+          !s.contains("coordinated_transaction_should_use_2PC") &&
+          !s.contains("setval") && !s.contains("pg_reload_conf") &&
+          !s.contains("regular_func")
+      val perFile = Seq("local_shard_execution.sql",
+        // replication_factor=2 sibling: same query surface, the
+        // replication knob is placement metadata with no plan meaning
+        "local_shard_execution_replicated.sql").map { f =>
+        val (ok, ran) = replayFile(f, "LSEFAIL", keep,
+          new ReplayState, countDml = true, transform = tr)
+        (f, ok, ran)
+      }
+      perFile.foreach { case (f, ok, all) =>
+        info(s"$f: $ok/$all statements run") }
+      perFile.foreach { case (f, ok, all) =>
+        assert(all >= 120, s"$f: expected a large corpus, got $all")
+        assert(ok.toDouble / all >= 0.8, s"$f: only $ok/$all ran")
+      }
+    } finally TableFunctions.clear()
   }
 
   test("sequential replay of multi_copy.sql — the distributed COPY " +
