@@ -3915,6 +3915,49 @@ class ReferenceSqlSpec extends AnyFunSuite {
     } finally TableFunctions.clear()
   }
 
+  test("sequential replay of single_node.sql — the single-node-citus " +
+      "corpus (coordinator doubles as the worker): the full query/DML " +
+      "surface of distributed_planning plus failover-to-local " +
+      "sequences, function scans over distributed fixtures, wCTEs " +
+      "and upserts — node-management plumbing excluded by scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN") &&
+        !s.contains("pg_sleep") && !s.contains("pg_reload_conf") &&
+        !s.contains("pg_class") && !s.contains("pg_stat") &&
+        !s.contains("pg_total_relation_size") &&
+        !s.contains("undistribute_table") && !s.contains("foo()") &&
+        !s.contains("alter_distributed_table") &&
+        !s.contains("pg_backend_pid") && !s.contains("pg_terminate") &&
+        !s.contains("columnar") && !s.contains("nextval") &&
+        !s.toLowerCase.contains("vacuum") &&
+        // shard-placement/2PC verification probes: metadata scope
+        !s.contains("get_shard_id_for_distribution_column") &&
+        !s.contains("verify_shard_placement") &&
+        !s.contains("recover_prepared_transactions") &&
+        !s.contains("coordinated_transaction_should_use_2PC") &&
+        !s.contains("pg_constraint") && !s.contains("function_delegation")
+    val tr: String => String = raw => raw
+      .replaceAll(
+        """\(([^()']+),\s*'([^']*)'\)::new_type""",
+        "('(' || CAST($1 AS STRING) || ',$2)')")
+      .replaceAll(
+        "(?i)ON\\s+CONFLICT\\s+ON\\s+CONSTRAINT\\s+upsert_test_part_key_key",
+        "ON CONFLICT (part_key)")
+      .replaceAll("(?i)\\s+RETURNING\\s+\\*", "")
+      .replaceAll("(?i)\\bhashint8\\s*\\(", "hash(")
+    val (ok, ran) = replayFile("single_node.sql", "SNFAIL", keep,
+      new ReplayState, countDml = true, transform = tr)
+    info(s"single_node.sql: $ok/$ran statements run")
+    assert(ran >= 100, s"expected a large corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.75, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of multi_copy.sql — the distributed COPY " +
       "ingest corpus (commands/multi_copy.c): STDIN loads in text/csv " +
       "with column lists, defaults, dropped columns, append_to_shard, " +
