@@ -3860,11 +3860,20 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("RETURNING") && !s.contains("EXPLAIN") &&
         !s.contains("PREPARE") && !s.contains("EXECUTE") &&
         !s.contains("clear_and_init_test_tables")
-    val (ok, ran) = replayFile("citus_local_tables_queries.sql",
-      "CLTQFAIL", keep, new ReplayState, countDml = true)
-    info(s"citus_local_tables_queries.sql: $ok/$ran statements run")
-    assert(ran >= 60, s"expected a sizable corpus, got $ran")
-    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+    val perFile = Seq("citus_local_tables_queries.sql",
+      // metadata-synced sibling: same query surface, MX is a
+      // metadata-propagation concern with no plan meaning here
+      "citus_local_tables_queries_mx.sql").map { f =>
+      val (ok, ran) = replayFile(f, "CLTQFAIL", keep,
+        new ReplayState, countDml = true)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    perFile.foreach { case (f, ok, all) =>
+      assert(all >= 60, s"$f: expected a sizable corpus, got $all")
+      assert(ok.toDouble / all >= 0.8, s"$f: only $ok/$all ran")
+    }
   }
 
   test("sequential replay of local_shard_execution.sql — the local-" +
@@ -3913,6 +3922,33 @@ class ReferenceSqlSpec extends AnyFunSuite {
         assert(ok.toDouble / all >= 0.8, s"$f: only $ok/$all ran")
       }
     } finally TableFunctions.clear()
+  }
+
+  test("sequential replay of multi_mx_router_planner.sql — the MX " +
+      "(metadata-synced) router planner runs the SAME single-shard " +
+      "SELECT surface from a worker; the queries are the router " +
+      "corpus on the mx articles fixtures — router planning itself is " +
+      "identical, so the file is query surface here") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // fixture from multi_mx_create_table.sql:369-383; the INSERT rows
+    // live in the replayed file itself
+    val tr: String => String = raw =>
+      "CREATE TABLE articles_hash_mx (id bigint, author_id bigint, " +
+        "title varchar(20), word_count integer);\n" +
+        "CREATE TABLE articles_single_shard_hash_mx " +
+        "(LIKE articles_hash_mx);\n" + raw
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN") &&
+        !s.contains("pg_sleep") && !s.contains("company_employees")
+    val (ok, ran) = replayFile("multi_mx_router_planner.sql", "MXRFAIL",
+      keep, new ReplayState, countDml = true, transform = tr)
+    info(s"multi_mx_router_planner.sql: $ok/$ran statements run")
+    assert(ran >= 70, s"expected the router battery, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
 
   test("sequential replay of single_node.sql — the single-node-citus " +
