@@ -43,15 +43,34 @@ object TableFunctions {
       outCols: Seq[String],
       scalar: Boolean)
 
+  /** name → overloads (PG functions overload by arity; a 0-arg and a
+    * 1-arg definition of the same name coexist — arbitrary_configs_
+    * router_create.sql's author_articles_* pairs). */
   private val fns =
-    scala.collection.concurrent.TrieMap[String, FnDef]()
+    scala.collection.concurrent.TrieMap[String, List[FnDef]]()
+
+  /** The overload for a call with `nArgs` arguments: exact arity
+    * first, then the smallest definition whose missing trailing
+    * parameters all carry DEFAULTs. */
+  private def resolve(nm: String, nArgs: Int): Option[FnDef] =
+    fns.get(nm).flatMap { cands =>
+      cands.find(_.params.length == nArgs)
+        .orElse(cands
+          .filter(fd => fd.params.length > nArgs &&
+            fd.params.drop(nArgs).forall(_._2.isDefined))
+          .sortBy(_.params.length).headOption)
+    }
 
   /** Built-in scalar functions that may legally appear as a function
     * scan (`JOIN abs(100) AS hundred`): expanded as one-row selects. */
   private val builtinScalar = Set("abs", "upper", "lower", "length",
     "sqrt", "floor", "ceil", "ceiling", "round")
 
-  def register(fd: FnDef): Unit = fns(fd.name.toLowerCase) = fd
+  def register(fd: FnDef): Unit = {
+    val k = fd.name.toLowerCase
+    fns(k) = fd :: fns.getOrElse(k, Nil)
+      .filterNot(_.params.length == fd.params.length)
+  }
   def registered: Set[String] = fns.keySet.toSet
   def clear(): Unit = fns.clear()
 
@@ -195,10 +214,17 @@ object TableFunctions {
         val selIntoRe =
           ("""(?is)\bSELECT\s+INTO\s+\w+\s+(.*?);\s*""" +
             """RETURN\s+\w+\s*;""").r
+        // trailing-INTO spelling: SELECT <items> FROM ... INTO var;
+        // RETURN var; — the SELECT without the INTO is the body
+        val tailIntoRe =
+          ("""(?is)BEGIN\s+(SELECT\b.*?)\s+INTO\s+(\w+)\s*;\s*""" +
+            """RETURN\s+\2\s*;""").r
         val retExprRe = """(?is)BEGIN\s+RETURN\s+(.*?);\s*END""".r
         retQueryRe.findFirstMatchIn(body0).map(_.group(1).trim)
           .orElse(selIntoRe.findFirstMatchIn(body0)
             .map(mm => "SELECT " + mm.group(1).trim))
+          .orElse(tailIntoRe.findFirstMatchIn(body0)
+            .map(_.group(1).trim))
           .orElse(retExprRe.findFirstMatchIn(body0)
             .map(mm => "SELECT (" + mm.group(1).trim + ")"))
           .getOrElse(return false)
@@ -305,21 +331,41 @@ object TableFunctions {
       }
       val callRe = """(?i)(?<![\w.'"])([A-Za-z_]\w*)\s*\(""".r
       val hit = callRe.findAllMatchIn(masked).find { cm =>
-        fns.get(cm.group(1).toLowerCase).exists { fd =>
-          fd.scalar && !hasTopLevelFrom(fd.body) &&
-            """(?is)^SELECT\s""".r.findPrefixMatchOf(fd.body).isDefined &&
-            volatileRe.findFirstIn(fd.body).isEmpty
-        } && """(?is)^\s*WITH\s+ORDINALITY""".r
-          .findPrefixMatchOf(out.substring(closeParen(cm.end))).isEmpty
+        // scalar sites only: never directly after FROM/JOIN (those are
+        // function scans, handled — or deliberately skipped — by the
+        // scan pass)
+        val before = masked.substring(0, cm.start).reverse
+          .dropWhile(_.isWhitespace)
+        val notScan = !before.take(4).reverse.equalsIgnoreCase("FROM") &&
+          !before.take(4).reverse.equalsIgnoreCase("JOIN")
+        notScan && {
+          val i = closeParen(cm.end)
+          val nA = splitTop(out.substring(cm.end, i - 1)).length
+          resolve(cm.group(1).toLowerCase, nA).exists { fd =>
+            fd.scalar &&
+              """(?is)^SELECT\s""".r.findPrefixMatchOf(fd.body).isDefined &&
+              volatileRe.findFirstIn(fd.body).isEmpty
+          } && """(?is)^\s*WITH\s+ORDINALITY""".r
+            .findPrefixMatchOf(out.substring(i)).isEmpty
+        }
       }
       hit.foreach { cm =>
-        val fd = fns(cm.group(1).toLowerCase)
         val i = closeParen(cm.end)
         val argText = out.substring(cm.end, i - 1)
+        val fd = resolve(cm.group(1).toLowerCase,
+          splitTop(argText).length).get
         substitute(fd, splitTop(argText)).foreach { b =>
-          val expr = """(?is)^SELECT\s+""".r.replaceFirstIn(b, "").trim
-          out = out.substring(0, cm.start) + "(" + expr + ")" +
-            out.substring(i)
+          // a bare no-FROM SELECT inlines as its expression (PG
+          // inline_function); a body WITH a FROM inlines as a scalar
+          // subquery — same single-value contract at the call site
+          val repl =
+            if (hasTopLevelFrom(fd.body)) "(" + b.trim + ")"
+            else {
+              val expr =
+                """(?is)^SELECT\s+""".r.replaceFirstIn(b, "").trim
+              "(" + expr + ")"
+            }
+          out = out.substring(0, cm.start) + repl + out.substring(i)
           changed = true
         }
       }
@@ -390,7 +436,8 @@ object TableFunctions {
             val parts = calls.zip(cols).zipWithIndex.flatMap {
               case ((c, colName), idx) => c.trim match {
                 case callRe(fn, argText) =>
-                  fns.get(fn.toLowerCase).flatMap { fd =>
+                  resolve(fn.toLowerCase,
+                    splitTop(argText).length).flatMap { fd =>
                     substitute(fd, splitTop(argText)).map { body =>
                       // Ordinal = GENERATION order, not value order: PG
                       // zips ROWS FROM positionally, so a descending
@@ -465,11 +512,11 @@ object TableFunctions {
                 (am.group(1), sc, am.end)
               case _ => (nm, Seq.empty[String], 0)
             }
-          val fd = fns.getOrElse(nm,
-            FnDef(nm, Seq.empty, "", Seq.empty, scalar = true))
+          val fdOpt = resolve(nm, splitTop(argText).length)
           val replOpt =
-            if (fns.contains(nm)) expandCall(fd, splitTop(argText),
-              alias, siteCols)
+            if (fns.contains(nm))
+              fdOpt.flatMap(fd =>
+                expandCall(fd, splitTop(argText), alias, siteCols))
             else Some(s"(SELECT $nm($argText)) AS $alias($alias)")
           replOpt.foreach { repl =>
             out = out.substring(0, sm.start) + sm.group(1) + " " + repl +

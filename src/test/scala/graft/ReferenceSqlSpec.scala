@@ -3924,6 +3924,37 @@ class ReferenceSqlSpec extends AnyFunSuite {
     } finally TableFunctions.clear()
   }
 
+  test("sequential replay of the arbitrary-configs router + MERGE " +
+      "corpora (arbitrary_configs_router(_create).sql, " +
+      "merge_arbitrary(_create).sql) — the config-matrix regression " +
+      "set: router SELECT surface on the articles/authors fixtures, " +
+      "MERGE with cross-join sources and prepared MERGE statements") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN") &&
+        !s.contains("RETURNING")
+    val routerState = new ReplayState
+    val mergeState = new ReplayState
+    val perFile = Seq(
+      ("arbitrary_configs_router_create.sql", routerState),
+      ("arbitrary_configs_router.sql", routerState),
+      ("merge_arbitrary_create.sql", mergeState),
+      ("merge_arbitrary.sql", mergeState)).map { case (f, st) =>
+      val (ok, ran) = replayFile(f, "ACFAIL", keep, st, countDml = true)
+      (f, ok, ran)
+    }
+    perFile.foreach { case (f, ok, all) =>
+      info(s"$f: $ok/$all statements run") }
+    val (okT, allT) = (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allT >= 120, s"expected a sizable corpus, got $allT")
+    assert(okT.toDouble / allT >= 0.85, s"only $okT/$allT ran")
+  }
+
   test("sequential replay of multi_mx_router_planner.sql — the MX " +
       "(metadata-synced) router planner runs the SAME single-shard " +
       "SELECT surface from a worker; the queries are the router " +
