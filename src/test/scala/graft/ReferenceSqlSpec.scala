@@ -3924,6 +3924,32 @@ class ReferenceSqlSpec extends AnyFunSuite {
     } finally TableFunctions.clear()
   }
 
+  test("sequential replay of coordinator_shouldhaveshards.sql — " +
+      "coordinator-holds-shards placement corpus: repartition joins, " +
+      "INSERT..SELECT with sequences/local tables, wCTEs over " +
+      "dist↔ref↔local mixes — placement is a deployment knob; the " +
+      "query surface replays") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN") &&
+        !s.contains("RETURNING") && !s.contains("nextval") &&
+        !s.contains("undistribute_table") && !s.contains("pg_class") &&
+        // table/constraint/index catalog introspection + re-sharding
+        // metadata ops: deployment scope
+        !s.contains("pg_constraint") && !s.contains("pg_indexes") &&
+        !s.contains("alter_distributed_table")
+    val (ok, ran) = replayFile("coordinator_shouldhaveshards.sql",
+      "CSHFAIL", keep, new ReplayState, countDml = true)
+    info(s"coordinator_shouldhaveshards.sql: $ok/$ran statements run")
+    assert(ran >= 60, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of the arbitrary-configs router + MERGE " +
       "corpora (arbitrary_configs_router(_create).sql, " +
       "merge_arbitrary(_create).sql) — the config-matrix regression " +
