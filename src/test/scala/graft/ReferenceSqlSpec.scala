@@ -3924,6 +3924,27 @@ class ReferenceSqlSpec extends AnyFunSuite {
     } finally TableFunctions.clear()
   }
 
+  test("sequential replay of locally_execute_intermediate_results.sql " +
+      "— local vs remote intermediate-result placement: MATERIALIZED " +
+      "CTEs consumed in HAVING/WHERE/jointree across dist↔ref↔local " +
+      "tables; the reference decides file placement per worker, Spark " +
+      "decides exchange placement — the query surface is the shared " +
+      "contract") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXPLAIN")
+    val (ok, ran) = replayFile("locally_execute_intermediate_results.sql",
+      "LEIFAIL", keep, new ReplayState, countDml = true)
+    info(s"locally_execute_intermediate_results.sql: $ok/$ran statements run")
+    assert(ran >= 60, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of coordinator_shouldhaveshards.sql — " +
       "coordinator-holds-shards placement corpus: repartition joins, " +
       "INSERT..SELECT with sequences/local tables, wCTEs over " +
