@@ -1084,11 +1084,26 @@ object PgDialect {
       val inner = raw.stripPrefix("'").stripSuffix("'").trim
       if (inner.startsWith("{") && inner.endsWith("}") &&
           inner.length > 2) {
-        val elems = inner.substring(1, inner.length - 1).split(",")
-          .map(_.trim).map(it =>
-            if (it.matches("""-?\d+(\.\d+)?""") ||
-              it.equalsIgnoreCase("null")) it
-            else "'" + it + "'").mkString(", ")
+        // quote-aware element split: PG double-quotes elements that
+        // contain commas/spaces (`{"a,b","x"}`) with \" and \\ escapes
+        val body = inner.substring(1, inner.length - 1)
+        val parts = scala.collection.mutable.Buffer[(String, Boolean)]()
+        val cur = new StringBuilder
+        var inDq = false; var esc = false; var sawDq = false
+        body.foreach { c =>
+          if (esc) { cur += c; esc = false }
+          else if (c == '\\' && inDq) esc = true
+          else if (c == '"') { inDq = !inDq; sawDq = true }
+          else if (c == ',' && !inDq) {
+            parts += ((cur.toString, sawDq)); cur.clear(); sawDq = false
+          } else cur += c
+        }
+        parts += ((cur.toString, sawDq))
+        val elems = parts.map { case (p, q) => (p.trim, q) }.map {
+          case (it, false) if it.matches("""-?\d+(\.\d+)?""") ||
+            it.equalsIgnoreCase("null") => it
+          case (it, _) => "'" + it.replace("'", "''") + "'"
+        }.mkString(", ")
         java.util.regex.Matcher.quoteReplacement(
           s"${m.group(1)}(array($elems))")
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
@@ -1883,10 +1898,16 @@ object PgDialect {
       guard += 1
       val text = result
       val hit = """(?i)\(\s*SELECT\b""".r.findAllMatchIn(text).find { m =>
-        // not an EXISTS subquery
-        val before = text.substring(0, m.start).reverse
-        val notExists = !before.dropWhile(_.isWhitespace)
-          .take(6).reverse.equalsIgnoreCase("EXISTS")
+        // not an EXISTS / IN / NOT IN subquery: there the 0-groups vs
+        // one-NULL-row difference IS observable (EXISTS: false vs true;
+        // IN/NOT IN: empty set vs {NULL} — `x NOT IN (empty)` is TRUE
+        // but `x NOT IN {NULL}` is NULL, so the rewrite would drop rows
+        // PG keeps)
+        val beforeTrim = text.substring(0, m.start).reverse
+          .dropWhile(_.isWhitespace).reverse
+        val lastWord = """[A-Za-z_]\w*$""".r
+          .findFirstIn(beforeTrim).getOrElse("").toLowerCase
+        val notExists = lastWord != "exists" && lastWord != "in"
         notExists && {
           var d = 1; var i = m.start + 1
           while (d > 0 && i < text.length) {
@@ -1935,7 +1956,11 @@ object PgDialect {
     // single-aggregate select list
     val selList = body.substring(0, fi)
       .replaceFirst("(?is)^\\s*SELECT\\s+", "")
-    if (!"""(?is)^\s*(count|sum|min|max|avg)\s*\(""".r
+    // count is NOT droppable: ungrouped count over empty input returns
+    // 0, not NULL, so 0-groups (comparison vs NULL) and one-row
+    // (comparison vs 0) ARE distinguishable — only the NULL-on-empty
+    // aggregates preserve the equivalence
+    if (!"""(?is)^\s*(sum|min|max|avg)\s*\(""".r
         .findPrefixMatchOf(selList).isDefined) return None
     // FROM-clause identifiers (tables + aliases, permissive)
     val fromEnd = Seq("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")

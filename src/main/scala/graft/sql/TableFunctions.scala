@@ -300,12 +300,14 @@ object TableFunctions {
 
   /** PG SQL-function INLINING (the planner's `inline_function`
     * analogue, src/backend/optimizer/util/clauses.c in PG): a
-    * registered SCALAR function whose body is a bare single-expression
-    * SELECT (no FROM) inlines at any remaining call site — WHERE,
-    * select list, join conditions — as a parenthesized expression with
-    * arguments substituted. Runs AFTER function-scan expansion, so
-    * FROM/JOIN sites are already derived tables; the only skipped
-    * sites are WITH ORDINALITY scans and bodies that are volatile
+    * registered SCALAR function inlines at any remaining call site —
+    * WHERE, select list, join conditions: a bare no-FROM SELECT body
+    * becomes a parenthesized expression with arguments substituted; a
+    * body WITH a FROM becomes a scalar subquery (same single-value
+    * contract). Runs AFTER function-scan expansion, so FROM/JOIN sites
+    * are already derived tables; the skipped sites are function scans
+    * (FROM/JOIN/LATERAL/comma-of-FROM positions), WITH ORDINALITY
+    * scans, and bodies that are volatile
     * (random/now/uuid — inlining would change per-row evaluation
     * semantics). */
   private def inlineScalarCalls(sql0: String): String = {
@@ -329,15 +331,51 @@ object TableFunctions {
         }
         i
       }
+      // Which clause encloses position `pos` at its own paren depth?
+      // Tracked as a per-depth stack so `FROM t, fn(x)` (a comma-
+      // separated function scan, valid PG) is recognized as a scan
+      // site even though no FROM/JOIN keyword directly precedes it.
+      def inFromClause(pos: Int): Boolean = {
+        val up = masked.toUpperCase
+        val kws = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+          "ORDER", "LIMIT", "ON", "SET", "VALUES")
+        val stack = scala.collection.mutable.Stack[String]()
+        var cur = ""
+        var i = 0
+        while (i < pos) {
+          val c = up.charAt(i)
+          if (c == '(') { stack.push(cur); cur = ""; i += 1 }
+          else if (c == ')') {
+            cur = if (stack.nonEmpty) stack.pop() else ""; i += 1
+          } else if (c.isLetter &&
+            (i == 0 || { val p = up.charAt(i - 1)
+              !p.isLetterOrDigit && p != '_' && p != '.' })) {
+            var k = i
+            while (k < up.length &&
+              (up.charAt(k).isLetterOrDigit || up.charAt(k) == '_')) k += 1
+            val w = up.substring(i, k)
+            if (kws.contains(w)) cur = w
+            else if (w == "JOIN") cur = "FROM"
+            i = k
+          } else i += 1
+        }
+        cur == "FROM"
+      }
       val callRe = """(?i)(?<![\w.'"])([A-Za-z_]\w*)\s*\(""".r
       val hit = callRe.findAllMatchIn(masked).find { cm =>
-        // scalar sites only: never directly after FROM/JOIN (those are
-        // function scans, handled — or deliberately skipped — by the
-        // scan pass)
+        // scalar sites only: never directly after FROM/JOIN/LATERAL,
+        // and never a comma-separated entry of a FROM list (`FROM t,
+        // fn(x) AS a` — a function scan; inlining it as a scalar
+        // subquery would silently change the output shape, so it stays
+        // with the scan pass / errors loudly)
         val before = masked.substring(0, cm.start).reverse
           .dropWhile(_.isWhitespace)
-        val notScan = !before.take(4).reverse.equalsIgnoreCase("FROM") &&
-          !before.take(4).reverse.equalsIgnoreCase("JOIN")
+        val prevWord = before.takeWhile(c =>
+          c.isLetterOrDigit || c == '_').reverse.toLowerCase
+        val notScan =
+          prevWord != "from" && prevWord != "join" &&
+          prevWord != "lateral" &&
+          !(before.headOption.contains(',') && inFromClause(cm.start))
         notScan && {
           val i = closeParen(cm.end)
           val nA = splitTop(out.substring(cm.end, i - 1)).length
