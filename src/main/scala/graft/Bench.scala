@@ -64,6 +64,22 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(SparkEntry.benchQueries)
     val qmap = SparkEntry.queries
+    // Plan pin: the forced-shuffle entry must actually BE the shuffle
+    // join it claims to time. The merge hint should survive any config
+    // or Spark-version drift, but if it ever degrades to a broadcast
+    // join the bench would silently time the wrong plan — fail loudly
+    // instead (the recorded number is a per-round tracked artifact).
+    if (names.contains("join_shuffle_fact")) {
+      val df = qmap("join_shuffle_fact")(spark, sfDir)
+      if (!graft.plans.PlanChecks.hasSortMergeJoin(df) ||
+          graft.plans.PlanChecks.hasBroadcastHashJoin(df)) {
+        System.err.println("BENCH ABORT: join_shuffle_fact plan " +
+          "degraded — expected SortMergeJoin with no " +
+          "BroadcastHashJoin, got:\n" + df.queryExecution.executedPlan)
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     // Pin the working set in memory (buffer-pool analogue) and warm up
     // (JIT/C2 + codegen caches — steady state needs ~4 passes in a
     // fresh JVM; the 2-pass timed total was ~1s slower); not timed.

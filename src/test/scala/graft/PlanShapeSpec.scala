@@ -50,6 +50,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected pushed filters, got $pushed")
   }
 
+  test("join_shuffle_fact: the bench's forced-shuffle entry IS a " +
+      "SortMergeJoin with no broadcast (Bench aborts if this degrades)") {
+    val df = SparkEntry.queries("join_shuffle_fact")(spark, TestSpark.sf)
+    assert(PlanChecks.hasSortMergeJoin(df) &&
+      !PlanChecks.hasBroadcastHashJoin(df),
+      "join_shuffle_fact must stay a plan-forced shuffle join")
+  }
+
   test("q21: EXISTS/NOT EXISTS plan as semi + anti joins, no subquery re-execution") {
     val df = SparkEntry.queries("q21_waiting_orders")(spark, TestSpark.sf)
     val s = PlanChecks.executedPlan(df).toString
