@@ -289,8 +289,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
   private def registerInlineFixtures(file: String): Unit = {
     val text = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
+    // a trailing `-- comment` after a `;` lands at the head of the NEXT
+    // split fragment (ch_benchmarks_create_load.sql:166) — drop leading
+    // comment lines per statement, not just full-line comments
     val stmts = text.linesIterator.filterNot(_.trim.startsWith("--"))
-      .mkString("\n").split(";").map(_.trim).filter(_.nonEmpty)
+      .mkString("\n").split(";").map(_.trim)
+      .map(_.linesIterator.dropWhile(_.trim.startsWith("--"))
+        .mkString("\n").trim)
+      .filter(_.nonEmpty)
     def splitTop(s: String): Seq[String] = {
       val out = collection.mutable.Buffer[String]()
       var depth = 0; var inQ = false; var cur = new StringBuilder
@@ -402,15 +408,24 @@ class ReferenceSqlSpec extends AnyFunSuite {
             } else PgDialect.sql(spark, rest)
           // project to the declared schema: positional for the given
           // columns, NULL for the rest, each cast to the declared type
+          // positional rename first: literal select lists can repeat a
+          // column name (`SELECT c, 'abc', ..., 'abc'`), which makes
+          // by-name resolution ambiguous
           val srcCols = src.columns
+          val renamed = src.toDF(srcCols.indices.map(i => s"__c$i"): _*)
           val proj = schema.map { case (n, t) =>
             val i = given.indexOf(n.toLowerCase)
             if (i >= 0 && i < srcCols.length)
-              col("`" + srcCols(i) + "`").cast(t).as(n)
+              col(s"__c$i").cast(t).as(n)
             else lit(null).cast(t).as(n)
           }
-          data(strip(name)) = data(strip(name)) :+ src.select(proj: _*)
-        } catch { case _: Throwable => () } // non-translatable load
+          data(strip(name)) = data(strip(name)) :+ renamed.select(proj: _*)
+        } catch { case e: Throwable => // non-translatable load
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"FIXFAIL[$file -> ${strip(name)}]: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(1).mkString.take(200))
+        }
       case viewRe(name, body) => views += strip(name) -> body
       case _ => ()
     } }
@@ -1262,6 +1277,140 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 20, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.9,
       s"only $okTotal/$allTotal reference statements ran")
+  }
+
+  /** Expected RESULT ROWS of a pg_regress .out: normalized statement
+    * text → data rows (cells split on `|`, trimmed). A result block is
+    * a header line, the citus-normalized all-dashes separator, data
+    * rows, and the `(N rows)` terminator; statements with no block
+    * (SET etc.) simply don't appear in the map. */
+  private def pgExpectedRows(file: String)
+      : Map[String, Seq[Seq[String]]] = {
+    val out = new java.io.File(refExpDir,
+      file.stripSuffix(".sql") + ".out")
+    if (!out.isFile) return Map.empty
+    val lines = scala.io.Source.fromFile(out, "ISO-8859-1")
+      .getLines().toVector
+    val res = scala.collection.mutable.Map[String, Seq[Seq[String]]]()
+    val buf = new StringBuilder
+    var last: String = null
+    val noise = Seq("DETAIL:", "HINT:", "LINE ", "CONTEXT:",
+      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:")
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (i + 1 < lines.length &&
+          lines(i + 1).trim.matches("-{20,}") && last != null) {
+        // `t` is the header; collect data rows to the (N rows) mark
+        var j = i + 2
+        val rows = scala.collection.mutable.Buffer[Seq[String]]()
+        while (j < lines.length &&
+            !lines(j).trim.matches("""\(\d+ rows?\)""")) {
+          rows += lines(j).split("\\|", -1).map(_.trim).toSeq
+          j += 1
+        }
+        res(last) = rows.toSeq
+        last = null
+        i = j + 1
+      } else {
+        if (t.startsWith("ERROR")) { last = null; buf.clear() }
+        else if (noise.exists(t.startsWith) || t.startsWith("--")) ()
+        else {
+          buf.append(lines(i)).append('\n')
+          if (t.endsWith(";")) { last = normSql(buf.toString); buf.clear() }
+        }
+        i += 1
+      }
+    }
+    res.toMap
+  }
+
+  /** One comparison normal form for a result cell, ours or PG's:
+    * numerics as BigDecimal rounded to 4 decimals with trailing zeros
+    * stripped (PG prints numeric avg at 16-20 digits, our decimals
+    * carry scale 4), timestamps without trailing fractional zeros
+    * (java.sql.Timestamp renders `.0`), NULL for SQL null / PG's
+    * empty cell, everything else trimmed text. */
+  private def canonCell(v: Any): String = v match {
+    case null => "NULL"
+    case _ =>
+      val s = v.toString.trim
+      if (s.isEmpty) "NULL"
+      else try {
+        val bd = new java.math.BigDecimal(s)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .stripTrailingZeros()
+        if (bd.signum() == 0) "0" else bd.toPlainString
+      } catch { case _: NumberFormatException =>
+        if (s.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?"""))
+          s.replaceAll("""\.0+$""", "")
+        else {
+          // PG DateStyle=Postgres: `Fri Oct 17 00:00:00 2008` → ISO
+          val pgTs =
+            """(\w{3}) (\w{3}) (\d+) (\d{2}:\d{2}:\d{2})(?:\.\d+)? (\d{4})""".r
+          s match {
+            case pgTs(_, mon, day, time, year) =>
+              val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+              f"$year-${months.indexOf(mon) + 1}%02d-${day.toInt}%02d $time"
+            case _ => s
+          }
+        }
+      }
+  }
+
+  test("CH-benCHmark VALUE-verified replay: ch_benchmarks_create_load" +
+      ".sql builds the \"ch benchmarks\" TPC-C+TPC-H schema " +
+      "(generate_series loads, the reference's own fixtures), then " +
+      "every SELECT in ch_benchmarks_1..6.sql must return the " +
+      "reference's expected rows (pg_regress .out), not merely run") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerInlineFixtures("ch_benchmarks_create_load.sql")
+    val files = (1 to 6).map(i => s"ch_benchmarks_$i.sql")
+    val perFile = files.map { f =>
+      val expected = pgExpectedRows(f)
+      val stmts = selectsOf(f)
+      var matched = 0
+      stmts.foreach { s =>
+        val exp = expected.get(normSql(s))
+        try {
+          val actual = PgDialect.sql(spark, s).collect().toSeq
+            .map(r => (0 until r.length)
+              .map(i => canonCell(r.get(i))).mkString("|"))
+            .sorted
+          exp match {
+            case Some(e) =>
+              val eRows = e.map(_.map(canonCell).mkString("|")).sorted
+              if (actual == eRows) matched += 1
+              else if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+                println(s"CHVDIFF[$f]: " +
+                  s.split('\n').map(_.trim).mkString(" ").take(160) +
+                  s"\n  expect(${eRows.size}): " +
+                  eRows.take(4).mkString(" ;; ") +
+                  s"\n  actual(${actual.size}): " +
+                  actual.take(4).mkString(" ;; "))
+            case None =>
+              if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+                println(s"CHVNOEXP[$f]: " +
+                  s.split('\n').map(_.trim).mkString(" ").take(160))
+          }
+        } catch { case e: Throwable =>
+          if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+            println(s"CHVFAIL[$f]: " +
+              s.split('\n').map(_.trim).mkString(" ").take(160) +
+              "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.filter(_.nonEmpty).take(1).mkString.take(160))
+        }
+      }
+      info(s"$f: $matched/${stmts.size} statements value-match the " +
+        "reference's expected output")
+      (f, matched, stmts.size)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 35, s"expected the CH corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.9,
+      s"only $okTotal/$allTotal CH statements value-match")
   }
 
   test("the reference's CH-benCHmark corpus runs verbatim " +
