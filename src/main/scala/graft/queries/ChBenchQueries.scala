@@ -126,6 +126,105 @@ object ChBenchQueries extends QueryModule {
       GROUP BY c_custkey, c_name, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  private val rev4Sql =
+    "CAST(round(l_extendedprice*100,0) AS BIGINT) * CAST(round((1-l_discount)*100,0) AS BIGINT)"
+
+  /** CH Q2 shape (`ch_benchmarks_1.sql:17-57`): the min-quantity stock
+    * subquery over a 4-way join, rejoined to the outer 5-way join on
+    * BOTH the part key and the min value, with the supplier link being
+    * the computed key `mod(s_w_id*s_i_id, 10000) = su_suppkey`. Citus
+    * plans the derived table as a subquery pushdown over repartitioned
+    * fragments; Spark computes the same min in one grouped pass over
+    * the candidate join and hash-joins it back — the expression key
+    * shuffles both sides on its hash, never a nested loop. Lineitem
+    * stands in for stock (TESTDATA.md has no partsupp); min-equality
+    * is an exact value selection (no arithmetic), so the DuckDB hash
+    * compare is exact on doubles. */
+  private val chQ2MinStock = GraftQuery(
+    "ch_q2_min_stock",
+    (s, dir) => {
+      val stock = t(s, dir, "lineitem").select(
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val eur = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val cand = stock.join(eur,
+        pmod(col("l_partkey") * col("l_suppkey"), lit(100L)) ===
+          col("s_suppkey"))
+      val best = cand.groupBy(col("l_partkey").as("m_pk"))
+        .agg(min(col("l_quantity")).as("m_qty"))
+      t(s, dir, "part").filter(col("p_size").between(10, 30))
+        .join(cand, col("p_partkey") === col("l_partkey"))
+        .join(best, col("p_partkey") === col("m_pk") &&
+          col("l_quantity") === col("m_qty"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("n_name"), col("s_name"), col("p_partkey"),
+          col("s_suppkey"))
+    },
+    Some("""WITH stock AS (
+        SELECT l_partkey, l_suppkey, l_quantity FROM lineitem),
+      eur AS (
+        SELECT s_suppkey, s_name, n_name FROM supplier, nation, region
+        WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'),
+      cand AS (
+        SELECT * FROM stock, eur
+        WHERE (l_partkey * l_suppkey) % 100 = s_suppkey),
+      best AS (
+        SELECT l_partkey AS m_pk, min(l_quantity) AS m_qty
+        FROM cand GROUP BY 1)
+      SELECT s_suppkey, s_name, n_name, p_partkey, p_name
+      FROM part, cand, best
+      WHERE p_partkey = l_partkey AND p_size BETWEEN 10 AND 30
+        AND p_partkey = m_pk AND l_quantity = m_qty
+      ORDER BY n_name, s_name, p_partkey, s_suppkey"""))
+
+  /** CH Q8 shape (`ch_benchmarks_2.sql:1-37`): national market share —
+    * a conditional-sum ratio per year with TWO nation copies (customer
+    * side n1 filtered through region, supplier side n2 feeding the CASE)
+    * and the mod-expression supplier link. Both sums aggregate exact
+    * cents-products as BIGINT; the final ratio is one double division of
+    * identical longs in both engines, so the hash compare is exact. */
+  private val chMarketShare = GraftQuery(
+    "ch_market_share",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31")))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region")))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("n2_name")))
+      val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE"))
+      val rev = cents(col("l_extendedprice")) * oneMinusCents(col("l_discount"))
+      li.join(t(s, dir, "supplier"),
+          pmod(col("l_partkey") * col("l_suppkey"), lit(100L)) === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("n1_key"))
+        .join(reg, col("n1_region") === col("r_regionkey"))
+        .join(n2, col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("l_year"))
+        .agg((sum(when(col("n2_name") === "GERMANY", rev).otherwise(lit(0L)))
+          .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+        .orderBy(col("l_year"))
+    },
+    Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS l_year,
+        CAST(SUM(CASE WHEN n2.n_name = 'GERMANY' THEN $rev4Sql ELSE 0 END) AS DOUBLE)
+          / CAST(SUM($rev4Sql) AS DOUBLE) AS mkt_share
+      FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+      WHERE (l_partkey * l_suppkey) % 100 = s_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      GROUP BY l_year ORDER BY l_year"""))
+
   def queries: Seq[GraftQuery] =
-    Seq(havingSubquery, exprJoinProfit, asciiThetaRevenue)
+    Seq(havingSubquery, exprJoinProfit, asciiThetaRevenue,
+      chQ2MinStock, chMarketShare)
 }
