@@ -432,6 +432,12 @@ object PgDialect {
     * untouched. */
   def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
+    // PG's typed two-arg min/max pair functions (int4smaller etc.,
+    // pg_proc.dat) are plain least/greatest of the pair
+    s = """(?i)\b(?:int[248]|float[48]|date|time|timestamp(?:tz)?|numeric|oid|money|interval)(smaller|larger)\s*\(""".r
+      .replaceAllIn(s, m =>
+        if (m.group(1).equalsIgnoreCase("smaller")) "least("
+        else "greatest(")
     // PG's 1-arg numeric trunc (toward zero); Spark's trunc is the
     // 2-arg date form — only the comma-free call rewrites. `x - x%1`
     // truncates toward zero while PRESERVING the operand's type
@@ -1138,9 +1144,15 @@ object PgDialect {
         case (o, _)               => s"forall($arr, __x -> $x $o __x)"
       })
     })
+    // parens directly wrapping an array literal (`x @> (ARRAY[2,3])`,
+    // recursive_relation_planning_restriction_pushdown.sql) collapse so
+    // the operand pattern below sees the literal
+    val quantP = """\(\s*(array\((?:[^()]++|\([^()]*+\))*+\))\s*\)""".r
+      .replaceAllIn(quant, m =>
+        java.util.regex.Matcher.quoteReplacement(m.group(1)))
     val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val opRe = (operand + """\s*(@>|<@|&&)\s*""" + operand).r
-    val rewritten = opRe.replaceAllIn(quant, m => {
+    val rewritten = opRe.replaceAllIn(quantP, m => {
       val (a, op, b) = (m.group(1), m.group(2), m.group(3))
       java.util.regex.Matcher.quoteReplacement(op match {
         case "@>" => s"forall($b, __x -> array_contains($a, __x))"
@@ -1409,6 +1421,72 @@ object PgDialect {
     ("", sql)
   }
 
+  /** Composite types (`CREATE TYPE name AS (fields)`,
+    * recursive_relation_planning_restriction_pushdown.sql): row
+    * literals cast to a registered composite — `(83, 'x')::new_type` —
+    * become named_struct with the DECLARED field names and types, so
+    * struct-typed columns compare and join correctly. A cast on a
+    * non-row operand (already struct-typed column) just drops. */
+  private val compositeTypes = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String)]]
+
+  def registerCompositeType(name: String,
+      fields: Seq[(String, String)]): Unit =
+    compositeTypes.put(
+      name.substring(name.lastIndexOf('.') + 1).toLowerCase, fields)
+
+  def compositeFields(name: String): Option[Seq[(String, String)]] =
+    compositeTypes.get(name.toLowerCase)
+
+  def rewriteCompositeLiterals(sql: String): String = {
+    if (compositeTypes.isEmpty) return sql
+    var s = sql
+    var go = true
+    while (go) {
+      go = false
+      val hit = """::\s*([A-Za-z_]\w*)""".r.findAllMatchIn(s)
+        .find(m => compositeTypes.contains(m.group(1).toLowerCase))
+      hit.foreach { mm =>
+        val fields = compositeTypes(mm.group(1).toLowerCase)
+        var handled = false
+        var i = mm.start - 1
+        while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+        if (i >= 0 && s.charAt(i) == ')') {
+          var d = 0; var j = i
+          while (j >= 0 && {
+            val c = s.charAt(j)
+            d += (if (c == ')') 1 else if (c == '(') -1 else 0)
+            d != 0
+          }) j -= 1
+          if (j >= 0) {
+            val inner = s.substring(j + 1, i)
+            // optional ROW keyword before the parens
+            var k = j - 1
+            while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+            val rowStart =
+              if (k >= 2 &&
+                s.substring(k - 2, k + 1).equalsIgnoreCase("row") &&
+                (k - 3 < 0 || { val c = s.charAt(k - 3)
+                  !c.isLetterOrDigit && c != '_' })) k - 2
+              else j
+            val parts = splitTopLevel(inner)
+            if (parts.length == fields.length) {
+              val ns = fields.zip(parts).map { case ((fn, ft), v) =>
+                s"'$fn', CAST(($v) AS $ft)"
+              }.mkString("named_struct(", ", ", ")")
+              s = s.substring(0, rowStart) + ns + s.substring(mm.end)
+              handled = true
+            }
+          }
+        }
+        if (!handled)
+          s = s.substring(0, mm.start) + s.substring(mm.end)
+        go = true
+      }
+    }
+    s
+  }
+
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
     // ride the full dialect pipeline below
@@ -1424,10 +1502,10 @@ object PgDialect {
     val (withPre, mainQ) = splitWithPrelude(scoped)
     val top = withPre +
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
-    rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRegexOps(rewriteArrayOps(
+    rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(
-          rewriteTableSpelling(top))))))))))))
+          rewriteTableSpelling(top)))))))))))))
   }
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`

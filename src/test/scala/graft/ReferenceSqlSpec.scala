@@ -44,7 +44,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val buf = new StringBuilder
     var last: String = null
     val noise = Seq("DETAIL:", "HINT:", "LINE ", "CONTEXT:",
-      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:")
+      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:",
+      // PG error-context trailer lines (after an ERROR the server echoes
+      // the failing inner statement and its PL/pgSQL frame)
+      "SQL statement", "PL/pgSQL function", "SQL function")
     // ISO-8859-1: lossless byte→char for line scanning (some .out
     // files contain non-UTF-8 bytes in data rows)
     scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line =>
@@ -1285,17 +1288,24 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * rows, and the `(N rows)` terminator; statements with no block
     * (SET etc.) simply don't appear in the map. */
   private def pgExpectedRows(file: String)
-      : Map[String, Seq[Seq[String]]] = {
+      : Map[String, Seq[Seq[Seq[String]]]] = {
     val out = new java.io.File(refExpDir,
       file.stripSuffix(".sql") + ".out")
     if (!out.isFile) return Map.empty
     val lines = scala.io.Source.fromFile(out, "ISO-8859-1")
       .getLines().toVector
-    val res = scala.collection.mutable.Map[String, Seq[Seq[String]]]()
+    // a statement can repeat with DIFFERENT results as the file
+    // mutates state (`SELECT * FROM t ORDER BY 1` probes) — keep every
+    // occurrence's block IN ORDER; consumers walk them positionally
+    val res = scala.collection.mutable
+      .Map[String, Seq[Seq[Seq[String]]]]()
     val buf = new StringBuilder
     var last: String = null
     val noise = Seq("DETAIL:", "HINT:", "LINE ", "CONTEXT:",
-      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:")
+      "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:",
+      // PG error-context trailer lines (after an ERROR the server echoes
+      // the failing inner statement and its PL/pgSQL frame)
+      "SQL statement", "PL/pgSQL function", "SQL function")
     var i = 0
     while (i < lines.length) {
       val t = lines(i).trim
@@ -1309,7 +1319,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
           rows += lines(j).split("\\|", -1).map(_.trim).toSeq
           j += 1
         }
-        res(last) = rows.toSeq
+        res(last) = res.getOrElse(last, Seq.empty) :+ rows.toSeq
         last = null
         i = j + 1
       } else {
@@ -1369,10 +1379,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val files = (1 to 6).map(i => s"ch_benchmarks_$i.sql")
     val perFile = files.map { f =>
       val expected = pgExpectedRows(f)
+      val seen = scala.collection.mutable.Map[String, Int]()
       val stmts = selectsOf(f)
       var matched = 0
       stmts.foreach { s =>
-        val exp = expected.get(normSql(s))
+        val k = normSql(s)
+        val occ = seen.getOrElse(k, 0); seen(k) = occ + 1
+        val exp = expected.get(k).flatMap(_.lift(occ))
         try {
           val actual = PgDialect.sql(spark, s).collect().toSeq
             .map(r => (0 until r.length)
@@ -1589,10 +1602,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val colDefaults = collection.mutable.Map[(String, String), String]()
     // CREATE SCHEMA names seen — their qualifiers strip off statements
     val schemaNames = collection.mutable.Set[String]()
-    // zero-arg LANGUAGE SQL fixture functions: name → body statements
-    // (`SELECT insert_data()` replays them; plpgsql bodies store empty
-    // so helper calls no-op instead of failing)
+    // LANGUAGE SQL fixture functions/procedures: name → body statements
+    // (`SELECT insert_data()` / `CALL proc(args)` replays them; opaque
+    // plpgsql bodies store empty so helper calls no-op instead of
+    // failing)
     val fnBodies = collection.mutable.Map[String, Seq[String]]()
+    // function/procedure parameter NAMES (empty string for unnamed
+    // positional params) — CALL/SELECT-invocation splices them
+    val fnParams = collection.mutable.Map[String, Seq[String]]()
+    // explicit UNIQUE constraints/indexes: table → unique column sets.
+    // Inserts check them (PG's duplicate-key error) so procedure-body
+    // replay can reproduce error-then-rollback-to-last-COMMIT. PKs are
+    // deliberately NOT tracked — only spelled-out UNIQUE surface.
+    val uniques = collection.mutable.Map[String, Seq[Seq[String]]]()
     // PREPARE name(args) AS body — EXECUTE splices $N textually and
     // reprocesses the spliced statement, so prepared SELECTs AND
     // prepared DML both replay (the reference's coordinator_evaluation
@@ -1604,7 +1626,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
       keep: String => Boolean,
       state: ReplayState = new ReplayState,
       countDml: Boolean = false,
-      transform: String => String = identity): (Int, Int) = {
+      transform: String => String = identity,
+      // statements for which run-success is not enough: the result must
+      // VALUE-match the pg_regress expected .out block (only meaningful
+      // for queries over the file's own in-file-loaded data)
+      valueCheck: String => Boolean = _ => false): (Int, Int) = {
+    lazy val expectedVals = pgExpectedRows(file)
+    val expectedSeen = scala.collection.mutable.Map[String, Int]()
     val raw = transform(new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath)))
     // statements PG itself rejects (expected .out records ERROR) are
@@ -1686,7 +1714,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
     }
     def sparkType(pg: String): String = {
       val t = pg.trim.toLowerCase
-      if (t.contains("[")) // PG array column (`text[]`)
+      val baseName = t.takeWhile(c => c.isLetterOrDigit || c == '_')
+      if (graft.sql.PgDialect.compositeFields(baseName).isDefined)
+        // registered composite type (CREATE TYPE .. AS (..)) → struct
+        "STRUCT<" + graft.sql.PgDialect.compositeFields(baseName).get
+          .map { case (n2, ft) => s"$n2: $ft" }.mkString(", ") + ">"
+      else if (t.contains("[")) // PG array column (`text[]`)
         "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
       else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
@@ -2007,8 +2040,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
       ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)\s+DETACH\s+""" +
         """PARTITION\s+([A-Za-z_][\w.]*)\s*;?\s*$""").r
     val createFnRe =
-      """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][\w.]*)\s*\([^)]*\)(.*)$""".r
-    val selFnRe = """(?is)^SELECT\s+([A-Za-z_][\w.]*)\s*\(\s*\)\s*$""".r
+      """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:FUNCTION|PROCEDURE)\s+([A-Za-z_][\w.]*)\s*\(([^)]*)\)(.*)$""".r
+    val selFnRe =
+      """(?is)^SELECT\s+([A-Za-z_][\w.]*)\s*\((.*)\)\s*$""".r
+    val callRe =
+      """(?is)^CALL\s+([A-Za-z_][\w.]*)\s*\((.*)\)\s*$""".r
     // ALTER TABLE t ADD/DROP COLUMN — live-state schema evolution
     val alterAddRe =
       ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s+""" +
@@ -2181,6 +2217,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 conflictCols, "left_anti"))
           }
           val snap = freshen(batch.localCheckpoint(true))
+          // explicit UNIQUE constraints: duplicate keys (NULL-free, PG
+          // semantics) raise the duplicate-key error BEFORE any state
+          // change, so strict (procedure-body) replay can roll back
+          state.uniques.getOrElse(n, Seq.empty).foreach { ucols =>
+            if (ucols.forall(c => schema.exists(_._1.equalsIgnoreCase(c)))) {
+              val merged = data.get(n).flatten
+                .map(_.unionAll(snap)).getOrElse(snap)
+              val dups = merged
+                .filter(ucols.map(c => col(c).isNotNull).reduce(_ && _))
+                .groupBy(ucols.map(col): _*).count()
+                .filter(col("count") > 1).limit(1).count()
+              if (dups > 0) throw new RuntimeException(
+                s"duplicate key value violates unique constraint on " +
+                  s"$n(${ucols.mkString(",")})")
+            }
+          }
           data(n) = Some(compact(data.get(n).flatten
             .map(_.unionAll(snap)).getOrElse(snap)))
           register(n)
@@ -2337,8 +2389,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
 
     var ok = 0; var ran = 0
     // `countable` is false while replaying a fixture function's body —
-    // those statements are data loads, not corpus surface
-    def processStmt(stmt0: String, countable: Boolean): Unit = {
+    // those statements are data loads, not corpus surface. `strict`
+    // (procedure-body replay) propagates DML errors to the caller so
+    // runFnBody can roll back to the last COMMIT, as PG does.
+    def processStmt(stmt0: String, countable: Boolean,
+        strict: Boolean = false): Unit = {
       // CREATE TABLE storage options (`WITH (autovacuum_enabled=off)`)
       // carry no dataframe meaning — strip so the column list parses
       var stmt =
@@ -2369,6 +2424,38 @@ class ReferenceSqlSpec extends AnyFunSuite {
           out
         }.mkString("'")
       }
+      // record explicit UNIQUE surface (column UNIQUE, table-level
+      // UNIQUE(...), CREATE UNIQUE INDEX) — inserts enforce it
+      """(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)""".r
+        .findFirstMatchIn(stmt).foreach { m =>
+          val tn = strip(m.group(1))
+          val us = collection.mutable.Buffer[Seq[String]]()
+          splitTop(m.group(2)).foreach { it =>
+            val t = it.trim
+            val mU = """(?is)^UNIQUE\s*\(([^)]*)\)""".r.findFirstMatchIn(t)
+            if (mU.isDefined)
+              us += mU.get.group(1).split(",").map(_.trim.toLowerCase).toSeq
+            else {
+              val w = t.split("\\s+")
+              if (w.length >= 2 &&
+                """(?i)\bUNIQUE\b""".r
+                  .findFirstIn(t.substring(w(0).length)).isDefined &&
+                !constraintKw.contains(w(0).toLowerCase))
+                us += Seq(w(0).toLowerCase)
+            }
+          }
+          if (us.nonEmpty) state.uniques(tn) = us.toSeq
+        }
+      """(?is)^CREATE\s+UNIQUE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?[\w"]+\s+ON\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)\s*(?:USING\s+\w+\s*)?\(([^)]*)\)""".r
+        .findFirstMatchIn(stmt).foreach { m =>
+          val tn = strip(m.group(1))
+          val cols = m.group(2).split(",").map(_.trim.toLowerCase).toSeq
+          // expression indexes (parens/functions in the column list)
+          // have no simple column-set check — skip them
+          if (cols.forall(_.matches("""[a-z_]\w*""")))
+            state.uniques(tn) =
+              state.uniques.getOrElse(tn, Seq.empty) :+ cols
+        }
       // PG's ONLY on a declarative-partition parent addresses the
       // parent's OWN storage, which is empty (all rows live in
       // partitions): query position → empty relation; DML position →
@@ -2513,6 +2600,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
               applyDelete(name, Option(alias), using, cond)
               if (counted) ok += 1
             } catch { case e: Throwable =>
+              if (strict) throw e
               dbgFail(stmt, e); register(base(strip(name))) }
           }
         case updateHeadRe(name, alias, rest0)
@@ -2535,6 +2623,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
               applyUpdate(name, Option(alias), sets, from, cond)
               if (counted) ok += 1
             } catch { case e: Throwable =>
+              if (strict) throw e
               dbgFail(stmt, e); register(base(strip(name))) }
           }
         case createRe(name, body) =>
@@ -2588,7 +2677,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
               val (r1, _) = stripReturning(rest.trim)
               applyInsert(name, Option(colList), r1)
               if (counted) ok += 1
-            } catch { case e: Throwable => dbgFail(stmt, e) }
+            } catch { case e: Throwable =>
+              if (strict) throw e
+              dbgFail(stmt, e)
+            }
           }
         case truncateRe(names) =>
           splitTop(names).map(_.replaceAll("(?is)\\s+CASCADE\\s*$", ""))
@@ -2623,9 +2715,25 @@ class ReferenceSqlSpec extends AnyFunSuite {
             }
             spark.catalog.dropTempView(n)
           }
-        // zero-arg LANGUAGE SQL fixture functions: store the body
-        // statements; plpgsql/helper languages store empty (their
-        // later invocations no-op instead of failing the replay)
+        // composite row types: register so column declarations become
+        // structs and `(a, b)::name` literals become named_structs
+        case s if """(?is)^CREATE\s+TYPE\s+[A-Za-z_][\w.]*\s+AS\s*\(""".r
+            .findPrefixMatchOf(s).isDefined =>
+          """(?is)^CREATE\s+TYPE\s+([A-Za-z_][\w.]*)\s+AS\s*\((.*)\)\s*$""".r
+            .findFirstMatchIn(s).foreach { m =>
+              val fields = splitTop(m.group(2)).flatMap { it =>
+                val parts = it.trim.split("\\s+", 2)
+                if (parts.length < 2) None
+                else Some(parts(0).toLowerCase -> sparkType(parts(1)))
+              }
+              if (fields.nonEmpty)
+                graft.sql.PgDialect.registerCompositeType(
+                  strip(m.group(1)), fields)
+            }
+        // LANGUAGE SQL (and simple-plpgsql) fixture functions and
+        // procedures: store the body statements + parameter names;
+        // opaque plpgsql (control flow) stores empty so later
+        // invocations no-op instead of failing the replay
         case s if createFnRe.findFirstMatchIn(s).isDefined =>
           // arg-ful SQL / simple-plpgsql functions register for
           // FROM/JOIN function-scan macro expansion (the reference's
@@ -2633,15 +2741,80 @@ class ReferenceSqlSpec extends AnyFunSuite {
           graft.sql.TableFunctions.registerFromCreate(s)
           val m = createFnRe.findFirstMatchIn(s).get
           val name = strip(m.group(1))
-          val tail = m.group(2)
+          val params = splitTop(m.group(2)).map { p =>
+            val ws = p.trim.split("\\s+").toSeq
+              .filterNot(w => Set("in", "out", "inout", "variadic")
+                .contains(w.toLowerCase))
+            if (ws.length >= 2) ws.head.toLowerCase else ""
+          }
+          val tail = m.group(3)
           val isSql =
             """(?is)LANGUAGE\s+'?SQL'?""".r.findFirstIn(tail).isDefined
+          val isPlpgsql =
+            """(?is)LANGUAGE\s+'?PLPGSQL'?""".r.findFirstIn(tail).isDefined
+          // body: dollar-quoted, else the AS '...' single-quoted form
+          // ('' unescapes to ')
           val body = """(?s)\$([A-Za-z]*)\$(.*)\$\1\$""".r
-            .findFirstMatchIn(tail).map(_.group(2)).getOrElse("")
+            .findFirstMatchIn(tail).map(_.group(2))
+            .orElse("""(?is)\bAS\s+'((?:[^']|'')*)'""".r
+              .findFirstMatchIn(tail).map(_.group(1).replace("''", "'")))
+            .getOrElse("")
+          // simple plpgsql: a bare BEGIN..END around plain statements
+          // unwraps; any control flow makes the body opaque
+          val sqlBody =
+            if (isSql) Some(body)
+            else if (isPlpgsql &&
+              """(?is)\b(IF|LOOP|WHILE|FOR|RAISE|DECLARE|PERFORM|RETURN)\b""".r
+                .findFirstIn(body).isEmpty)
+              Some(body
+                .replaceAll("(?is)^\\s*BEGIN\\b", "")
+                .replaceAll("(?is)\\bEND\\s*;?\\s*$", ""))
+            else None
+          state.fnParams(name) = params
+          val stmts0 = sqlBody.map(splitSqlText).getOrElse(Seq.empty)
+            .map(_.trim).filterNot(st => st.isEmpty ||
+              st.equalsIgnoreCase("BEGIN") || st.equalsIgnoreCase("END"))
+          // PG rejects COMMIT/ROLLBACK inside LANGUAGE SQL bodies at
+          // validation — such a function/procedure never runs anything
           state.fnBodies(name) =
-            if (isSql) splitSqlText(body) else Seq.empty
-        case selFnRe(fn) if state.fnBodies.contains(strip(fn)) =>
-          state.fnBodies(strip(fn)).foreach(processStmt(_, false))
+            if (isSql && stmts0.exists(st =>
+              st.equalsIgnoreCase("COMMIT") ||
+                st.equalsIgnoreCase("ROLLBACK"))) Seq.empty
+            else stmts0
+        case s if selFnRe.findFirstMatchIn(s).exists(m =>
+            state.fnBodies.contains(strip(m.group(1)))) =>
+          val m = selFnRe.findFirstMatchIn(s).get
+          if (pgErrs.contains(normSql(s))) {
+            // the reference errors this call too (constraint violation
+            // etc.): execute for the state side effects up to the
+            // error/rollback point, expect the throw, don't count
+            try runFnBody(strip(m.group(1)), m.group(2))
+            catch { case _: Throwable => () }
+          } else {
+            val counted = countable && keep(s)
+            if (counted) ran += 1
+            try {
+              runFnBody(strip(m.group(1)), m.group(2))
+              if (counted) ok += 1
+            } catch { case e: Throwable => dbgFail(s, e) }
+          }
+        // CALL proc(args): run the body with PG procedure transaction
+        // semantics — COMMIT pins the current state as the restore
+        // point, ROLLBACK restores it; the tail commits at CALL end
+        case callRe(fn, args) if state.fnBodies.contains(strip(fn)) =>
+          if (pgErrs.contains(normSql(stmt))) {
+            // reference-rejected CALL: effects up to the last COMMIT
+            // still apply (PG procedure semantics) — run, expect throw
+            try runFnBody(strip(fn), args)
+            catch { case _: Throwable => () }
+          } else {
+            val counted = countable && countDml && keep(stmt)
+            if (counted) ran += 1
+            try {
+              runFnBody(strip(fn), args)
+              if (counted) ok += 1
+            } catch { case e: Throwable => dbgFail(stmt, e) }
+          }
         case s if s.toUpperCase.startsWith("MERGE") ||
             (s.toUpperCase.startsWith("WITH") &&
               """(?i)\bMERGE\s+INTO\b""".r
@@ -2696,7 +2869,29 @@ class ReferenceSqlSpec extends AnyFunSuite {
               """(?i)\b(SELECT|TABLE)\b""".r.findFirstIn(q).isDefined)) &&
             keep(q) && !pgErrs.contains(normSql(q)) =>
           if (countable) ran += 1
-          try { PgDialect.sql(spark, q).count(); if (countable) ok += 1 }
+          try {
+            val df = PgDialect.sql(spark, q)
+            val expBlock = if (valueCheck(q)) {
+              val k = normSql(q)
+              val occ = expectedSeen.getOrElse(k, 0)
+              expectedSeen(k) = occ + 1
+              expectedVals.get(k).flatMap(_.lift(occ))
+            } else None
+            expBlock match {
+              case Some(exp) =>
+                val actual = df.collect().toSeq
+                  .map(r => (0 until r.length)
+                    .map(i => canonCell(r.get(i))).mkString("|")).sorted
+                val eRows = exp.map(_.map(canonCell).mkString("|")).sorted
+                if (actual == eRows) { if (countable) ok += 1 }
+                else dbgFail(q, new Exception(
+                  s"VALUE mismatch: expected ${eRows.size} rows " +
+                    s"[${eRows.take(3).mkString(" ;; ")}], got " +
+                    s"${actual.size} [${actual.take(3).mkString(" ;; ")}]"))
+              case None =>
+                df.count(); if (countable) ok += 1
+            }
+          }
           catch { case e: Throwable =>
             if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
               println(s"$tag[$file]: " +
@@ -2707,6 +2902,67 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   .take(1).mkString.take(140))
           }
         case _ => ()
+      }
+    }
+
+    /** Execute a registered function/procedure body with its arguments
+      * spliced in. Positional `$N` always substitutes; NAMED parameters
+      * substitute inside INSERT..VALUES (no columns in scope there, PG
+      * resolves the name to the param) and elsewhere only when the name
+      * is NOT a column of a live table referenced by the statement (the
+      * reference's bodies follow PG's column-first resolution:
+      * sql_procedure.sql names params tt_* exactly because of it).
+      * COMMIT pins the current live state as the restore point and
+      * ROLLBACK restores it — PG procedure transaction semantics; the
+      * tail after the last COMMIT commits at CALL end. */
+    def runFnBody(name: String, argText: String): Unit = {
+      val args =
+        if (argText.trim.isEmpty) Seq.empty else splitTop(argText)
+      val params = state.fnParams.getOrElse(name, Seq.empty)
+      val body = state.fnBodies(name)
+      var committed = state.data.toMap
+      body.foreach { st0 =>
+        var st = """\$(\d+)""".r.replaceAllIn(st0, mm => {
+          val i = mm.group(1).toInt
+          if (i <= args.length)
+            java.util.regex.Matcher.quoteReplacement(s"(${args(i - 1)})")
+          else mm.matched
+        })
+        val isInsertValues =
+          """(?is)^INSERT\s[^;]*\bVALUES\b""".r.findFirstIn(st).isDefined
+        params.zipWithIndex.foreach { case (p, i) =>
+          if (p.nonEmpty && i < args.length) {
+            val isCol = !isInsertValues && state.schemas.exists {
+              case (tn, cols) =>
+                cols.exists(_._1.equalsIgnoreCase(p)) &&
+                  ("""(?i)\b""" + java.util.regex.Pattern.quote(tn) +
+                    """\b""").r.findFirstIn(st).isDefined
+            }
+            if (!isCol)
+              st = ("""(?i)(?<![\w.$'])""" +
+                java.util.regex.Pattern.quote(p) + """(?![\w.])""").r
+                .replaceAllIn(st,
+                  java.util.regex.Matcher.quoteReplacement(s"(${args(i)})"))
+          }
+        }
+        if (sys.env.contains("SPARK_GRAFT_FN_TRACE"))
+          println(s"FNTRACE[$name]: " +
+            st.split('\n').map(_.trim).mkString(" ").take(120))
+        val u = st.trim.stripSuffix(";").trim.toUpperCase
+        if (u == "COMMIT") committed = state.data.toMap
+        else if (u == "ROLLBACK") {
+          state.data.clear(); state.data ++= committed
+          committed.keys.foreach(register)
+        } else
+          try processStmt(st, false, strict = true)
+          catch { case e: Throwable =>
+            // PG: an error aborts the procedure's open transaction —
+            // state falls back to the last COMMIT (for functions, the
+            // whole atomic body), THEN the error surfaces to the CALL
+            state.data.clear(); state.data ++= committed
+            committed.keys.foreach(register)
+            throw e
+          }
       }
     }
 
@@ -3791,6 +4047,43 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok.toDouble / ran >= 0.9, s"only $ok/$ran ran")
   }
 
+  test("the reference's recursive-planning stress corpora run " +
+      "(non_colocated_leaf_subquery_joins.sql: the explain_json-" +
+      "wrapped non-colocated leaf subquery joins execute directly; " +
+      "recursive_relation_planning_restriction_pushdown.sql: filter " +
+      "pushdown through recursively-planned local⋈distributed joins, " +
+      "composite-type and array-operator predicates — " +
+      "planner/recursive_planning.c)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerBehavioralFixtures()
+    val keepA: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("$$") && !s.contains("RETURNING") &&
+        !s.contains("log_error_verbosity")
+    val (okA, ranA) = replayFile("non_colocated_leaf_subquery_joins.sql",
+      "NCLFAIL", keepA)
+    info(s"non_colocated_leaf_subquery_joins.sql: $okA/$ranA " +
+      "statements run")
+    val keepB: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_")
+    val (okB, ranB) = replayFile(
+      "recursive_relation_planning_restriction_pushdown.sql",
+      "RRPFAIL", keepB, new ReplayState, countDml = true)
+    info(s"recursive_relation_planning_restriction_pushdown.sql: " +
+      s"$okB/$ranB statements run")
+    // the leaf file wraps exactly 7 bodies in explain_json
+    assert(ranA >= 7, s"expected the full leaf corpus, got $ranA")
+    assert(ranB >= 30, s"expected a sizable corpus, got $ranB")
+    assert((okA + okB).toDouble / (ranA + ranB) >= 0.85,
+      s"only ${okA + okB}/${ranA + ranB} statements ran")
+  }
+
   test("sequential replay of the INSERT..SELECT behavioral corpora " +
       "(multi_insert_select_window.sql, " +
       "multi_insert_select_non_pushable_queries.sql, " +
@@ -4149,6 +4442,43 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okT, allT) = (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allT >= 120, s"expected a sizable corpus, got $allT")
     assert(okT.toDouble / allT >= 0.85, s"only $okT/$allT ran")
+  }
+
+  test("sequential replay of multi_sql_function.sql + sql_procedure" +
+      ".sql — LANGUAGE SQL function bodies as query wrappers (single-" +
+      "quoted and $$ bodies, positional $N and named parameters, DML " +
+      "bodies via SELECT fn(...)), and CALL with PG procedure COMMIT/" +
+      "ROLLBACK semantics; in-file-data probes VALUE-checked against " +
+      "the pg_regress expected output") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("information_schema") && !s.contains("worker_")
+    // value-verify every probe over the files' own in-file-loaded
+    // tables (the TPC-H-backed sql_test_no_* calls run against OUR
+    // testdata, so only run-success applies there)
+    val vcheck: String => Boolean = s =>
+      s.contains("temp_table") || s.contains("test_table") ||
+        s.contains("table_with_unique_constraint")
+    val perFile = Seq("multi_sql_function.sql", "sql_procedure.sql")
+      .map { f =>
+        val st = new ReplayState
+        val (ok, ran) = replayFile(f, "SQLFNFAIL", keep, st,
+          countDml = true, valueCheck = vcheck)
+        info(s"$f: $ok/$ran statements run (value-checked probes " +
+          "included)")
+        (f, ok, ran)
+      }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.85,
+      s"only $okTotal/$allTotal statements ran")
   }
 
   test("sequential replay of multi_mx_router_planner.sql — the MX " +
