@@ -4988,9 +4988,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
     spark.sql("SELECT CAST(NULL AS STRUCT<f1: INT, f2: STRING>) " +
         "AS composite_column WHERE false")
       .createOrReplaceTempView("composite_partitioned_table")
+    // multi_join_order_additional re-creates lineitem/orders/customer
+    // under hash-distributed names (identical schema, different
+    // distribution metadata — physical layout only here) and joins the
+    // behavioral-analytics fixtures in its chained-join finale
+    registerBehavioralFixtures()
+    Seq("lineitem_hash" -> "lineitem", "orders_hash" -> "orders",
+      "customer_hash" -> "customer").foreach { case (a, t) =>
+      spark.table(t).createOrReplaceTempView(a)
+    }
     val perFile = Seq("multi_join_order_tpch_small.sql",
       "multi_join_order_tpch_repartition.sql",
-      "multi_join_pruning.sql").map { f =>
+      "multi_join_pruning.sql",
+      "multi_join_order_additional.sql").map { f =>
       val stmts = explainSelectsOf(f)
       val outcomes = stmts.map { s =>
         try { PgDialect.sql(spark, s).count(); true }
