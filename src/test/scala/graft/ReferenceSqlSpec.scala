@@ -1610,6 +1610,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // function/procedure parameter NAMES (empty string for unnamed
     // positional params) — CALL/SELECT-invocation splices them
     val fnParams = collection.mutable.Map[String, Seq[String]]()
+    // materialized views: name → (body, declared column list). The
+    // registered view is a localCheckpoint SNAPSHOT — later base-table
+    // DML is invisible until REFRESH re-evaluates the body (PG matview
+    // semantics, columnar_matview.sql)
+    val matviews =
+      collection.mutable.Map[String, (String, Option[String])]()
     // explicit UNIQUE constraints/indexes: table → unique column sets.
     // Inserts check them (PG's duplicate-key error) so procedure-body
     // replay can reproduce error-then-rollback-to-last-COMMIT. PKs are
@@ -1655,6 +1661,53 @@ class ReferenceSqlSpec extends AnyFunSuite {
         if (rows.isEmpty) " "
         else s"INSERT INTO ${m.group(1)}$cols VALUES $rows;")
     })
+    // COPY t FROM '<csv file>' WITH CSV (columnar_data_types.sql via
+    // the psql-var transform): parse the file (quote-aware, PG CSV
+    // NULL = unquoted empty) and splice an equivalent INSERT..VALUES
+    val copyFileRe =
+      ("""(?is)COPY\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s+FROM\s+""" +
+        """'([^']+\.csv)'\s*(?:WITH\s*)?\(?\s*(?:FORMAT\s+)?CSV\s*\)?\s*;""").r
+    val converted1 = copyFileRe.replaceAllIn(converted, m => {
+      val f2 = new java.io.File(m.group(3))
+      if (!f2.isFile) " " else {
+        def parseLine(ln: String): Seq[Option[String]] = {
+          val out = collection.mutable.Buffer[Option[String]]()
+          val cur = new StringBuilder
+          var i = 0; var inQ = false; var wasQ = false
+          while (i < ln.length) {
+            val c = ln.charAt(i)
+            if (inQ) {
+              if (c == '"') {
+                if (i + 1 < ln.length && ln.charAt(i + 1) == '"') {
+                  cur += '"'; i += 1
+                } else inQ = false
+              } else cur += c
+            } else c match {
+              case '"' => inQ = true; wasQ = true
+              case ',' =>
+                out += (if (!wasQ && cur.isEmpty) None
+                  else Some(cur.toString))
+                cur.clear(); wasQ = false
+              case o => cur += o
+            }
+            i += 1
+          }
+          out += (if (!wasQ && cur.isEmpty) None else Some(cur.toString))
+          out.toSeq
+        }
+        val rows = scala.io.Source.fromFile(f2, "ISO-8859-1").getLines()
+          .filter(_.nonEmpty).map { ln =>
+            parseLine(ln).map {
+              case None => "NULL"
+              case Some(v) => "'" + v.replace("'", "''") + "'"
+            }.mkString("(", ", ", ")")
+          }.mkString(", ")
+        val cols = Option(m.group(2)).map(c => s" ($c)").getOrElse("")
+        java.util.regex.Matcher.quoteReplacement(
+          if (rows.isEmpty) " "
+          else s"INSERT INTO ${m.group(1)}$cols VALUES $rows;")
+      }
+    })
     // EXPLAIN-helper wrappers: corpora suppress plan noise by round-
     // tripping queries through plpgsql helpers (`SELECT true AS valid
     // FROM explain_json_2($$ <query> $$)`); the wrapped query IS the
@@ -1663,7 +1716,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // "select" would otherwise satisfy the wrapper regex's SELECT
     // anchor and splice the unwrapped query into the comment line
     // (multi_insert_select_conflict.sql:152 "...for the insert/select")
-    val convertedNC = converted.linesIterator
+    val convertedNC = converted1.linesIterator
       .filterNot(_.trim.startsWith("--")).mkString("\n")
     val explWrapRe =
       """(?is)SELECT\s+[^;()]*?\bexplain_json(?:_2)?\s*\(\s*\$\$(.*?)\$\$\s*\)\s*;""".r
@@ -2161,7 +2214,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
           if (srcIsString && ct.trim.toUpperCase.startsWith("ARRAY"))
             org.apache.spark.sql.functions.expr(
               s"from_json(translate(__src$i, '{}', '[]'), '$ct')").as(cn)
-          else col(s"__src$i").cast(ct).as(cn)
+          else if (srcIsString && ct.trim.toUpperCase.startsWith("STRUCT")) {
+            // PG composite text '(1,"text")' → strip parens, parse the
+            // inner CSV against the struct's field schema
+            val ddl = splitTop(ct.trim
+              .replaceAll("(?is)^STRUCT\\s*<", "").stripSuffix(">"))
+              .map(f => f.replaceFirst(":\\s*", " ")).mkString(", ")
+            org.apache.spark.sql.functions.expr(
+              s"from_csv(regexp_replace(__src$i, '^\\\\((.*)\\\\)$$', " +
+                s"'$$1'), '$ddl')").as(cn)
+          } else col(s"__src$i").cast(ct).as(cn)
         } else lit(null).cast(ct).as(cn)
       }
       var batch = renamed.select(proj: _*)
@@ -2659,6 +2721,40 @@ class ReferenceSqlSpec extends AnyFunSuite {
           try PgDialect.sql(spark, body).localCheckpoint(true)
             .createOrReplaceTempView(strip(name))
           catch { case _: Throwable => () }
+        // materialized views snapshot at creation and on REFRESH —
+        // intermediate base-table DML must NOT show through (PG
+        // semantics; the plain-view case below stays live on purpose)
+        case s if """(?is)^CREATE\s+MATERIALIZED\s+VIEW\b""".r
+            .findPrefixMatchOf(s).isDefined =>
+          ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+            """([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(?:USING\s+\w+\s*)?""" +
+            """(?:WITH\s*\([^)]*\)\s*)?AS\s+(.*?)(?:\s+WITH\s+(?:NO\s+)?DATA)?\s*$""").r
+            .findFirstMatchIn(s).foreach { m =>
+              val cols = Option(m.group(2))
+              state.matviews(strip(m.group(1))) = (m.group(3), cols)
+              try {
+                var df = PgDialect.sql(spark, m.group(3))
+                cols.foreach(cs =>
+                  df = df.toDF(cs.split(",").map(_.trim): _*))
+                df.localCheckpoint(true)
+                  .createOrReplaceTempView(strip(m.group(1)))
+              } catch { case e: Throwable => dbgFail(s, e) }
+            }
+        case s if """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\b""".r
+            .findPrefixMatchOf(s).isDefined =>
+          """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+(?:CONCURRENTLY\s+)?([A-Za-z_][\w.]*)""".r
+            .findFirstMatchIn(s).foreach { m =>
+              state.matviews.get(strip(m.group(1))).foreach {
+                case (body, cols) =>
+                  try {
+                    var df = PgDialect.sql(spark, body)
+                    cols.foreach(cs =>
+                      df = df.toDF(cs.split(",").map(_.trim): _*))
+                    df.localCheckpoint(true)
+                      .createOrReplaceTempView(strip(m.group(1)))
+                  } catch { case _: Throwable => () }
+              }
+            }
         case viewRe(name, body) =>
           try PgDialect.sql(spark, body)
             .createOrReplaceTempView(strip(name))
@@ -4477,6 +4573,80 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.85,
+      s"only $okTotal/$allTotal statements ran")
+  }
+
+  test("sequential replay of columnar_matview.sql + columnar_data_" +
+      "types.sql — materialized-view snapshot/REFRESH semantics over a " +
+      "columnar table (probes VALUE-checked against pg_regress " +
+      "expected output) and the columnar type battery (arrays, " +
+      "date/time, enum+composite, range, misc types loaded from the " +
+      "reference's own CSV data files)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // psql variable resolution: `\set name tok tok...` accumulates
+    // concatenated string/:'var' tokens; a lone `:name` line splices
+    // the stored command; `\copy` is client-side COPY — same thing here
+    def resolvePsqlVars(text: String): String = {
+      val vars = collection.mutable.Map[String, String](
+        "abs_srcdir" -> "/root/reference/src/test/regress")
+      def tokens(s: String): String = {
+        val out = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\'') {
+            val j = s.indexOf('\'', i + 1)
+            out ++= s.substring(i + 1, if (j < 0) s.length else j)
+              .replace("\\\\", "\\")
+            i = if (j < 0) s.length else j + 1
+          } else if (c == ':') {
+            val q = i + 1 < s.length && s.charAt(i + 1) == '\''
+            val start = if (q) i + 2 else i + 1
+            var j = start
+            while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+              s.charAt(j) == '_')) j += 1
+            val v = vars.getOrElse(s.substring(start, j), "")
+            if (q) { out ++= s"'$v'"; i = j + 1 } else { out ++= v; i = j }
+          } else { if (!c.isWhitespace) out += c else out += ' '; i += 1 }
+        }
+        out.toString
+      }
+      val sb = new StringBuilder
+      text.linesIterator.foreach { line =>
+        val t = line.trim
+        if (t.startsWith("\\set ")) {
+          val rest = t.stripPrefix("\\set ").trim
+          val name = rest.takeWhile(!_.isWhitespace)
+          vars(name) = tokens(rest.drop(name.length).trim).trim
+        } else if (t.startsWith(":") &&
+          vars.contains(t.stripPrefix(":").stripSuffix(";").trim)) {
+          sb ++= vars(t.stripPrefix(":").stripSuffix(";").trim)
+            .replaceAll("^\\\\copy\\b", "COPY") += '\n'
+        } else if (t.contains(":'")) {
+          sb ++= tokens(line).replaceAll("^\\s*\\\\copy\\b", "COPY") += '\n'
+        } else sb ++= line += '\n'
+      }
+      sb.toString
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("columnar.") && !s.contains("pg_class") &&
+        !s.contains("pg_") && !s.contains("storageid")
+    val vcheck: String => Boolean = s => s.contains("t_view")
+    val perFile = Seq("columnar_matview.sql", "columnar_data_types.sql")
+      .map { f =>
+        val (ok, ran) = replayFile(f, "COLMFAIL", keep, new ReplayState,
+          countDml = true, transform = resolvePsqlVars,
+          valueCheck = if (f == "columnar_matview.sql") vcheck
+            else (_ => false))
+        info(s"$f: $ok/$ran statements run")
+        (f, ok, ran)
+      }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 10, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.85,
       s"only $okTotal/$allTotal statements ran")
   }
