@@ -1967,6 +1967,188 @@ object PgDialect {
     * constant GROUP BY hands it the equivalent decorrelatable form.
     * Applied only on CORRELATED_REFERENCE analysis failure; EXISTS
     * subqueries are skipped (there 0-groups vs 1-row IS observable). */
+  /** Matching close-paren index for the '(' at/after `from`. */
+  private def matchParen(s: String, from: Int): Int = {
+    var i = s.indexOf('(', from)
+    if (i < 0) return -1
+    var d = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case '\'' =>
+          i += 1
+          while (i < s.length && s.charAt(i) != '\'') i += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Depth-0 view of `s`: nested paren CONTENTS blanked (parens kept,
+    * so `sum(` remains matchable at depth 0). */
+  private def blankParens(s: String): String = {
+    val out = new StringBuilder
+    var d = 0
+    s.foreach {
+      case '(' => d += 1; out += '('
+      case ')' => d -= 1; out += ')'
+      case c => out += (if (d > 0) ' ' else c)
+    }
+    out.toString
+  }
+
+  /** PG evaluates a FROM-less scalar subquery as its expression:
+    * `(SELECT <expr>)` ≡ `(<expr>)`. Catalyst resolves outer
+    * references only ONE level deep, so the reference corpus's
+    * "outer ref two levels down" shapes
+    * (subquery_in_targetlist.sql: `(SELECT (SELECT e.user_id + ...))`)
+    * fail until the bare inner level is inlined away. Quantifier sites
+    * (EXISTS/ANY/ALL/SOME/IN) keep their subquery; bodies with any
+    * top-level clause keyword, alias, aggregate, or multi-column list
+    * are left alone. Applied only as an analysis-failure fallback. */
+  private[sql] def inlineBareScalarSubqueries(sql0: String): String = {
+    var s = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 20) {
+      changed = false
+      guard += 1
+      val text = s
+      val hit = """(?i)\(\s*SELECT\b""".r.findAllMatchIn(text).find { m =>
+        val before = text.substring(0, m.start).reverse
+          .dropWhile(_.isWhitespace)
+        val prevWord = before.takeWhile(c => c.isLetterOrDigit || c == '_')
+          .reverse.toLowerCase
+        !Set("exists", "any", "all", "some", "in", "from", "join",
+          "lateral", "union", "intersect", "except").contains(prevWord) && {
+          val close = matchParen(text, m.start)
+          close > 0 && {
+            val body = text.substring(text.indexOf('(', m.start) + 1, close)
+              .trim.replaceFirst("(?is)^SELECT\\s+", "")
+            val flat = blankParens(body)
+            """(?i)\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT|DISTINCT|INTO|AS)\b""".r
+              .findFirstIn(flat).isEmpty &&
+            """(?i)\b(count|sum|min|max|avg|array_agg|string_agg|json_agg|bool_and|bool_or|every)\s*\(""".r
+              .findFirstIn(flat).isEmpty &&
+            !flat.contains(",")
+          }
+        }
+      }
+      hit.foreach { m =>
+        val open = text.indexOf('(', m.start)
+        val close = matchParen(text, m.start)
+        val body = text.substring(open + 1, close).trim
+          .replaceFirst("(?is)^SELECT\\s+", "")
+        s = text.substring(0, open) + "(" + body + ")" +
+          text.substring(close + 1)
+        changed = true
+      }
+    }
+    s
+  }
+
+  /** EXISTS factoring: for a fixed outer row,
+    * `EXISTS(SELECT .. FROM R WHERE C AND EXISTS(P))` with P
+    * independent of R ≡ `EXISTS(SELECT .. FROM R WHERE C) AND
+    * EXISTS(P)` — the conjunction inside factorizes because P is
+    * constant over R's rows. Hoisting brings P's outer-outer
+    * reference (subquery_in_where.sql's doubly-nested EXISTS) one
+    * level up, where Catalyst CAN resolve it. Independence is checked
+    * conservatively: every bare identifier in P outside its own FROM
+    * clause must be a qualifier (followed by '.'), a call, a keyword,
+    * or a number, and no qualifier may be one of R's FROM names.
+    * Applied only as an analysis-failure fallback. */
+  private[sql] def hoistIndependentExists(sql0: String): String = {
+    val text = sql0
+    val hit = """(?i)\bEXISTS\s*\(""".r.findAllMatchIn(text).flatMap { m =>
+      val open = text.indexOf('(', m.end - 1)
+      val close = matchParen(text, m.start)
+      if (close < 0) None else {
+        val body = text.substring(open + 1, close)
+        val fi = topLevelIndex(body, "FROM")
+        val wi = topLevelIndex(body, "WHERE")
+        if (fi < 0 || wi < 0) None else {
+          val fromNames = """[A-Za-z_]\w*""".r
+            .findAllIn(body.substring(fi, wi)).map(_.toLowerCase).toSet
+          val whereFull = body.substring(wi + 5)
+          // the WHERE clause proper ends at any top-level trailing
+          // clause (GROUP BY/ORDER BY/LIMIT/OFFSET) — keep the suffix
+          val wEnd = Seq("GROUP BY", "ORDER BY", "LIMIT", "OFFSET")
+            .map(k => topLevelIndex(whereFull, k)).filter(_ >= 0)
+            .sorted.headOption.getOrElse(whereFull.length)
+          val whereTail = whereFull.substring(0, wEnd)
+          val suffix = whereFull.substring(wEnd)
+          // split top-level conjuncts
+          val flat = blankParens(whereTail).toUpperCase
+          val cutPos = """\bAND\b""".r.findAllMatchIn(flat)
+            .map(m2 => (m2.start, m2.end)).toSeq
+          val starts = 0 +: cutPos.map(_._2)
+          val ends = cutPos.map(_._1) :+ whereTail.length
+          val conjuncts = starts.zip(ends).map { case (a, b) =>
+            whereTail.substring(a, b).trim }
+          conjuncts.find { c =>
+            """(?is)^EXISTS\s*\(.*\)$""".r.findFirstIn(c).isDefined && {
+              val inOpen = c.indexOf('(')
+              val inClose = matchParen(c, 0)
+              inClose == c.length - 1 && {
+                val p = c.substring(inOpen + 1, inClose)
+                val pfi = topLevelIndex(p, "FROM")
+                pfi >= 0 && {
+                  val pEnd = Seq("WHERE", "GROUP BY", "ORDER BY", "LIMIT")
+                    .map(k => topLevelIndex(p, k)).filter(_ >= 0)
+                    .sorted.headOption.getOrElse(p.length)
+                  val pFromNames = """[A-Za-z_]\w*""".r
+                    .findAllIn(blankParens(p.substring(pfi, pEnd)))
+                    .map(_.toLowerCase).toSet
+                  val kw = Set("select", "from", "where", "and", "or",
+                    "not", "exists", "in", "is", "null", "true", "false",
+                    "limit", "group", "order", "by", "having", "between",
+                    "like", "as", "distinct", "case", "when", "then",
+                    "else", "end", "asc", "desc")
+                  // every bare identifier outside P's FROM must be a
+                  // qualifier, call, or keyword; P's qualifiers must
+                  // avoid R's FROM names
+                  val ok = """[A-Za-z_]\w*""".r.findAllMatchIn(p)
+                    .forall { im =>
+                      val w = im.matched.toLowerCase
+                      val inFromSpan = im.start >= pfi && im.start < pEnd
+                      val prevC = if (im.start == 0) ' '
+                        else p.charAt(im.start - 1)
+                      val nextIdx = im.end
+                      val nextC = if (nextIdx < p.length) p.charAt(nextIdx)
+                        else ' '
+                      inFromSpan || kw.contains(w) || prevC == '.' ||
+                        nextC == '.' || nextC == '(' ||
+                        w.forall(_.isDigit)
+                    }
+                  val quals = """([A-Za-z_]\w*)\s*\.""".r
+                    .findAllMatchIn(p).map(_.group(1).toLowerCase).toSet
+                  ok && (quals -- pFromNames)
+                    .forall(q => !fromNames.contains(q))
+                }
+              }
+            }
+          }.map { c =>
+            val rest = conjuncts.filterNot(_ == c)
+            val newWhere =
+              if (rest.isEmpty) "TRUE" else rest.mkString(" AND ")
+            val newBody =
+              body.substring(0, wi) + "WHERE " + newWhere + " " + suffix
+            (m.start, close, newBody, c)
+          }
+        }
+      }
+    }.toSeq.headOption
+    hit match {
+      case Some((start, close, newBody, conj)) =>
+        text.substring(0, start) + "(EXISTS (" + newBody + ") AND " +
+          conj + ")" + text.substring(close + 1)
+      case None => text
+    }
+  }
+
   private[sql] def dropOuterOnlyGroupBy(sql0: String): String = {
     var result = sql0
     var changed = true
@@ -2112,15 +2294,31 @@ object PgDialect {
         if (hoisted != text) spark.sql(hoisted)
         else {
           val wHoisted = hoistWindowAggregates(text)
-          if (wHoisted == text) throw e
-          spark.sql(wHoisted)
+          if (wHoisted != text) spark.sql(wHoisted)
+          else {
+            // outer reference two levels down: drop a bare FROM-less
+            // scalar level, or hoist an independent nested EXISTS —
+            // both bring the reference within Catalyst's one-level
+            // resolution reach
+            val inlined = inlineBareScalarSubqueries(text)
+            if (inlined != text) spark.sql(inlined)
+            else {
+              val exHoisted = hoistIndependentExists(text)
+              if (exHoisted == text) throw e
+              spark.sql(exHoisted)
+            }
+          }
         }
       case e: Throwable
         if Option(e.getMessage)
           .exists(_.contains("CORRELATED_REFERENCE")) =>
         val dropped = dropOuterOnlyGroupBy(text)
-        if (dropped == text) throw e
-        spark.sql(dropped)
+        if (dropped != text) spark.sql(dropped)
+        else {
+          val inlined = inlineBareScalarSubqueries(text)
+          if (inlined == text) throw e
+          spark.sql(inlined)
+        }
     }
   }
 
