@@ -523,6 +523,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
           "users_table WHERE user_id = 1 AND value_1 = 1")
           .createOrReplaceTempView("view_2")
       }),
+      // with_basics creates composite TYPE xy (x int, y int) at its
+      // head — register it so `(a,b)::xy` literals carry field names
+      "with_basics.sql" -> (() => {
+        graft.sql.PgDialect.registerCompositeType("xy",
+          Seq("x" -> "INT", "y" -> "INT"))
+      }),
       // restore subquery_and_cte's own `dist(a,b)` fixture (shadowed
       // by subquery_basics' dist(id,value) hook above)
       "subquery_and_cte.sql" -> (() => {
@@ -1375,12 +1381,23 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "every SELECT in ch_benchmarks_1..6.sql must return the " +
       "reference's expected rows (pg_regress .out), not merely run") {
     assume(refDir.isDirectory, "reference tree not present")
-    registerInlineFixtures("ch_benchmarks_create_load.sql")
-    val files = (1 to 6).map(i => s"ch_benchmarks_$i.sql")
+    // chbenchmark_all_queries carries its OWN fixtures (different data
+    // than create_load) — value-check it first, then re-register the
+    // create_load schema for ch_benchmarks_1..6
+    val files = "chbenchmark_all_queries.sql" +:
+      (1 to 6).map(i => s"ch_benchmarks_$i.sql")
     val perFile = files.map { f =>
+      if (f == "chbenchmark_all_queries.sql")
+        registerInlineFixtures(f)
+      else if (f == "ch_benchmarks_1.sql")
+        registerInlineFixtures("ch_benchmarks_create_load.sql")
       val expected = pgExpectedRows(f)
       val seen = scala.collection.mutable.Map[String, Int]()
-      val stmts = selectsOf(f)
+      val stmts = selectsOf(f).filterNot(s =>
+        s.contains("create_distributed_table") ||
+          s.contains("create_reference_table") ||
+          s.contains("master_") || s.contains("citus_") ||
+          s.contains("run_command"))
       var matched = 0
       stmts.foreach { s =>
         val k = normSql(s)
