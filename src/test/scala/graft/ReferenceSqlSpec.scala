@@ -56,7 +56,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
         if (last != null) { errs += last; last = null }
         buf.clear()
       } else if (t.matches("""\(\d+ rows?\)""")) buf.clear()
-      else if (noise.exists(t.startsWith) || t.startsWith("--")) ()
+      else if (noise.exists(t.startsWith) || t.startsWith("--") ||
+        // psql meta-commands echo too — they would pollute the
+        // statement key and break error attribution (pgmerge.sql's
+        // \set VERBOSITY lines before expected-ERROR MERGEs)
+        t.startsWith("\\")) ()
       else {
         buf.append(line).append('\n')
         if (t.endsWith(";")) { last = normSql(buf.toString); buf.clear() }
@@ -1330,7 +1334,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
         i = j + 1
       } else {
         if (t.startsWith("ERROR")) { last = null; buf.clear() }
-        else if (noise.exists(t.startsWith) || t.startsWith("--")) ()
+        else if (noise.exists(t.startsWith) || t.startsWith("--") ||
+          t.startsWith("\\")) ()
         else {
           buf.append(lines(i)).append('\n')
           if (t.endsWith(";")) { last = normSql(buf.toString); buf.clear() }
@@ -1627,6 +1632,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // function/procedure parameter NAMES (empty string for unnamed
     // positional params) — CALL/SELECT-invocation splices them
     val fnParams = collection.mutable.Map[String, Seq[String]]()
+    // open top-level transaction: (data, schemas) snapshot taken at
+    // BEGIN; ROLLBACK restores both — including tables DROPped inside
+    // the transaction — COMMIT/END discards it (pgmerge.sql wraps
+    // nearly every MERGE scenario in BEGIN..ROLLBACK)
+    var txnSnapshot: Option[(
+      Map[String, Option[org.apache.spark.sql.DataFrame]],
+      Map[String, Seq[(String, String)]])] = None
     // materialized views: name → (body, declared column list). The
     // registered view is a localCheckpoint SNAPSHOT — later base-table
     // DML is invisible until REFRESH re-evaluates the body (PG matview
@@ -2241,7 +2253,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
               s"from_csv(regexp_replace(__src$i, '^\\\\((.*)\\\\)$$', " +
                 s"'$$1'), '$ddl')").as(cn)
           } else col(s"__src$i").cast(ct).as(cn)
-        } else lit(null).cast(ct).as(cn)
+        } else {
+          // column not in the insert list: declared DEFAULT, else NULL
+          // (sq_source.balance DEFAULT 0 — pgmerge.sql:807 reads it)
+          val d = state.colDefaults.getOrElse((n, cn.toLowerCase), "NULL")
+          (try org.apache.spark.sql.functions.expr(d)
+          catch { case _: Throwable => lit(null) }).cast(ct).as(cn)
+        }
       }
       var batch = renamed.select(proj: _*)
       conflictSets match {
@@ -2550,6 +2568,26 @@ class ReferenceSqlSpec extends AnyFunSuite {
               else s"${m.group(1)} ${m.group(2)}")
           })
       stmt match {
+        // top-level transactions: BEGIN snapshots live data, ROLLBACK
+        // restores it, COMMIT/END discards the snapshot. (PG aborts a
+        // transaction at the first error; the statements PG then
+        // rejects with "current transaction is aborted" carry ERROR in
+        // the expected .out, so they are already excluded from replay.)
+        case s if """(?is)^(BEGIN|START\s+TRANSACTION)\b""".r
+            .findPrefixMatchOf(s).isDefined =>
+          state.txnSnapshot = Some((state.data.toMap, schemas.toMap))
+        case s if """(?is)^(COMMIT|END)\b""".r
+            .findPrefixMatchOf(s).isDefined =>
+          state.txnSnapshot = None
+        case s if """(?is)^ROLLBACK\b""".r
+            .findPrefixMatchOf(s).isDefined &&
+            """(?is)^ROLLBACK\s+TO\b""".r.findPrefixMatchOf(s).isEmpty =>
+          state.txnSnapshot.foreach { case (dataSnap, schemaSnap) =>
+            state.data.clear(); state.data ++= dataSnap
+            schemas.clear(); schemas ++= schemaSnap
+            dataSnap.keys.filter(schemas.contains).foreach(register)
+          }
+          state.txnSnapshot = None
         // PREPARE/EXECUTE: record the body; EXECUTE splices $N
         // arguments textually and reprocesses — prepared SELECTs and
         // prepared DML replay through their normal statement kinds
@@ -2773,9 +2811,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
               }
             }
         case viewRe(name, body) =>
-          try PgDialect.sql(spark, body)
-            .createOrReplaceTempView(strip(name))
-          catch { case _: Throwable => () }
+          // register from TEXT so the view re-resolves per use (PG
+          // views are LIVE over their base tables — a Dataset-based
+          // temp view would freeze the base snapshot at creation,
+          // pgmerge.sql:826's `v` must see later sq_source inserts);
+          // dialect shapes that need runtime fallbacks keep the
+          // snapshot path
+          try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+            s"${strip(name)} AS ${PgDialect.translate(body)}")
+          catch { case _: Throwable =>
+            try PgDialect.sql(spark, body)
+              .createOrReplaceTempView(strip(name))
+            catch { case _: Throwable => () }
+          }
         case insertRe(name, colList, rest)
             if schemas.contains(strip(name)) =>
           // a statement PG itself rejects (constraint violation,
@@ -2999,8 +3047,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 if (actual == eRows) { if (countable) ok += 1 }
                 else dbgFail(q, new Exception(
                   s"VALUE mismatch: expected ${eRows.size} rows " +
-                    s"[${eRows.take(3).mkString(" ;; ")}], got " +
-                    s"${actual.size} [${actual.take(3).mkString(" ;; ")}]"))
+                    s"[${eRows.take(8).mkString(" ;; ")}], got " +
+                    s"${actual.size} [${actual.take(8).mkString(" ;; ")}]"))
               case None =>
                 df.count(); if (countable) ok += 1
             }
@@ -3475,8 +3523,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("$$") && !s.contains("$Q$")
     val (ok, ran) =
       replayFile("pgmerge.sql", "PGMFAIL", keep, new ReplayState,
-        countDml = true)
-    info(s"pgmerge.sql: $ok/$ran statements run")
+        countDml = true,
+        // every post-MERGE state probe must VALUE-match pg_regress
+        // expected output — MERGE semantics verified row-for-row
+        valueCheck = s => s.trim.toUpperCase.startsWith("SELECT *"))
+    info(s"pgmerge.sql: $ok/$ran statements run (state probes " +
+      "value-checked)")
     assert(ran >= 80, s"expected a large corpus, got $ran")
     assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
