@@ -1354,6 +1354,26 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * empty cell, everything else trimmed text. */
   private def canonCell(v: Any): String = v match {
     case null => "NULL"
+    case seq: scala.collection.Seq[_] =>
+      // array cell from a Spark Row ≡ PG's `{a,b}` text form
+      seq.map(canonCell).mkString("{", ",", "}")
+    case s: String if s.length > 1 && s.startsWith("{") &&
+        s.endsWith("}") =>
+      // PG array literal text: quote-aware element split, elements
+      // trimmed (char(n) padding) and canonicalized
+      val body = s.substring(1, s.length - 1)
+      val parts = scala.collection.mutable.Buffer[String]()
+      val cur = new StringBuilder
+      var inDq = false; var esc = false
+      body.foreach { c =>
+        if (esc) { cur += c; esc = false }
+        else if (c == '\\' && inDq) esc = true
+        else if (c == '"') inDq = !inDq
+        else if (c == ',' && !inDq) { parts += cur.toString; cur.clear() }
+        else cur += c
+      }
+      parts += cur.toString
+      parts.map(p => canonCell(p.trim)).mkString("{", ",", "}")
     case _ =>
       val s = v.toString.trim
       if (s.isEmpty) "NULL"
@@ -1648,8 +1668,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // explicit UNIQUE constraints/indexes: table → unique column sets.
     // Inserts check them (PG's duplicate-key error) so procedure-body
     // replay can reproduce error-then-rollback-to-last-COMMIT. PKs are
-    // deliberately NOT tracked — only spelled-out UNIQUE surface.
+    // deliberately NOT enforced as insert-time constraints — but they
+    // ARE recorded (pkeys) as the arbiter for a bare ON CONFLICT
+    // DO NOTHING (PG uses any unique index; the PK is the usual one,
+    // multi_insert_select_conflict.sql:10).
     val uniques = collection.mutable.Map[String, Seq[Seq[String]]]()
+    val pkeys = collection.mutable.Map[String, Seq[String]]()
     // PREPARE name(args) AS body — EXECUTE splices $N textually and
     // reprocesses the spliced statement, so prepared SELECTs AND
     // prepared DML both replay (the reference's coordinator_evaluation
@@ -2169,14 +2193,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
       val conflictRe =
         ("""(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*""" +
           """(?:WHERE\s+.*?)??\s*DO\s+NOTHING\s*$""").r
-      val (restBody, conflictCols, conflictSets) = rest1 match {
-        case conflictUpdRe(b, cs, sets) =>
-          (b, cs.split(",").map(_.trim.toLowerCase).toSeq, Some(sets))
-        case conflictRe(b, cs) =>
-          (b, Option(cs).map(_.split(",").map(_.trim.toLowerCase).toSeq)
-            .getOrElse(Seq.empty[String]), None)
-        case _ => (rest1, Seq.empty[String], None)
-      }
+      val (restBody, conflictCols, conflictSets, hadConflict) =
+        rest1 match {
+          case conflictUpdRe(b, cs, sets) =>
+            (b, cs.split(",").map(_.trim.toLowerCase).toSeq,
+              Some(sets), true)
+          case conflictRe(b, cs) =>
+            (b, Option(cs).map(_.split(",").map(_.trim.toLowerCase).toSeq)
+              .getOrElse(Seq.empty[String]), None, true)
+          case _ => (rest1, Seq.empty[String], None, false)
+        }
       val src =
         if (restBody.toUpperCase.startsWith("VALUES")) {
           // DEFAULT → NULL (serial defaults have no live-state analogue)
@@ -2306,12 +2332,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
           register(n)
           affected
         case None =>
-          if (conflictCols.nonEmpty) {
-            batch = batch.dropDuplicates(conflictCols)
+          // bare ON CONFLICT DO NOTHING arbitrates on ANY unique index
+          // in PG — fall back to the declared PK / UNIQUE set when the
+          // statement names no columns (detected by `hadConflict`)
+          val arbCols =
+            if (conflictCols.nonEmpty) conflictCols
+            else if (hadConflict)
+              state.pkeys.getOrElse(n,
+                state.uniques.getOrElse(n, Seq.empty)
+                  .headOption.getOrElse(Seq.empty))
+            else Seq.empty
+          if (arbCols.nonEmpty) {
+            batch = batch.dropDuplicates(arbCols)
             data.get(n).flatten.foreach(existing =>
               batch = batch.join(
-                existing.select(conflictCols.map(col): _*),
-                conflictCols, "left_anti"))
+                existing.select(arbCols.map(col): _*),
+                arbCols, "left_anti"))
           }
           val snap = freshen(batch.localCheckpoint(true))
           // explicit UNIQUE constraints: duplicate keys (NULL-free, PG
@@ -2530,15 +2566,23 @@ class ReferenceSqlSpec extends AnyFunSuite {
           splitTop(m.group(2)).foreach { it =>
             val t = it.trim
             val mU = """(?is)^UNIQUE\s*\(([^)]*)\)""".r.findFirstMatchIn(t)
+            val mPk =
+              """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(t)
             if (mU.isDefined)
               us += mU.get.group(1).split(",").map(_.trim.toLowerCase).toSeq
+            else if (mPk.isDefined)
+              state.pkeys(tn) =
+                mPk.get.group(1).split(",").map(_.trim.toLowerCase).toSeq
             else {
               val w = t.split("\\s+")
-              if (w.length >= 2 &&
-                """(?i)\bUNIQUE\b""".r
-                  .findFirstIn(t.substring(w(0).length)).isDefined &&
-                !constraintKw.contains(w(0).toLowerCase))
-                us += Seq(w(0).toLowerCase)
+              if (w.length >= 2 && !constraintKw.contains(w(0).toLowerCase)) {
+                if ("""(?i)\bUNIQUE\b""".r
+                    .findFirstIn(t.substring(w(0).length)).isDefined)
+                  us += Seq(w(0).toLowerCase)
+                if ("""(?i)\bPRIMARY\s+KEY\b""".r
+                    .findFirstIn(t.substring(w(0).length)).isDefined)
+                  state.pkeys(tn) = Seq(w(0).toLowerCase)
+              }
             }
           }
           if (us.nonEmpty) state.uniques(tn) = us.toSeq
@@ -2742,6 +2786,25 @@ class ReferenceSqlSpec extends AnyFunSuite {
             } catch { case e: Throwable =>
               if (strict) throw e
               dbgFail(stmt, e); register(base(strip(name))) }
+          }
+        case createRe(name, body)
+            if splitTop(body).headOption.exists(it =>
+              """(?is)^LIKE\s+""".r.findPrefixMatchOf(it.trim).isDefined) =>
+          // CREATE TABLE x (LIKE y ...): copy y's column shape — from
+          // live state if y is a replayed table, else from the
+          // registered fixture view (with_modifying.sql clones
+          // public.users_table into its schema this way)
+          val src = strip(splitTop(body).head.trim
+            .replaceFirst("(?is)^LIKE\\s+", "").split("\\s+")(0))
+          val cols: Option[Seq[(String, String)]] =
+            schemas.get(src).orElse(
+              try Some(spark.table(src).schema.fields.toSeq
+                .map(f => f.name -> f.dataType.sql))
+              catch { case _: Throwable => None })
+          cols.foreach { cs =>
+            schemas(strip(name)) = cs
+            data(strip(name)) = None
+            register(strip(name))
           }
         case createRe(name, body) =>
           val defaultRe =
@@ -3500,8 +3563,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("$$") && !s.contains("$Q$") &&
         !s.contains("coordinator_plan")
     val (ok, ran) = replayFile("multi_insert_select_conflict.sql",
-      "ISCFAIL", keep, new ReplayState, countDml = true)
-    info(s"multi_insert_select_conflict.sql: $ok/$ran statements run")
+      "ISCFAIL", keep, new ReplayState, countDml = true,
+      valueCheck = s => s.trim.toUpperCase.startsWith("SELECT *"))
+    info(s"multi_insert_select_conflict.sql: $ok/$ran statements run " +
+      "(state probes value-checked)")
     assert(ran >= 20, s"expected a sizable corpus, got $ran")
     assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
@@ -3546,10 +3611,29 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("pg_catalog") && !s.contains("current_setting") &&
         !s.contains("$$") && !s.contains("$Q$") &&
         !s.contains("coordinator_plan")
+    // the file clones the SHARED public fixtures into its own schema
+    // (`LIKE public.users_table` + INSERT..SELECT); schema-qualifier
+    // stripping would conflate source and clone, so the public side
+    // keeps a distinct fixture name
+    spark.table("users_table")
+      .createOrReplaceTempView("users_table_public")
+    spark.table("events_table")
+      .createOrReplaceTempView("events_table_public")
     val (ok, ran) =
       replayFile("with_modifying.sql", "WMODFAIL", keep,
-        new ReplayState, countDml = true)
-    info(s"with_modifying.sql: $ok/$ran statements run")
+        new ReplayState, countDml = true,
+        transform = _.replace("public.users_table", "users_table_public")
+          .replace("public.events_table", "events_table_public"),
+        // summary_table probes are NOT value-checkable: their expected
+        // counts include +1 row per user from EARLIER files in the
+        // reference's pg_regress schedule mutating public.users_table
+        // (an independent DuckDB replay of this file's own statements
+        // over the shipped users_table.data reproduces OUR counts
+        // exactly: 19/36/23/26 vs the .out's 20/38/24/27)
+        valueCheck = s => s.trim.toUpperCase.startsWith("SELECT *") &&
+          !s.contains("summary_table"))
+    info(s"with_modifying.sql: $ok/$ran statements run " +
+      "(state probes value-checked)")
     assert(ran >= 50, s"expected a sizable corpus, got $ran")
     assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
   }
