@@ -1471,10 +1471,27 @@ object PgDialect {
               else j
             val parts = splitTopLevel(inner)
             if (parts.length == fields.length) {
-              val ns = fields.zip(parts).map { case ((fn, ft), v) =>
-                s"'$fn', CAST(($v) AS $ft)"
-              }.mkString("named_struct(", ", ", ")")
-              s = s.substring(0, rowStart) + ns + s.substring(mm.end)
+              // constant-only rows render as PG composite TEXT — the
+              // convention composite COLUMNS ride as (coordinator-
+              // evaluation corpora compare text); rows with column
+              // refs become named_struct so field access works
+              // (with_basics' array_agg((a,b)::xy) + (unnest(p)).*)
+              val litRe = """^(-?\d+(\.\d+)?|'(?:[^']|'')*')$""".r
+              val allLits =
+                parts.forall(p => litRe.findFirstIn(p.trim).isDefined)
+              val replacement =
+                if (allLits)
+                  "'(" + parts.map { p0 =>
+                    val p = p0.trim
+                    if (p.startsWith("'"))
+                      p.substring(1, p.length - 1).replace("''", "'")
+                    else p
+                  }.mkString(",") + ")'"
+                else fields.zip(parts).map { case ((fn, ft), v) =>
+                  s"'$fn', CAST(($v) AS $ft)"
+                }.mkString("named_struct(", ", ", ")")
+              s = s.substring(0, rowStart) + replacement +
+                s.substring(mm.end)
               handled = true
             }
           }
@@ -1486,6 +1503,21 @@ object PgDialect {
     }
     s
   }
+
+  /** PG's default DateStyle accepts MDY typed literals
+    * (`timestamp '12-12-1991'`, `date '10-19-2000'`,
+    * multi_function_evaluation.sql) — Spark only takes ISO. Rewrite
+    * `MM-DD-YYYY[ time]` to `YYYY-MM-DD[ time]`; `timestamptz` maps to
+    * TIMESTAMP (session is pinned to UTC). */
+  def rewritePgDateLiterals(sql: String): String =
+    """(?i)\b(timestamp(?:tz)?|date)\s+'(\d{1,2})-(\d{1,2})-(\d{4})((?:[ T][^']*)?)'""".r
+      .replaceAllIn(sql, m => {
+        val kind =
+          if (m.group(1).toLowerCase.startsWith("timestamp")) "TIMESTAMP"
+          else m.group(1).toUpperCase
+        java.util.regex.Matcher.quoteReplacement(
+          f"$kind '${m.group(4)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d${m.group(5)}'")
+      })
 
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
@@ -1505,7 +1537,7 @@ object PgDialect {
     rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(
-          rewriteTableSpelling(top)))))))))))))
+          rewriteTableSpelling(rewritePgDateLiterals(top))))))))))))))
   }
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`
