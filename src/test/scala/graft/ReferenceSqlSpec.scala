@@ -4876,6 +4876,51 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal statements ran")
   }
 
+  test("sequential replay of the round-7 planner batch — multi-level " +
+      "recursive planning, hash-partition-wise joins, partition/minmax " +
+      "pruning batteries, repartition-join planning, intermediate-" +
+      "result size limits, and modification correctness") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    registerBehavioralFixtures()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("information_schema") && !s.contains("worker_") &&
+        !s.contains("pg_sleep") && !s.contains("pg_stat") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("pg_reload_conf") && !s.contains("pg_total_relation")
+    // the repartition batteries read the append-distributed aliases
+    Seq("customer_append" -> "customer", "part_append" -> "part")
+      .foreach { case (a, t) =>
+        spark.table(t).createOrReplaceTempView(a) }
+    val files = Seq(
+      "multi_level_recursive_queries.sql", "partition_wise_join.sql",
+      "multi_partition_pruning.sql", "multi_null_minmax_value_pruning.sql",
+      "multi_repartition_join_planning.sql",
+      "multi_repartition_join_pruning.sql",
+      "modification_correctness.sql", "limit_intermediate_size.sql")
+    val perFile = files.map { f =>
+      val (ok, ran) = replayFile(f, "R7PFAIL", keep, new ReplayState,
+        countDml = true,
+        // EXPLAIN'd statements ARE the surface here (the reference
+        // suppresses row output to pin plans) — strip the prefix so
+        // the queries execute
+        transform = _.replaceAll(
+          "(?im)^EXPLAIN\\s*(\\([^)]*\\))?\\s*", ""))
+      info(s"$f: $ok/$ran statements run")
+      (f, ok, ran)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 60, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.8,
+      s"only $okTotal/$allTotal statements ran")
+  }
+
   test("sequential replay of multi_mx_router_planner.sql — the MX " +
       "(metadata-synced) router planner runs the SAME single-shard " +
       "SELECT surface from a worker; the queries are the router " +
