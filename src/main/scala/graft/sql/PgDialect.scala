@@ -1147,7 +1147,10 @@ object PgDialect {
     // parens directly wrapping an array literal (`x @> (ARRAY[2,3])`,
     // recursive_relation_planning_restriction_pushdown.sql) collapse so
     // the operand pattern below sees the literal
-    val quantP = """\(\s*(array\((?:[^()]++|\([^()]*+\))*+\))\s*\)""".r
+    // (lookbehind: never strip a FUNCTION-CALL paren — `explode(array
+    // (...))` must keep its call parens)
+    val quantP =
+      """(?<![\w.])\(\s*(array\((?:[^()]++|\([^()]*+\))*+\))\s*\)""".r
       .replaceAllIn(quant, m =>
         java.util.regex.Matcher.quoteReplacement(m.group(1)))
     val operand = """((?:array\([^)]*\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
@@ -1519,6 +1522,19 @@ object PgDialect {
           f"$kind '${m.group(4)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d${m.group(5)}'")
       })
 
+  /** `a IS [NOT] DISTINCT FROM b` → Spark's null-safe `<=>`
+    * (negated for DISTINCT). Operands: typed literals, calls,
+    * identifiers, numbers, strings. */
+  def rewriteIsDistinct(sql: String): String = {
+    val operand =
+      """((?:(?i:timestamp(?:tz)?|date|time|interval)\s+'[^']*')|(?:[A-Za-z_][\w.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][\w.]*)|(?:-?\d+(?:\.\d+)?)|(?:'[^']*'))"""
+    ("(?i)" + operand + """\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s+""" +
+      operand).r
+      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+        if (m.group(2) == null) s"(NOT (${m.group(1)} <=> ${m.group(3)}))"
+        else s"(${m.group(1)} <=> ${m.group(3)})"))
+  }
+
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
     // ride the full dialect pipeline below
@@ -1536,8 +1552,8 @@ object PgDialect {
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
     rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
-        rewriteToChar(rewriteWindowFilter(
-          rewriteTableSpelling(rewritePgDateLiterals(top))))))))))))))
+        rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
+          rewriteIsDistinct(rewritePgDateLiterals(top)))))))))))))))
   }
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`

@@ -220,12 +220,18 @@ object TableFunctions {
           ("""(?is)BEGIN\s+(SELECT\b.*?)\s+INTO\s+(\w+)\s*;\s*""" +
             """RETURN\s+\2\s*;""").r
         val retExprRe = """(?is)BEGIN\s+RETURN\s+(.*?);\s*END""".r
-        retQueryRe.findFirstMatchIn(body0).map(_.group(1).trim)
-          .orElse(selIntoRe.findFirstMatchIn(body0)
+        // RAISE NOTICE/DEBUG/... are side-effect-free logging — strip
+        // them so `BEGIN RAISE ...; RETURN expr; END` bodies register
+        // (multi_function_evaluation.sql's stable_fn/stable_squared)
+        val bodyClean =
+          """(?is)\bRAISE\s+(NOTICE|DEBUG|LOG|INFO|WARNING)\s+[^;]*;\s*""".r
+            .replaceAllIn(body0, "")
+        retQueryRe.findFirstMatchIn(bodyClean).map(_.group(1).trim)
+          .orElse(selIntoRe.findFirstMatchIn(bodyClean)
             .map(mm => "SELECT " + mm.group(1).trim))
-          .orElse(tailIntoRe.findFirstMatchIn(body0)
+          .orElse(tailIntoRe.findFirstMatchIn(bodyClean)
             .map(_.group(1).trim))
-          .orElse(retExprRe.findFirstMatchIn(body0)
+          .orElse(retExprRe.findFirstMatchIn(bodyClean)
             .map(mm => "SELECT (" + mm.group(1).trim + ")"))
           .getOrElse(return false)
       }

@@ -1652,6 +1652,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // function/procedure parameter NAMES (empty string for unnamed
     // positional params) — CALL/SELECT-invocation splices them
     val fnParams = collection.mutable.Map[String, Seq[String]]()
+    // CREATE SEQUENCE counters: nextval('s') splices the incremented
+    // value textually (single-row statements — the corpora's use).
+    val sequences = collection.mutable.Map[String, Long]()
     // open top-level transaction: (data, schemas) snapshot taken at
     // BEGIN; ROLLBACK restores both — including tables DROPped inside
     // the transaction — COMMIT/END discards it (pgmerge.sql wraps
@@ -2580,6 +2583,25 @@ class ReferenceSqlSpec extends AnyFunSuite {
           qi += 1
           out
         }.mkString("'")
+      }
+      // registered sequences: nextval/currval splice their values (one
+      // value per occurrence — exact for the corpora's single-row use)
+      """(?is)^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)""".r
+        .findFirstMatchIn(stmt)
+        .foreach(m2 => state.sequences(strip(m2.group(1))) = 0L)
+      if (state.sequences.nonEmpty &&
+        """(?i)\b(nextval|currval)\s*\(""".r.findFirstIn(stmt).isDefined) {
+        stmt = """(?i)\b(nextval|currval)\s*\(\s*'([^']+)'\s*(?:::\s*regclass\s*)?\)""".r
+          .replaceAllIn(stmt, mm => {
+            val sn = strip(mm.group(2))
+            state.sequences.get(sn) match {
+              case Some(v) if mm.group(1).equalsIgnoreCase("nextval") =>
+                state.sequences(sn) = v + 1; (v + 1).toString
+              case Some(v) => v.toString
+              case None => java.util.regex.Matcher
+                .quoteReplacement(mm.matched)
+            }
+          })
       }
       // record explicit UNIQUE surface (column UNIQUE, table-level
       // UNIQUE(...), CREATE UNIQUE INDEX) — inserts enforce it
