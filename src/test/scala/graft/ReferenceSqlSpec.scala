@@ -1358,6 +1358,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // array cell from a Spark Row ≡ PG's `{a,b}` text form
       seq.map(canonCell).mkString("{", ",", "}")
     case s: String if s.length > 1 && s.startsWith("{") &&
+        s.endsWith("}") && s.contains(":") =>
+      // JSON object text: whitespace placement differs between PG's
+      // jsonb normal form and ours — compare without it
+      s.replaceAll("\\s+", "")
+    case s: String if s.length > 1 && s.startsWith("{") &&
         s.endsWith("}") =>
       // PG array literal text: quote-aware element split, elements
       // trimmed (char(n) padding) and canonicalized
@@ -3300,6 +3305,44 @@ class ReferenceSqlSpec extends AnyFunSuite {
         require(schemas.contains(target), s"unknown target $target")
         // source: `(subquery) [AS] alias [(cols)]` or `name [[AS] alias]`
         val srcPart = stmt.substring(iUsing + 5, iOn).trim
+        // join-shaped USING source (`USING a JOIN b ON ... ON t.k=...`,
+        // merge.sql:1601, pgmerge's cj_target): flatten the join into a
+        // derived table exporting every unambiguous column plus each
+        // qualified reference under a flattened name, rewrite the refs,
+        // and re-enter — the simple subquery path handles the rest
+        if (!srcPart.startsWith("(") &&
+            """(?i)\bJOIN\b""".r
+              .findFirstIn(depthMask(srcPart)).isDefined) {
+          val srcDf0 = PgDialect.sql(spark, s"SELECT * FROM $srcPart")
+          val counts = srcDf0.columns.groupBy(_.toLowerCase)
+            .map { case (k, v) => k -> v.length }
+          val singles = srcDf0.columns.filter(c => counts(c.toLowerCase) == 1)
+          val tail0 = stmt.substring(iOn)
+          val refs =
+            """\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b""".r
+              .findAllMatchIn(tail0)
+              .map(m2 => (m2.group(1).toLowerCase, m2.group(2).toLowerCase))
+              .filter { case (a, _) => a != "excluded" }
+              .toSeq.distinct
+              // keep only refs the JOIN's own alias scope resolves
+              // (drops target-alias refs and subquery-local aliases)
+              .filter { case (a, c) =>
+                try { PgDialect.sql(spark,
+                  s"SELECT $a.$c FROM $srcPart"); true }
+                catch { case _: Throwable => false }
+              }
+          val sel = (singles.toSeq ++
+            refs.map { case (a, c) => s"$a.$c AS __${a}_$c" }).distinct
+          var tailNew = tail0
+          refs.foreach { case (a, c) =>
+            tailNew = ("""(?i)\b""" + a + """\.""" + c + """\b""").r
+              .replaceAllIn(tailNew, java.util.regex.Matcher
+                .quoteReplacement(s"__graft_mjsrc.__${a}_$c"))
+          }
+          return applyMerge(stmt.substring(0, iUsing) + "USING (SELECT " +
+            sel.mkString(", ") + s" FROM $srcPart) __graft_mjsrc " +
+            tailNew)
+        }
         val (srcText, sAlias, srcColList) =
           if (srcPart.startsWith("(")) {
             var depth = 0; var i = 0; var end = -1
@@ -4458,7 +4501,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // one MERGE shape (merge_planner.c vcore tests)
       "merge_vcore.sql").map { f =>
       val (ok, ran) = replayFile(f, "MERGEFAIL", keep,
-        transform = trHash)
+        transform = trHash,
+        // post-MERGE state probes value-match pg_regress output
+        valueCheck = s => s.trim.toUpperCase.startsWith("SELECT *"))
       (f, ok, ran)
     }
     perFile.foreach { case (f, ok, all) =>
