@@ -223,10 +223,22 @@ object TableFunctions {
         // RAISE NOTICE/DEBUG/... are side-effect-free logging — strip
         // them so `BEGIN RAISE ...; RETURN expr; END` bodies register
         // (multi_function_evaluation.sql's stable_fn/stable_squared)
-        val bodyClean =
+        val bodyClean0 =
           """(?is)\bRAISE\s+(NOTICE|DEBUG|LOG|INFO|WARNING)\s+[^;]*;\s*""".r
             .replaceAllIn(body0, "")
+        // a DECLARE block before BEGIN only names locals — the INTO
+        // patterns below recover the value flow (nested_execution's
+        // `DECLARE result bigint; BEGIN SELECT ... INTO result ...`)
+        val bodyClean = """(?is)^\s*DECLARE\b.*?\bBEGIN\b""".r
+          .replaceAllIn(bodyClean0, "BEGIN")
+        // mid-statement INTO: `SELECT <items> INTO var FROM ...;
+        // RETURN var;` — the SELECT without the INTO is the body
+        val midIntoRe =
+          ("""(?is)BEGIN\s+SELECT\s+(.*?)\s+INTO\s+(\w+)\s+""" +
+            """(FROM\b.*?);\s*RETURN\s+\2\s*;""").r
         retQueryRe.findFirstMatchIn(bodyClean).map(_.group(1).trim)
+          .orElse(midIntoRe.findFirstMatchIn(bodyClean)
+            .map(mm => s"SELECT ${mm.group(1).trim} ${mm.group(3).trim}"))
           .orElse(selIntoRe.findFirstMatchIn(bodyClean)
             .map(mm => "SELECT " + mm.group(1).trim))
           .orElse(tailIntoRe.findFirstMatchIn(bodyClean)

@@ -4988,6 +4988,55 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal statements ran")
   }
 
+  test("sequential replay of the round-7 relkind/transaction batch — " +
+      "the relkind matrix (views, mat views, partitioned, unlogged " +
+      "over every distribution kind), nested execution, name " +
+      "resolution, and the multi-statement transaction corpus " +
+      "(BEGIN/COMMIT/ABORT interleaved with DML)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("information_schema") && !s.contains("worker_") &&
+        !s.contains("pg_sleep") && !s.contains("pg_stat") &&
+        !s.contains("$$") && !s.contains("$Q$") && !s.contains("$cf$") &&
+        !s.contains("pg_reload_conf") && !s.contains("pg_total_relation") &&
+        !s.contains("pg_backend_pid") && !s.contains("pg_cancel") &&
+        !s.contains("lock_relation") && !s.contains("pg_tables") &&
+        !s.contains("pg_sequence") &&
+        !s.contains("recover_prepared_transactions") &&
+        !s.contains("table_desc")
+    val nestedState = new ReplayState
+    val files = Seq(
+      "mixed_relkind_tests.sql" -> new ReplayState,
+      // the functions under test live in the _create sibling —
+      // shared live state
+      "nested_execution_create.sql" -> nestedState,
+      "nested_execution.sql" -> nestedState,
+      "multi_name_resolution.sql" -> new ReplayState,
+      "multi_modifying_xacts.sql" -> new ReplayState)
+    val perFile = files.map { case (f, st) =>
+      val (ok, ran) = replayFile(f, "R7XFAIL", keep, st,
+        countDml = true,
+        transform = _.replaceAll(
+          "(?im)^EXPLAIN\\s*(\\([^)]*\\))?\\s*", "")
+          // the schema qualifier inside the plpgsql bodies survives
+          // to inline time where no catalog schema exists
+          .replace("nested_execution.", ""))
+      info(s"$f: $ok/$ran statements run")
+      (f, ok, ran)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 100, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.75,
+      s"only $okTotal/$allTotal statements ran")
+  }
+
   test("sequential replay of multi_mx_router_planner.sql — the MX " +
       "(metadata-synced) router planner runs the SAME single-shard " +
       "SELECT surface from a worker; the queries are the router " +
