@@ -3882,9 +3882,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     import graft.sql.TableFunctions
     TableFunctions.clear()
     try {
-      // the corpora's node-id probes: single logical node here; the
-      // plpgsql SELECT-INTO bodies don't parse as inline SQL, so
-      // register the equivalent scalar functions directly
+      // the corpora's node-id probes: single logical node here. The
+      // plpgsql SELECT-INTO bodies NOW register via TableFunctions
+      // (DECLARE-prelude + mid-INTO support) and inline to a read of
+      // pg_dist_local_group — provide the single-node row
+      spark.sql("SELECT 1 AS groupid")
+        .createOrReplaceTempView("pg_dist_local_group")
+      // ... and keep the direct stubs for the spellings that predate
+      // the corpus's own CREATE FUNCTION statements
       TableFunctions.register(TableFunctions.FnDef(
         "get_local_node_id_volatile", Seq.empty, "SELECT 1",
         Seq.empty, scalar = true))
@@ -3950,6 +3955,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
           "'age', CAST(id % 20 + 20 AS INT)) AS u_data",
         "CAST(id AS INT) AS user_index")
         .createOrReplaceTempView("user_info_data")
+      spark.sql("SELECT 1 AS groupid")
+        .createOrReplaceTempView("pg_dist_local_group")
       // get_local_node_id_volatile(): returns the executing node's
       // group id — this engine has one logical node; the corpus's
       // assertions reduce to the function evaluating without error.
@@ -4669,6 +4676,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     import graft.sql.TableFunctions
     TableFunctions.clear()
     try {
+      spark.sql("SELECT 1 AS groupid")
+        .createOrReplaceTempView("pg_dist_local_group")
       TableFunctions.register(TableFunctions.FnDef(
         "get_local_node_id_volatile", Seq.empty, "SELECT 1",
         Seq.empty, scalar = true))
