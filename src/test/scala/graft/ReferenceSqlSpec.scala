@@ -5046,6 +5046,37 @@ class ReferenceSqlSpec extends AnyFunSuite {
       s"only $okTotal/$allTotal statements ran")
   }
 
+  test("sequential replay of the round-7 plpgsql/types batch — " +
+      "multi_prepare_plsql.sql (TPC-H shapes wrapped in RETURN QUERY " +
+      "plpgsql functions — prepared statements internally), " +
+      "distributed_types.sql (composite/enum type DDL + typed DML), " +
+      "data_types.sql") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("information_schema") && !s.contains("worker_") &&
+        !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("pg_type") && !s.contains("pg_class") &&
+        !s.contains("pg_enum") && !s.contains("pg_identify_object")
+    val perFile = Seq("multi_prepare_plsql.sql",
+      "distributed_types.sql", "data_types.sql").map { f =>
+      val (ok, ran) = replayFile(f, "R7TFAIL", keep, new ReplayState,
+        countDml = true)
+      info(s"$f: $ok/$ran statements run")
+      (f, ok, ran)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    assert(allTotal >= 80, s"expected a sizable corpus, got $allTotal")
+    assert(okTotal.toDouble / allTotal >= 0.7,
+      s"only $okTotal/$allTotal statements ran")
+  }
+
   test("sequential replay of multi_mx_router_planner.sql — the MX " +
       "(metadata-synced) router planner runs the SAME single-shard " +
       "SELECT surface from a worker; the queries are the router " +
