@@ -2608,6 +2608,38 @@ class ReferenceSqlSpec extends AnyFunSuite {
             }
           })
       }
+      // read_intermediate_result('name','fmt') AS alias (coldefs) →
+      // the stored fragment view with derived-table column aliases
+      // (intermediate_results.sql; fragments stored by the
+      // create_intermediate_result case below)
+      if (stmt.toLowerCase.contains("read_intermediate_result")) {
+        stmt = ("""(?is)read_intermediate_result\s*\(\s*'([\w.-]+)'\s*""" +
+          """(?:::text\s*)?,\s*'\w+'(?:::citus_copy_format)?\s*\)\s*""" +
+          """AS\s+(\w+)\s*\(([^)]*)\)""").r
+          .replaceAllIn(stmt, m => {
+            val names = m.group(3).split(",")
+              .map(_.trim.split("\\s+")(0)).mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(
+              s"""(SELECT * FROM `__ir_${m.group(1)}`) AS ${m.group(2)}($names)""")
+          })
+        // plural form: union of named fragments; ARRAY[] → empty set
+        stmt = ("""(?is)read_intermediate_results\s*\(\s*ARRAY\[([^\]]*)\]""" +
+          """\s*(?:::text\[\])?\s*,\s*'\w+'(?:::citus_copy_format)?\s*\)""" +
+          """\s*AS\s+(\w+)\s*\(([^)]*)\)""").r
+          .replaceAllIn(stmt, m => {
+            val names = m.group(3).split(",").map(_.trim.split("\\s+")(0))
+            val ids = m.group(1).split(",").map(_.trim
+              .stripPrefix("'").stripSuffix("'")).filter(_.nonEmpty)
+            val body =
+              if (ids.isEmpty)
+                "SELECT " + names.map(n => s"NULL AS $n")
+                  .mkString(", ") + " WHERE 1=0"
+              else ids.map(n => s"SELECT * FROM `__ir_$n`")
+                .mkString(" UNION ALL ")
+            java.util.regex.Matcher.quoteReplacement(
+              s"($body) AS ${m.group(2)}(${names.mkString(", ")})")
+          })
+      }
       // record explicit UNIQUE surface (column UNIQUE, table-level
       // UNIQUE(...), CREATE UNIQUE INDEX) — inserts enforce it
       """(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*\((.*)\)""".r
@@ -3056,6 +3088,31 @@ class ReferenceSqlSpec extends AnyFunSuite {
               st.equalsIgnoreCase("COMMIT") ||
                 st.equalsIgnoreCase("ROLLBACK"))) Seq.empty
             else stmts0
+        // create_intermediate_result('name', 'query'): evaluate the
+        // embedded query ONCE and store the materialized fragment —
+        // the reference's COPY-to-result-file analogue
+        case s if """(?is)^SELECT\s+(?:\*\s+FROM\s+)?(?:broadcast_|create_)intermediate_result\s*\(""".r
+            .findPrefixMatchOf(s).isDefined &&
+            !pgErrs.contains(normSql(s)) =>
+          val calls =
+            ("""(?is)(?:broadcast_|create_)intermediate_result\s*\(\s*""" +
+              """'([\w.-]+)'\s*,\s*('(?:[^']|'')*'|\$\w*\$.*?\$\w*\$)""").r
+              .findAllMatchIn(s).toSeq
+          val counted = countable && keep(s)
+          if (counted) ran += 1
+          try {
+            calls.foreach { m =>
+              val qRaw = m.group(2)
+              val q =
+                if (qRaw.startsWith("'"))
+                  qRaw.stripPrefix("'").stripSuffix("'").replace("''", "'")
+                else qRaw.replaceFirst("""^\$\w*\$""", "")
+                  .replaceFirst("""\$\w*\$$""", "")
+              PgDialect.sql(spark, q).localCheckpoint(true)
+                .createOrReplaceTempView(s"__ir_${m.group(1)}")
+            }
+            if (counted && calls.nonEmpty) ok += 1
+          } catch { case e: Throwable => dbgFail(s, e) }
         case s if selFnRe.findFirstMatchIn(s).exists(m =>
             state.fnBodies.contains(strip(m.group(1)))) =>
           val m = selFnRe.findFirstMatchIn(s).get
@@ -5044,6 +5101,30 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(allTotal >= 100, s"expected a sizable corpus, got $allTotal")
     assert(okTotal.toDouble / allTotal >= 0.75,
       s"only $okTotal/$allTotal statements ran")
+  }
+
+  test("sequential replay of intermediate_results.sql — the " +
+      "create_intermediate_result / read_intermediate_result surface " +
+      "(intermediate_results.c): results materialize once, read back " +
+      "with call-site column definitions, joined against distributed " +
+      "tables, in and out of transaction blocks") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("pg_ls_dir") &&
+        !s.contains("store_intermediate_result_on_node") &&
+        !s.contains("fetch_intermediate_results") &&
+        !s.contains("pg_size") && !s.contains("$$") &&
+        !s.contains("raise_failed")
+    val (ok, ran) = replayFile("intermediate_results.sql", "IRFAIL",
+      keep, new ReplayState, countDml = true)
+    info(s"intermediate_results.sql: $ok/$ran statements run")
+    assert(ran >= 30, s"expected a sizable corpus, got $ran")
+    assert(ok.toDouble / ran >= 0.7, s"only $ok/$ran ran")
   }
 
   test("sequential replay of the round-7 plpgsql/types batch — " +
