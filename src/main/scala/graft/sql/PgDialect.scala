@@ -438,6 +438,31 @@ object PgDialect {
       .replaceAllIn(s, m =>
         if (m.group(1).equalsIgnoreCase("smaller")) "least("
         else "greatest(")
+    // SQL-standard fetch clause (PG spelling): `[OFFSET o [ROWS]]
+    // FETCH FIRST|NEXT [n] ROW[S] ONLY` → LIMIT n [OFFSET o]
+    // (pg13_with_ties.sql's non-TIES half; TIES itself rewrites to a
+    // rank cutoff in sql())
+    s = ("""(?is)\bOFFSET\s+(\d+)\s*(?:ROWS?\s+)?FETCH\s+""" +
+      """(?:FIRST|NEXT)\s*(\d*)\s*ROWS?\s+ONLY""").r
+      .replaceAllIn(s, m =>
+        s"LIMIT ${if (m.group(2).isEmpty) "1" else m.group(2)} " +
+          s"OFFSET ${m.group(1)}")
+    s = """(?is)\bFETCH\s+(?:FIRST|NEXT)\s*(\d*)\s*ROWS?\s+ONLY""".r
+      .replaceAllIn(s, m =>
+        s"LIMIT ${if (m.group(1).isEmpty) "1" else m.group(1)}")
+    // PG's int-comparison operator functions (int4eq / int4ne /
+    // int48eq ..., pg_proc.dat; multi_repartition_join_ref.sql uses
+    // them as join predicates) are the bare comparison operators
+    s = """(?is)\bint[248]{1,2}(eq|ne)\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+      .replaceAllIn(s, m => {
+        val args = splitTopLevel(m.group(2))
+        if (args.length != 2)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          s"((${args(0).trim}) " +
+            s"${if (m.group(1).equalsIgnoreCase("eq")) "=" else "<>"} " +
+            s"(${args(1).trim}))")
+      })
     // PG's 1-arg numeric trunc (toward zero); Spark's trunc is the
     // 2-arg date form — only the comma-free call rewrites. `x - x%1`
     // truncates toward zero while PRESERVING the operand's type
@@ -1441,9 +1466,91 @@ object PgDialect {
   def compositeFields(name: String): Option[Seq[(String, String)]] =
     compositeTypes.get(name.toLowerCase)
 
-  def rewriteCompositeLiterals(sql: String): String = {
+  /** PG DOMAINs (`CREATE DOMAIN name AS base [CHECK ...]`) are named
+    * base types; a cast to the domain is a cast to its base
+    * (distributed_types.sql:377-380 `::dcomptypea` over comptype[]).
+    * Constraint enforcement is the caller's concern, as in PG DDL. */
+  private val domainTypes = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  def registerDomain(name: String, base: String): Unit =
+    domainTypes.put(
+      name.substring(name.lastIndexOf('.') + 1).toLowerCase, base)
+
+  private def rewriteDomainCasts(sql: String): String = {
+    if (domainTypes.isEmpty) return sql
+    """::\s*([A-Za-z_]\w*)""".r.replaceAllIn(sql, m =>
+      domainTypes.get(m.group(1).toLowerCase) match {
+        case Some(base) =>
+          java.util.regex.Matcher.quoteReplacement(s"::$base")
+        case None =>
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+  }
+
+  /** PG composite TEXT form of already-rendered element strings:
+    * elements with commas/parens/quotes/leading-trailing space are
+    * double-quoted, as PG's record_out does. */
+  private def compositeTextRender(parts: Seq[String]): String =
+    "(" + parts.map { p =>
+      if (p.exists(c => ",()\"\\".contains(c)) ||
+        p != p.trim)
+        "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      else p
+    }.mkString(",") + ")"
+
+  def rewriteCompositeLiterals(sql0: String): String = {
+    val sql = rewriteDomainCasts(sql0)
     if (compositeTypes.isEmpty) return sql
     var s = sql
+    // `(operand::comp).field` — the composite COLUMN convention is PG
+    // record TEXT (see below), so field access parses the cell with
+    // the type's DECLARED (possibly ALTER TYPE-evolved) field schema
+    // and extracts (distributed_types.sql:98 `(e::tc6).d`)
+    s = """(?is)\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)\s*\.\s*([A-Za-z_]\w*)""".r
+      .replaceAllIn(s, m => compositeTypes.get(m.group(2).toLowerCase)
+        match {
+          case Some(fs) =>
+            val sch = fs.map { case (fn, ft) => s"$fn $ft" }
+              .mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(
+              s"from_csv(regexp_replace(CAST(${m.group(1)} AS " +
+                s"STRING), '^\\\\(|\\\\)$$', ''), '$sch')" +
+                s".${m.group(3)}")
+          case None =>
+            java.util.regex.Matcher.quoteReplacement(m.matched)
+        })
+    // `ARRAY[row(..), ..]::comp[]` — PG infers the element casts from
+    // the array cast (distributed_types.sql:380): render each
+    // row-literal element in the composite TEXT convention, drop the
+    // cast
+    s = """(?is)ARRAY\s*[\[(]([^\[\]()]*(?:\([^()]*\)[^\[\]()]*)*)[\])]\s*::\s*([A-Za-z_]\w*)\s*\[\s*\]""".r
+      .replaceAllIn(s, m =>
+        if (!compositeTypes.contains(m.group(2).toLowerCase))
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val litRe = """^(-?\d+(\.\d+)?|'(?:[^']|'')*')$""".r
+          val els = splitTopLevel(m.group(1)).map { e0 =>
+            val e = e0.trim.replaceFirst("(?i)^ROW\\s*", "").trim
+            val parts =
+              if (e.startsWith("(") && e.endsWith(")"))
+                splitTopLevel(e.substring(1, e.length - 1))
+              else Seq.empty
+            if (parts.nonEmpty && parts.forall(p =>
+              litRe.findFirstIn(p.trim).isDefined))
+              "'" + compositeTextRender(parts.map { p0 =>
+                val p = p0.trim
+                if (p.startsWith("'"))
+                  p.substring(1, p.length - 1).replace("''", "'")
+                else p
+              }).replace("'", "''") + "'"
+            else e0.trim
+          }
+          // Spark's array constructor spelling — this pass may run
+          // after rewriteArrayOps, so emit the final form
+          java.util.regex.Matcher.quoteReplacement(
+            els.mkString("array(", ", ", ")"))
+        })
     var go = true
     while (go) {
       go = false
@@ -1484,12 +1591,15 @@ object PgDialect {
                 parts.forall(p => litRe.findFirstIn(p.trim).isDefined)
               val replacement =
                 if (allLits)
-                  "'(" + parts.map { p0 =>
+                  // PG record_out text: elements with special chars
+                  // double-quote, so nested composites round-trip
+                  // (`(1,2,"(4,5)")`) and from_csv reads parse them
+                  "'" + compositeTextRender(parts.map { p0 =>
                     val p = p0.trim
                     if (p.startsWith("'"))
                       p.substring(1, p.length - 1).replace("''", "'")
                     else p
-                  }.mkString(",") + ")'"
+                  }).replace("'", "''") + "'"
                 else fields.zip(parts).map { case ((fn, ft), v) =>
                   s"'$fn', CAST(($v) AS $ft)"
                 }.mkString("named_struct(", ", ", ")")
@@ -1550,11 +1660,91 @@ object PgDialect {
     val (withPre, mainQ) = splitWithPrelude(scoped)
     val top = withPre +
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
-    rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
+    rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
-          rewriteIsDistinct(rewritePgDateLiterals(top)))))))))))))))
+          rewriteIsDistinct(rewritePgDateLiterals(top))))))))))))))))
   }
+
+  /** PG sorts nulls LAST for ASC and FIRST for DESC; Spark defaults
+    * the opposite way. The difference is invisible when a consumer
+    * re-sorts, but changes WHICH row a LIMIT keeps and how window
+    * ranks assign (recurring_join_pushdown.sql's `ORDER BY sq.a
+    * LIMIT 1` over a RIGHT JOIN's null-extended rows). Append the PG
+    * placement to every ORDER BY item that doesn't spell one, in
+    * statement/subquery/OVER(...) positions only — aggregate-internal
+    * ORDER BY (array_agg/string_agg/WITHIN GROUP) is handled by its
+    * own rewrites and Spark rejects NULLS there. */
+  def rewriteOrderByNulls(sql: String): String =
+    withMaskedLiterals(sql) { s0 =>
+      val out = new StringBuilder(s0)
+      val stops = Set("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
+        "GROUPS", "UNION", "INTERSECT", "EXCEPT", "FOR", "WINDOW",
+        "HAVING", "RETURNING", "USING", "INTO")
+      def isW(c: Char) = c.isLetterOrDigit || c == '_'
+      val obRe = """(?i)\bORDER\s+BY\s+""".r
+      // right-to-left so earlier match offsets stay valid
+      obRe.findAllMatchIn(s0).toSeq.reverse.foreach { m =>
+        // classify the enclosing context: top level or subquery or
+        // OVER( → rewrite; function-call argument → skip
+        var depth = 0; var j = m.start - 1; var enclose = -1
+        while (j >= 0 && enclose < 0) {
+          s0.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => if (depth == 0) enclose = j else depth -= 1
+            case _ => ()
+          }
+          j -= 1
+        }
+        val eligible = enclose < 0 || {
+          var k = enclose - 1
+          while (k >= 0 && s0.charAt(k).isWhitespace) k -= 1
+          if (k < 0 || !isW(s0.charAt(k))) true
+          else {
+            var w = k
+            while (w >= 0 && isW(s0.charAt(w))) w -= 1
+            s0.substring(w + 1, k + 1).equalsIgnoreCase("over")
+          }
+        }
+        if (eligible) {
+          // collect the item spans: top-level commas up to a stop
+          // keyword, closing paren, or end
+          val items = scala.collection.mutable.Buffer[(Int, Int)]()
+          var i = m.end; var d = 0; var itemStart = i; var done = false
+          while (!done && i < s0.length) {
+            val c = s0.charAt(i)
+            if (c == '(') { d += 1; i += 1 }
+            else if (c == ')') {
+              if (d == 0) done = true else { d -= 1; i += 1 }
+            } else if (c == ';' && d == 0) done = true
+            else if (c == ',' && d == 0) {
+              items += ((itemStart, i)); i += 1; itemStart = i
+            } else if (d == 0 && (c.isLetter || c == '_')) {
+              var e = i
+              while (e < s0.length && isW(s0.charAt(e))) e += 1
+              if (stops.contains(s0.substring(i, e).toUpperCase))
+                done = true
+              else i = e
+            } else i += 1
+          }
+          items += ((itemStart, i))
+          items.reverse.foreach { case (a, b) =>
+            val item = s0.substring(a, b)
+            if (item.trim.nonEmpty &&
+              """(?i)\bNULLS\s+(FIRST|LAST)""".r
+                .findFirstIn(item).isEmpty) {
+              val desc =
+                """(?is)\bDESC\s*$""".r.findFirstIn(item).isDefined
+              var e = b
+              while (e > a && s0.charAt(e - 1).isWhitespace) e -= 1
+              out.insert(e,
+                if (desc) " NULLS FIRST" else " NULLS LAST")
+            }
+          }
+        }
+      }
+      out.toString
+    }
 
   /** PG gives `||` LOWER precedence than binary `+`/`-` (`'s_' || i-1`
     * concatenates i-1); Spark's `||` binds tighter (it would compute
@@ -2323,6 +2513,46 @@ object PgDialect {
               name.substring(name.lastIndexOf('.') + 1))
             return df
           }
+        }
+      }
+    }
+    // `ORDER BY k [OFFSET o] FETCH FIRST|NEXT [n] ROWS WITH TIES`
+    // (PG 13+, pg13_with_ties.sql; the reference pushes the fetch to
+    // workers and re-applies on the coordinator): neither Spark nor
+    // the FETCH syntax exist here — rewrite to a rank cutoff. The
+    // cutoff rank is the rank of the (o+n)-th row in row_number
+    // order, computed with a whole-window max so ties of the LAST
+    // fetched row are admitted, exactly PG's WITH TIES contract;
+    // fewer than o+n rows → no cutoff (PG returns everything past
+    // the offset).
+    locally {
+      val t = pgSql.trim.stripSuffix(";")
+      val tiesRe = ("""(?is)\bORDER\s+BY\s+(.*?)\s+(?:OFFSET\s+(\d+)""" +
+        """\s*(?:ROWS?)?\s+)?FETCH\s+(?:FIRST|NEXT)\s*(\d*)\s*ROWS?""" +
+        """\s+WITH\s+TIES\s*$""").r
+      tiesRe.findAllMatchIn(t).toSeq.lastOption.foreach { m =>
+        // only a TOP-LEVEL tail rewrites (a subquery's ORDER BY sits
+        // inside parens)
+        val depth0 = t.substring(0, m.start).count(_ == '(') ==
+          t.substring(0, m.start).count(_ == ')')
+        if (depth0) {
+          val keys = m.group(1).trim
+          val o = Option(m.group(2)).map(_.toInt).getOrElse(0)
+          val n = if (m.group(3) == null || m.group(3).isEmpty) 1
+            else m.group(3).toInt
+          val head = t.substring(0, m.start).trim
+          val q2 =
+            s"""SELECT * FROM (
+               |  SELECT *, max(CASE WHEN __wt_rn = ${o + n}
+               |      THEN __wt_rk END) OVER () AS __wt_th
+               |  FROM (
+               |    SELECT __wt_q.*, rank() OVER (ORDER BY $keys) AS __wt_rk,
+               |           row_number() OVER (ORDER BY $keys) AS __wt_rn
+               |    FROM ($head) AS __wt_q) AS __wt1) AS __wt2
+               |WHERE __wt_rn > $o
+               |  AND __wt_rk <= coalesce(__wt_th, 2147483647)
+               |ORDER BY $keys""".stripMargin
+          return sql(spark, q2).drop("__wt_rk", "__wt_rn", "__wt_th")
         }
       }
     }

@@ -538,16 +538,49 @@ object TableFunctions {
           }
           i
         }
-        val scanRe = """(?i)\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s*\(""".r
+        val scanRe = """(?i)(\bFROM|\bJOIN|,)\s*([A-Za-z_]\w*)\s*\(""".r
+        // clause context at each position: the most recent same-depth
+        // clause keyword — a comma-separated call is a function SCAN
+        // only inside a FROM list (`FROM f_2(), f()`,
+        // intermediate_results.sql:331), never in a select list or
+        // GROUP BY
+        lazy val clauseAt: Array[String] = {
+          val kws = Seq("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+            "ORDER", "LIMIT", "SET", "VALUES", "RETURNING", "WINDOW",
+            "USING", "ON")
+          val up = masked2.toUpperCase
+          val res = new Array[String](up.length)
+          val stack = scala.collection.mutable.Stack[String]()
+          var cur = ""
+          var i = 0
+          def isW(c: Char) = c.isLetterOrDigit || c == '_'
+          while (i < up.length) {
+            up.charAt(i) match {
+              case '(' => stack.push(cur); cur = ""
+              case ')' => cur = if (stack.nonEmpty) stack.pop() else ""
+              case _ =>
+                kws.find(k => up.startsWith(k, i) &&
+                  (i == 0 || !isW(up(i - 1))) &&
+                  (i + k.length >= up.length || !isW(up(i + k.length))))
+                  .foreach(k => cur = k)
+            }
+            res(i) = cur
+            i += 1
+          }
+          res
+        }
         // Skip (never abort on) WITH ORDINALITY call sites: ordinality
         // is handled elsewhere, but OTHER function scans in the same
         // statement must still expand — a non-local return here would
         // leave them untouched.
         val hit = scanRe.findAllMatchIn(masked2).find { sm =>
           val nm = sm.group(2).toLowerCase
-          val eligible = (fns.contains(nm) ||
-            (sm.group(1).equalsIgnoreCase("JOIN") &&
-              builtinScalar.contains(nm))) && !keywords.contains(nm)
+          val eligible =
+            (if (sm.group(1) == ",")
+              fns.contains(nm) && clauseAt(sm.start) == "FROM"
+            else fns.contains(nm) ||
+              (sm.group(1).equalsIgnoreCase("JOIN") &&
+                builtinScalar.contains(nm))) && !keywords.contains(nm)
           eligible && """(?is)^\s*WITH\s+ORDINALITY""".r
             .findPrefixMatchOf(out.substring(closeParen(sm.end))).isEmpty
         }
