@@ -224,7 +224,46 @@ object ChBenchQueries extends QueryModule {
         AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
       GROUP BY l_year ORDER BY l_year"""))
 
+  /** The timed-bench variant of CH Q8: identical semantics, with a
+    * MERGE hint on the supplier link so the expression-key join's
+    * REPARTITION path is what gets timed. The hashed computed key
+    * (`pmod(l_partkey*l_suppkey,100)`) can never be colocated — at
+    * cluster scale this join always repartitions lineitem on the
+    * expression (the reference's single-hash repartition join,
+    * `multi_physical_planner.h:160-170` MapMergeJob: one side
+    * repartitions onto the other's hash placement); at sf0.1 stats
+    * would broadcast the tiny supplier side and the bench would time
+    * the wrong shape. The hint scopes the forcing to this one entry —
+    * `ch_market_share` stays stats-driven for correctness runs.
+    * Bench.scala asserts the SortMergeJoin before timing. */
+  private val chMarketShareRepartition = chMarketShare.copy(
+    name = "ch_market_share_repartition",
+    run = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31")))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region")))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("n2_key"), col("n_name").as("n2_name")))
+      val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE"))
+      val rev = cents(col("l_extendedprice")) * oneMinusCents(col("l_discount"))
+      li.hint("merge")
+        .join(t(s, dir, "supplier"),
+          pmod(col("l_partkey") * col("l_suppkey"), lit(100L)) === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("c_nationkey") === col("n1_key"))
+        .join(reg, col("n1_region") === col("r_regionkey"))
+        .join(n2, col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("l_year"))
+        .agg((sum(when(col("n2_name") === "GERMANY", rev).otherwise(lit(0L)))
+          .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+        .orderBy(col("l_year"))
+    },
+    bench = true)
+
   def queries: Seq[GraftQuery] =
     Seq(havingSubquery, exprJoinProfit, asciiThetaRevenue,
-      chQ2MinStock, chMarketShare)
+      chQ2MinStock, chMarketShare, chMarketShareRepartition)
 }
