@@ -1463,6 +1463,17 @@ object PgDialect {
     compositeTypes.put(
       name.substring(name.lastIndexOf('.') + 1).toLowerCase, fields)
 
+  /** Drop all session-registered type names (composite + domain) —
+    * invoked alongside [[TableFunctions.clear]] so one corpus file's
+    * CREATE TYPEs never leak into the next file's translations. */
+  def clearTypes(): Unit = { compositeTypes.clear(); domainTypes.clear() }
+
+  /** Spans (start, end) of single-quoted literals in `s` — textual
+    * type-cast scans must never fire on `::name` text INSIDE a
+    * literal (deleting it would corrupt the string's value). */
+  private def literalSpans(s: String): Seq[(Int, Int)] =
+    "'[^']*'".r.findAllMatchIn(s).map(m => (m.start, m.end)).toSeq
+
   def compositeFields(name: String): Option[Seq[(String, String)]] =
     compositeTypes.get(name.toLowerCase)
 
@@ -1479,11 +1490,13 @@ object PgDialect {
 
   private def rewriteDomainCasts(sql: String): String = {
     if (domainTypes.isEmpty) return sql
+    val spans = literalSpans(sql)
     """::\s*([A-Za-z_]\w*)""".r.replaceAllIn(sql, m =>
       domainTypes.get(m.group(1).toLowerCase) match {
-        case Some(base) =>
+        case Some(base)
+            if !spans.exists(sp => m.start >= sp._1 && m.start < sp._2) =>
           java.util.regex.Matcher.quoteReplacement(s"::$base")
-        case None =>
+        case _ =>
           java.util.regex.Matcher.quoteReplacement(m.matched)
       })
   }
@@ -1554,8 +1567,10 @@ object PgDialect {
     var go = true
     while (go) {
       go = false
+      val spans = literalSpans(s)
       val hit = """::\s*([A-Za-z_]\w*)""".r.findAllMatchIn(s)
-        .find(m => compositeTypes.contains(m.group(1).toLowerCase))
+        .find(m => compositeTypes.contains(m.group(1).toLowerCase) &&
+          !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
       hit.foreach { mm =>
         val fields = compositeTypes(mm.group(1).toLowerCase)
         var handled = false
@@ -1621,29 +1636,25 @@ object PgDialect {
     * (`timestamp '12-12-1991'`, `date '10-19-2000'`,
     * multi_function_evaluation.sql) — Spark only takes ISO. Rewrite
     * `MM-DD-YYYY[ time]` to `YYYY-MM-DD[ time]`; `timestamptz` maps to
-    * TIMESTAMP (session is pinned to UTC). */
+    * TIMESTAMP (session is pinned to UTC). PG's MDY DateStyle falls
+    * back to day-first when the leading field exceeds 12
+    * (`date '19-10-2000'` is 2000-10-19), so mirror that swap. */
   def rewritePgDateLiterals(sql: String): String =
     """(?i)\b(timestamp(?:tz)?|date)\s+'(\d{1,2})-(\d{1,2})-(\d{4})((?:[ T][^']*)?)'""".r
       .replaceAllIn(sql, m => {
         val kind =
           if (m.group(1).toLowerCase.startsWith("timestamp")) "TIMESTAMP"
           else m.group(1).toUpperCase
+        val (f1, f2) = (m.group(2).toInt, m.group(3).toInt)
+        val (mo, dy) = if (f1 > 12 && f2 <= 12) (f2, f1) else (f1, f2)
         java.util.regex.Matcher.quoteReplacement(
-          f"$kind '${m.group(4)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d${m.group(5)}'")
+          f"$kind '${m.group(4)}-$mo%02d-$dy%02d${m.group(5)}'")
       })
 
-  /** `a IS [NOT] DISTINCT FROM b` → Spark's null-safe `<=>`
-    * (negated for DISTINCT). Operands: typed literals, calls,
-    * identifiers, numbers, strings. */
-  def rewriteIsDistinct(sql: String): String = {
-    val operand =
-      """((?:(?i:timestamp(?:tz)?|date|time|interval)\s+'[^']*')|(?:[A-Za-z_][\w.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][\w.]*)|(?:-?\d+(?:\.\d+)?)|(?:'[^']*'))"""
-    ("(?i)" + operand + """\s+IS\s+(NOT\s+)?DISTINCT\s+FROM\s+""" +
-      operand).r
-      .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
-        if (m.group(2) == null) s"(NOT (${m.group(1)} <=> ${m.group(3)}))"
-        else s"(${m.group(1)} <=> ${m.group(3)})"))
-  }
+  // `IS [NOT] DISTINCT FROM` needs no rewrite: Spark's parser accepts
+  // it natively at the same (predicate-level) precedence as PG, which
+  // a regex rewrite could not reproduce for compound operands like
+  // `a + 1 IS DISTINCT FROM b`.
 
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
@@ -1663,7 +1674,7 @@ object PgDialect {
     rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
-          rewriteIsDistinct(rewritePgDateLiterals(top))))))))))))))))
+          rewritePgDateLiterals(top)))))))))))))))
   }
 
   /** PG sorts nulls LAST for ASC and FIRST for DESC; Spark defaults
@@ -2225,11 +2236,16 @@ object PgDialect {
   }
 
   /** Depth-0 view of `s`: nested paren CONTENTS blanked (parens kept,
-    * so `sum(` remains matchable at depth 0). */
+    * so `sum(` remains matchable at depth 0). String-literal CONTENTS
+    * are blanked too (quotes kept) — a literal holding ` and ` or `(`
+    * must never register as a conjunct split or a depth change. */
   private def blankParens(s: String): String = {
     val out = new StringBuilder
     var d = 0
+    var inStr = false
     s.foreach {
+      case '\'' => inStr = !inStr; out += (if (d > 0) ' ' else '\'')
+      case c if inStr => out += ' '
       case '(' => d += 1; out += '('
       case ')' => d -= 1; out += ')'
       case c => out += (if (d > 0) ' ' else c)
@@ -2405,7 +2421,10 @@ object PgDialect {
           .dropWhile(_.isWhitespace).reverse
         val lastWord = """[A-Za-z_]\w*$""".r
           .findFirstIn(beforeTrim).getOrElse("").toLowerCase
-        val notExists = lastWord != "exists" && lastWord != "in"
+        // ANY/ALL/SOME quantified subqueries share the IN-style
+        // empty-set (FALSE/TRUE) vs {NULL} (NULL) distinction
+        val notExists = !Set("exists", "in", "any", "all", "some")
+          .contains(lastWord)
         notExists && {
           var d = 1; var i = m.start + 1
           while (d > 0 && i < text.length) {

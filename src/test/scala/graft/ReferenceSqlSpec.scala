@@ -1633,6 +1633,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * the corpus files' INSERTs (the reference splits them the same
     * way: *_create_table.sql + query files in one schedule). */
   private class ReplayState {
+    // type registrations (CREATE TYPE/DOMAIN) are scoped to one replay
+    // state — a fresh state starts with a clean namespace so one
+    // corpus file's types never leak into the next file's translations
+    graft.sql.PgDialect.clearTypes()
     val schemas = collection.mutable
       .LinkedHashMap[String, Seq[(String, String)]]()
     val data = collection.mutable
