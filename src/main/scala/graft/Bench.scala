@@ -131,18 +131,36 @@ object Bench {
     // passes while staying inside their own min/max bands (r7 "What's
     // wrong" #2) — 9 passes tightens their medians so drift can be
     // adjudicated as signal vs noise; the cheap entries stay at 5.
+    // q7_volume_shipping joined the set in r9 after its r8 median
+    // escaped the prior round's band (0.557 vs max 0.528) on a
+    // 0.32-1.30 straggler spread.
     val slowJoinEntries = Set("join_shuffle_fact", "join_shuffle_large",
-      "ch_market_share_repartition")
+      "ch_market_share_repartition", "q7_volume_shipping")
     def passesFor(n: String): Int =
       if (slowJoinEntries(n)) math.max(timedPasses, 9) else timedPasses
+    // A timed pass that throws must not record a fast, flattering time:
+    // correctness is gated separately by the driver, but a *crashing*
+    // query would otherwise corrupt the per-round time-series silently.
+    // Count failures per entry and abort the whole bench if any occur.
+    val failures = scala.collection.mutable.Map[String, Int]()
     val samples: Map[String, Seq[Double]] = names.map { n =>
       n -> (1 to passesFor(n)).map { _ =>
         val t0 = System.nanoTime()
         try qmap(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            failures(n) = failures.getOrElse(n, 0) + 1
+            System.err.println(s"BENCH FAILURE in timed pass of $n: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
     }.toMap
+    if (failures.nonEmpty) {
+      System.err.println("BENCH ABORT: timed passes threw — " +
+        failures.map { case (n, c) => s"$n x$c" }.mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)

@@ -1470,9 +1470,36 @@ object PgDialect {
 
   /** Spans (start, end) of single-quoted literals in `s` — textual
     * type-cast scans must never fire on `::name` text INSIDE a
-    * literal (deleting it would corrupt the string's value). */
-  private def literalSpans(s: String): Seq[(Int, Int)] =
-    "'[^']*'".r.findAllMatchIn(s).map(m => (m.start, m.end)).toSeq
+    * literal (deleting it would corrupt the string's value).
+    * Double-quoted / backticked identifier spans are skipped while
+    * scanning, so an apostrophe inside `"o'brien"` doesn't flip the
+    * in-literal state for the rest of the statement. */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' =>
+          val start = i
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (s.charAt(i) == '\'') {
+              if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 // '' escape
+              else { open = false; i += 1 }
+            } else i += 1
+          }
+          spans += ((start, i))
+        case q @ ('"' | '`') =>
+          i += 1
+          while (i < n && s.charAt(i) != q) i += 1
+          i += 1
+        case _ => i += 1
+      }
+    }
+    spans.toSeq
+  }
 
   def compositeFields(name: String): Option[Seq[(String, String)]] =
     compositeTypes.get(name.toLowerCase)
@@ -2243,12 +2270,23 @@ object PgDialect {
     val out = new StringBuilder
     var d = 0
     var inStr = false
-    s.foreach {
-      case '\'' => inStr = !inStr; out += (if (d > 0) ' ' else '\'')
-      case c if inStr => out += ' '
-      case '(' => d += 1; out += '('
-      case ')' => d -= 1; out += ')'
-      case c => out += (if (d > 0) ' ' else c)
+    // '"' or '`' while inside a quoted identifier: its contents pass
+    // through (names stay matchable at depth 0) but never toggle the
+    // literal state or the paren depth — `"o'brien"` must not flip
+    // inStr for the rest of the statement.
+    var identCh: Char = 0
+    s.foreach { c =>
+      if (identCh != 0) {
+        if (c == identCh) identCh = 0
+        out += (if (d > 0) ' ' else c)
+      } else c match {
+        case '\'' => inStr = !inStr; out += (if (d > 0) ' ' else '\'')
+        case _ if inStr => out += ' '
+        case '"' | '`' => identCh = c; out += (if (d > 0) ' ' else c)
+        case '(' => d += 1; out += '('
+        case ')' => d -= 1; out += ')'
+        case _ => out += (if (d > 0) ' ' else c)
+      }
     }
     out.toString
   }

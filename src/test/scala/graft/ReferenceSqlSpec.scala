@@ -1634,9 +1634,17 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * way: *_create_table.sql + query files in one schedule). */
   private class ReplayState {
     // type registrations (CREATE TYPE/DOMAIN) are scoped to one replay
-    // state — a fresh state starts with a clean namespace so one
-    // corpus file's types never leak into the next file's translations
-    graft.sql.PgDialect.clearTypes()
+    // state — a state starts with a clean namespace so one corpus
+    // file's types never leak into the next file's translations. The
+    // clear happens when the state FIRST replays (not at construction:
+    // several tests pre-construct multiple states up front, and a
+    // constructor-time clear would wipe nothing useful while letting
+    // the first state's replay-time registrations leak into the rest).
+    private var begun = false
+    def beginReplay(): Unit = if (!begun) {
+      begun = true
+      graft.sql.PgDialect.clearTypes()
+    }
     val schemas = collection.mutable
       .LinkedHashMap[String, Seq[(String, String)]]()
     val data = collection.mutable
@@ -1702,6 +1710,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // VALUE-match the pg_regress expected .out block (only meaningful
       // for queries over the file's own in-file-loaded data)
       valueCheck: String => Boolean = _ => false): (Int, Int) = {
+    state.beginReplay()
     lazy val expectedVals = pgExpectedRows(file)
     val expectedSeen = scala.collection.mutable.Map[String, Int]()
     val raw = transform(new String(java.nio.file.Files.readAllBytes(
