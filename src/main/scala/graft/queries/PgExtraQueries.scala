@@ -441,8 +441,65 @@ object PgExtraQueries extends QueryModule {
       GROUP BY user_id
       ORDER BY cnt DESC, user_id LIMIT 10"""))
 
+  /** SQL/JSON `JSON_TABLE` document shredding (PG17; reference corpus
+    * pg17_json.sql, planned there like a recurring-tuples function
+    * scan — `multi_logical_planner.c` treats it as reference-table-
+    * like). Here it compiles to a pure
+    * `inline(flatten(transform(...)))` expression chain — depth-1
+    * lateral correlation, whole-stage codegen, no UDFs — so the
+    * shredding runs wherever the scan runs at any scale. The oracle
+    * is the hand-computed PG-semantics shred of the fixed document
+    * (nested films repeat the favorite's ordinality and kind; PG's
+    * own golden shape). */
+  private val jsonTableShred = GraftQuery(
+    "json_table_shred",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT jt.* FROM
+             (SELECT '{ "favorites" : [
+                { "kind" : "comedy", "films" : [
+                    { "title" : "Bananas", "director" : "Woody Allen"},
+                    { "title" : "The Dinner Game", "director" : "Francis Veber" } ] },
+                { "kind" : "horror", "films" : [
+                    { "title" : "Psycho", "director" : "Alfred Hitchcock" } ] },
+                { "kind" : "drama", "films" : [] }
+               ] }' AS js) my_films,
+             JSON_TABLE ( js, '$.favorites[*]' COLUMNS (
+               ord FOR ORDINALITY,
+               kind text PATH '$.kind',
+               NESTED PATH '$.films[*]' COLUMNS (
+                 title text PATH '$.title',
+                 director text PATH '$.director'))) AS jt
+           ORDER BY 1, 3""")
+    },
+    Some("""SELECT * FROM (VALUES
+        (1, 'comedy', 'Bananas', 'Woody Allen'),
+        (1, 'comedy', 'The Dinner Game', 'Francis Veber'),
+        (2, 'horror', 'Psycho', 'Alfred Hitchcock'),
+        (3, 'drama', NULL, NULL))
+        AS t(ord, kind, title, director) ORDER BY 1, 3"""))
+
+  /** JSON_EXISTS as a scan predicate over the events table's props
+    * column — the path-hit test pushes into the row filter (one
+    * map-side pass, no shuffle beyond the aggregation). */
+  private val jsonExistsFilter = GraftQuery(
+    "json_exists_filter",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT event_type, count(*) AS n
+           FROM events
+           WHERE JSON_EXISTS(props, '$.k')
+           GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
-      histogram, refVerbatim, refVerbatimWin, refVerbatimQuant)
+      histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
+      jsonTableShred, jsonExistsFilter)
 }
