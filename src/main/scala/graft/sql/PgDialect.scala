@@ -435,6 +435,17 @@ object PgDialect {
     * untouched. */
   def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
+    // PG17 range randoms (pg_proc.dat random(min,max) overloads):
+    // random(a, b) draws an integer uniformly in [a, b];
+    // random_normal(mean, stddev) is a Gaussian draw — both map to
+    // Spark's codegen'd rand()/randn()
+    s = """(?i)\brandom\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(floor(rand() * ((${m.group(2)}) - (${m.group(1)}) + 1))" +
+          s" + (${m.group(1)}) AS BIGINT)"))
+    s = """(?i)\brandom_normal\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"((${m.group(1)}) + (${m.group(2)}) * randn())"))
     // PG's three current-time flavors (clock/statement/transaction
     // timestamp, pg_proc.dat) all map to Spark's per-query now() —
     // each replayed statement is its own query, so successive EXECUTEs
@@ -3151,8 +3162,32 @@ object PgDialect {
     else None
   }
 
-  def sql(spark: SparkSession, pgSql: String): DataFrame = {
+  /** Coordinator evaluation of VOLATILE ordered-set-aggregate
+    * fractions (pg17.sql's `PERCENTILE_DISC((2 > random(0,1))::int
+    * ::numeric / 10) WITHIN GROUP ...`): PG evaluates the volatile
+    * argument once on the coordinator and ships the constant; Spark's
+    * percentile functions REQUIRE a foldable fraction — evaluate the
+    * expression here and splice the literal, same contract. */
+  private def coordEvalVolatileFractions(spark: SparkSession,
+      s0: String): String = {
+    val psRe =
+      """(?is)\b(PERCENTILE_(?:DISC|CONT))\s*\((.*?)\)\s*WITHIN\s+GROUP""".r
+    val volRe = """(?i)\brandom(?:_normal)?\s*\(|\brandn?\s*\(""".r
+    psRe.replaceAllIn(s0, m =>
+      if (volRe.findFirstIn(m.group(2)).isEmpty) m.matched
+      else {
+        val v =
+          try sql(spark, s"SELECT (${m.group(2)}) AS __f")
+            .collect()(0).get(0).toString
+          catch { case _: Throwable => m.group(2) }
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}($v) WITHIN GROUP")
+      })
+  }
+
+  def sql(spark: SparkSession, pgSql0: String): DataFrame = {
     ensureSketchFns(spark)
+    val pgSql = coordEvalVolatileFractions(spark, pgSql0)
     // PG `SELECT ... INTO tbl FROM ...` (CTAS spelling): run the
     // SELECT without the INTO clause and register the result so later
     // statements can read it (multi_agg_distinct.sql et al.)
