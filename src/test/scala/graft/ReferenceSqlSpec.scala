@@ -94,8 +94,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // and shift per-occurrence error/golden cursors (pgmerge.sql)
         if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(line).size % 2 == 1)
           inDollar = !inDollar
-        if (!inDollar && t.endsWith(";")) {
-          val raw0 = buf.toString
+        // `\gset` terminates its statement client-side (the replay
+        // splitter treats it as `;`) — flush so the NEXT statement's
+        // key does not absorb this echo line
+        if (!inDollar && (t.endsWith(";") || t.endsWith("\\gset"))) {
+          val raw0 = buf.toString.replace("\\gset", "")
           createSchemaRe.findFirstMatchIn(raw0.trim)
             .foreach(m => scNames += m.group(1).toLowerCase)
           last = normSql(stripSchemaQuals(raw0, scNames))
@@ -143,8 +146,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
         buf.append(line).append('\n')
         if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(line).size % 2 == 1)
           inDollar = !inDollar
-        if (!inDollar && t.endsWith(";")) {
-          val raw0 = buf.toString
+        if (!inDollar && (t.endsWith(";") || t.endsWith("\\gset"))) {
+          val raw0 = buf.toString.replace("\\gset", "")
           createSchemaRe.findFirstMatchIn(raw0.trim)
             .foreach(m => scNames += m.group(1).toLowerCase)
           last = normSql(stripSchemaQuals(raw0, scNames))
@@ -1433,8 +1436,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
           buf.append(lines(i)).append('\n')
           if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(lines(i)).size % 2 == 1)
             inDollar = !inDollar
-          if (!inDollar && t.endsWith(";")) {
-            val raw0 = buf.toString
+          if (!inDollar && (t.endsWith(";") || t.endsWith("\\gset"))) {
+            val raw0 = buf.toString.replace("\\gset", "")
             createSchemaRe.findFirstMatchIn(raw0.trim)
               .foreach(m => scNames += m.group(1).toLowerCase)
             last = normSql(stripSchemaQuals(raw0, scNames))
@@ -1472,6 +1475,21 @@ class ReferenceSqlSpec extends AnyFunSuite {
           "\"" + c.replace("\"", "\"\"") + "\""
         else c
       }.mkString("(", ",", ")")
+    case s: String if s.length > 2 && s.startsWith("(") &&
+        s.endsWith(")") && s.contains(",") && !s.contains(":") =>
+      // PG record text renders canonically without spaces after commas
+      // (`'(7, 8)'::comp` stores and prints `(7,8)`,
+      // multi_data_types.sql) — normalize outside double quotes
+      val sb = new StringBuilder; var inQ = false; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '"') { inQ = !inQ; sb += c; i += 1 }
+        else if (!inQ && c == ',') {
+          sb += c; i += 1
+          while (i < s.length && s.charAt(i) == ' ') i += 1
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
     case s: String if s.length > 1 && s.startsWith("{") &&
         s.endsWith("}") && s.contains(":") =>
       // JSON object text: whitespace placement differs between PG's
@@ -1788,6 +1806,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // record text): bare `(col).field` access rewrites to the
     // `(col::type).field` form the dialect extracts
     val compositeCols = collection.mutable.Map[String, String]()
+    // (table, column) → GENERATED ALWAYS AS (expr) STORED — inserts
+    // recompute the expression from the inserted row
+    val generatedCols =
+      collection.mutable.Map[(String, String), String]()
     // CREATE SCHEMA names seen — their qualifiers strip off statements
     val schemaNames = collection.mutable.Set[String]()
     // schema → tables created under it (qualified CREATEs), so a
@@ -2763,6 +2785,18 @@ class ReferenceSqlSpec extends AnyFunSuite {
           state.serialNext((n, c)) = state.serialNext((n, c)) + bN)
       }
       var batch = renamed.select(proj: _*)
+      // GENERATED ALWAYS AS (expr) STORED columns recompute from the
+      // inserted row (the expression sees the table's column names,
+      // available after the projection above)
+      schema.foreach { case (cn, ct) =>
+        state.generatedCols.get((n, cn.toLowerCase)).foreach { ge =>
+          try batch = batch.withColumn(cn,
+            org.apache.spark.sql.functions.expr(
+              graft.sql.PgDialect.translate(ge).stripSuffix(";"))
+              .cast(ct))
+          catch { case _: Throwable => () }
+        }
+      }
       conflictSets match {
         case Some(sets) =>
           val (setsBody, updCond0) = topSplit(sets, "WHERE") match {
@@ -3466,18 +3500,125 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   cf, lit(false)))).localCheckpoint(true))
           } catch { case _: Throwable => data(child) = Some(cur) }
           register(parent); register(child)
-        case alterAddRe(name, cn, ct0, _)
-            if schemas.contains(strip(name)) =>
+        case alterAddRe(name, cn, ct0, tail0)
+            if schemas.contains(strip(name)) && !pgRejected(stmt) =>
           val n = base(strip(name))
           val t = sparkType(ct0)
           if (!schemas(n).exists(_._1.equalsIgnoreCase(cn))) {
             schemas(n) = schemas(n) :+ (cn -> t)
-            data.get(n).flatten.foreach(df =>
-              data(n) = Some(df.withColumn(cn, lit(null).cast(t))))
+            val tail = Option(tail0).getOrElse("")
+            // PG BACKFILLS the new column on existing rows:
+            // DEFAULT expr fills every row (and registers as the
+            // insert-time default), GENERATED ALWAYS AS (e) STORED
+            // computes from the row (and recomputes on insert),
+            // IDENTITY numbers 1..N and counts on like a serial
+            // (columnar_alter.sql's add-column batteries)
+            val genRe =
+              """(?is)\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*STORED""".r
+            val identRe =
+              """(?is)\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""".r
+            val defRe = ("""(?is)\bDEFAULT\s+(.+?)(?:\s+NOT\s+NULL\b|""" +
+              """\s+CHECK\b|\s+PRIMARY\b|\s+REFERENCES\b|""" +
+              """\s+UNIQUE\b|\s*,\s*ADD\b|\s*$)""").r
+            def asCol(e: String): org.apache.spark.sql.Column =
+              try org.apache.spark.sql.functions.expr(
+                graft.sql.PgDialect.translate(e).stripSuffix(";"))
+              catch { case _: Throwable => lit(null) }
+            val isIdent = identRe.findFirstIn(tail).isDefined ||
+              """(?i)^(?:big|small)?serial\b""".r
+                .findFirstIn(ct0.trim).isDefined
+            val fill: org.apache.spark.sql.Column =
+              genRe.findFirstMatchIn(tail) match {
+                case Some(g) =>
+                  state.generatedCols((n, cn.toLowerCase)) =
+                    g.group(1).trim
+                  asCol(g.group(1))
+                case None if isIdent =>
+                  state.serialNext((n, cn.toLowerCase)) = 1L
+                  org.apache.spark.sql.functions.row_number().over(
+                    org.apache.spark.sql.expressions.Window.orderBy(
+                      org.apache.spark.sql.functions
+                        .monotonically_increasing_id())).cast("BIGINT")
+                case None =>
+                  defRe.findFirstMatchIn(tail) match {
+                    case Some(d) =>
+                      state.colDefaults((n, cn.toLowerCase)) =
+                        graft.sql.PgDialect.translate(d.group(1).trim)
+                          .stripSuffix(";")
+                      val e = d.group(1).trim
+                      // backfill rule (columnar_alter.sql goldens):
+                      // constants fill via PG's missing-value fast
+                      // path, VOLATILE defaults fill via table
+                      // rewrite; STABLE function defaults (the
+                      // attmissingval path the reference's columnar
+                      // does not read back) stay NULL on existing rows
+                      val isConst = e.matches(
+                        """(?is)-?\d+(\.\d+)?|'(?:[^']|'')*'(?:\s*::\s*[\w() ]+)?|TRUE|FALSE|NULL""")
+                      val isVolatile = """(?i)\b(random|uuid|gen_random|nextval|clock_timestamp)\b""".r
+                        .findFirstIn(e).isDefined
+                      if (isConst || isVolatile) asCol(e) else lit(null)
+                    case None => lit(null)
+                  }
+              }
+            data.get(n).flatten.foreach { df =>
+              // functions.expr parses LAZILY (Spark 4 column nodes):
+              // analysis errors surface here — fall back to NULL fill
+              data(n) = Some(
+                try freshen(df.withColumn(cn, fill.cast(t))
+                  .localCheckpoint(true))
+                catch { case _: Throwable =>
+                  freshen(df.withColumn(cn, lit(null).cast(t))
+                    .localCheckpoint(true))
+                })
+              if (isIdent)
+                state.serialNext((n, cn.toLowerCase)) =
+                  state.serialNext((n, cn.toLowerCase)) + df.count()
+            }
             state.parts.collect { case (c, (p, _)) if p == n => c }
               .foreach(c => schemas(c) = schemas(n))
           }
           register(n)
+        // ALTER TABLE .. RENAME COLUMN a TO b / RENAME TO t2 —
+        // live-state renames (columnar_alter.sql's tail battery)
+        case s0 if """(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?[A-Za-z_][\w.]*\s+RENAME\b""".r
+            .findPrefixMatchOf(s0).isDefined && !pgRejected(s0) =>
+          val renColRe = ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+            """([A-Za-z_][\w.]*)\s+RENAME\s+(?:COLUMN\s+)?""" +
+            """([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)""").r
+          val renTabRe = ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+            """([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+([A-Za-z_][\w.]*)""").r
+          renTabRe.findFirstMatchIn(s0) match {
+            case Some(m) =>
+              val n0 = base(strip(m.group(1)))
+              val n1 = base(strip(m.group(2)))
+              if (schemas.contains(n0)) {
+                schemas(n1) = schemas(n0); schemas.remove(n0)
+                data(n1) = data.getOrElse(n0, None); data.remove(n0)
+                spark.catalog.dropTempView(n0)
+                register(n1)
+              }
+            case None => renColRe.findFirstMatchIn(s0).foreach { m =>
+              val n0 = base(strip(m.group(1)))
+              val c0 = m.group(2); val c1 = m.group(3)
+              if (schemas.contains(n0)) {
+                schemas(n0) = schemas(n0).map { case (c, t) =>
+                  if (c.equalsIgnoreCase(c0)) (c1, t) else (c, t) }
+                data.get(n0).flatten.foreach(df =>
+                  data(n0) = Some(df.withColumnRenamed(c0, c1)))
+                register(n0)
+              }
+            }
+          }
+        // ALTER COLUMN c DROP DEFAULT: later inserts fall back to NULL
+        case s0 if """(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?[A-Za-z_][\w.]*\s+ALTER\s+(?:COLUMN\s+)?[A-Za-z_]\w*\s+DROP\s+DEFAULT\b""".r
+            .findPrefixMatchOf(s0).isDefined =>
+          ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+            """([A-Za-z_][\w.]*)\s+ALTER\s+(?:COLUMN\s+)?""" +
+            """([A-Za-z_]\w*)\s+DROP\s+DEFAULT""").r
+            .findFirstMatchIn(s0).foreach { m =>
+              state.colDefaults.remove(
+                (base(strip(m.group(1))), m.group(2).toLowerCase))
+            }
         case alterDropRe(name, cn)
             if schemas.contains(strip(name)) &&
               schemas(strip(name)).exists(_._1.equalsIgnoreCase(cn)) =>
@@ -3619,14 +3760,21 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 state.partCol(strip(name)) = m.group(1).toLowerCase)
             register(strip(name))
           }
-        case ctasRe(name, body) =>
+        case ctasRe(name, body) if !pgRejected(stmt) =>
           // CTAS snapshots: checkpoint so the view neither tracks later
           // source changes nor re-resolves a complex plan per reader
           // (EXCEPT of two lateral-join CTAS views trips attribute
-          // reuse otherwise, columnar_query.sql:75-90)
-          try PgDialect.sql(spark, body).localCheckpoint(true)
-            .createOrReplaceTempView(strip(name))
-          catch { case e: Throwable => dbgFail(stmt, e) }
+          // reuse otherwise, columnar_query.sql:75-90). The result
+          // registers as LIVE STATE so later ALTER/DML applies
+          // (columnar_alter.sql alters a CTAS table)
+          try {
+            val df = PgDialect.sql(spark, body).localCheckpoint(true)
+            val n = base(strip(name))
+            schemas(n) = df.schema.fields.toSeq.map(f =>
+              f.name -> f.dataType.sql)
+            data(n) = Some(freshen(df))
+            register(n)
+          } catch { case e: Throwable => dbgFail(stmt, e) }
         // materialized views snapshot at creation and on REFRESH —
         // intermediate base-table DML must NOT show through (PG
         // semantics; the plain-view case below stays live on purpose)
@@ -3694,7 +3842,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
               dbgFail(stmt, e)
             }
           }
-        case truncateRe(names) =>
+        case truncateRe(names) if !pgRejected(stmt) =>
+          // (a TRUNCATE PG rejects — permission, referenced-without-
+          // CASCADE — did not mutate its state: skip like any other
+          // negative test, columnar_truncate.sql's truncate_user)
           // TRUNCATE..CASCADE extends to every table that transitively
           // references a truncated one by FK (PG's cascaded truncate);
           // without CASCADE, a referenced-table truncate errors in PG
@@ -6487,6 +6638,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
               cur += text.charAt(i); i += 1
             }
             if (i < text.length) { cur += '\''; i += 1 }
+          } else if (c == '"') {
+            // double-quoted identifier: an embedded apostrophe must
+            // not open a string literal ("refer'ence_table",
+            // multi_mx_truncate_from_worker.sql)
+            cur += c; i += 1
+            while (i < text.length && text.charAt(i) != '"') {
+              cur += text.charAt(i); i += 1
+            }
+            if (i < text.length) { cur += '"'; i += 1 }
           } else if (c == '-' && text.startsWith("--", i)) {
             // end-of-line comment: skip to newline (whole comment
             // lines are pre-stripped, trailing ones are not)
@@ -7490,6 +7650,156 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "(value-checked)")
     assert(ran >= 30, s"expected the transaction battery, got $ran")
     assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_mx_reference_table.sql — the " +
+      "reference-table query battery run from MX workers: filters, " +
+      "ORDER/LIMIT/OFFSET, boolean predicate mixes, aggregates, " +
+      "GROUP/HAVING, set ops, joins against distributed fixtures, " +
+      "FOR UPDATE row locks (lock plumbing; the rows are the surface)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_")
+    // FOR UPDATE is a row-lock directive — no dataframe meaning
+    val tr: String => String = raw =>
+      raw.replaceAll("(?i)\\s+FOR\\s+UPDATE", "")
+    val (ok, ran) = replayFile("multi_mx_reference_table.sql",
+      "MXREFFAIL", keep, new ReplayState, countDml = true,
+      transform = tr, valueCheck = keep)
+    info(s"multi_mx_reference_table.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 55, s"expected the reference battery, got $ran")
+    assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of sql_procedure_no_transaction_block.sql " +
+      "— single-statement procedure CALL batteries (the reference's " +
+      "2PC-skip GUC optimization; the transaction-skip itself is " +
+      "connection plumbing — the procedure DML effects replay)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("$$")
+    val (ok, ran) = replayFile(
+      "sql_procedure_no_transaction_block.sql", "PROCNTFAIL", keep,
+      new ReplayState, countDml = true, valueCheck = keep)
+    info(s"sql_procedure_no_transaction_block.sql: $ok/$ran " +
+      "statements run (value-checked)")
+    assert(ran >= 15, s"expected the CALL battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_mx_truncate_from_worker.sql — " +
+      "TRUNCATE batteries over FK-chained tables (cascading TRUNCATE " +
+      "through ON DELETE chains, in/out of transactions) including a " +
+      "quoted table name with an embedded apostrophe " +
+      "(\"refer'ence_table\") — the worker-origin part is connection " +
+      "plumbing") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("$$") &&
+        !s.contains("lock_relation") && !s.contains("pg_locks")
+    // the apostrophe-bearing quoted name exercises the reference's
+    // DEPARSER quoting; here identifiers canonicalize — the TRUNCATE
+    // and FK semantics are the replayed surface (the splitter itself
+    // is now double-quote-aware regardless)
+    val tr: String => String = raw => raw
+      .replace("\"refer'ence_table\"", "refer_ence_table")
+      .replace("'refer''ence_table'", "'refer_ence_table'")
+    val (ok, ran) = replayFile("multi_mx_truncate_from_worker.sql",
+      "MXTRFAIL", keep, new ReplayState, countDml = true,
+      transform = tr, valueCheck = keep)
+    info(s"multi_mx_truncate_from_worker.sql: $ok/$ran statements " +
+      "run (value-checked)")
+    assert(ran >= 20, s"expected the truncate battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of columnar_truncate.sql — TRUNCATE over " +
+      "columnar tables: truncate-then-reload cycles, mixed " +
+      "row/columnar truncate lists, TRUNCATE inside transactions " +
+      "with ROLLBACK, CASCADE through FKs; storage-internals probes " +
+      "(columnar.stripe) are storage scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("columnar.") &&
+        !s.contains(":columnar_data_files") && !s.contains("pg_class") &&
+        !s.contains("pg_total_relation_size") &&
+        !s.contains("columnar_test_helpers") &&
+        !s.contains("pg_relation_size")
+    val (ok, ran) = replayFile("columnar_truncate.sql", "CTRFAIL",
+      keep, new ReplayState, countDml = true, valueCheck = keep)
+    info(s"columnar_truncate.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 18, s"expected the truncate battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of columnar_alter.sql — ALTER TABLE " +
+      "batteries over columnar tables: DROP/ADD COLUMN with live " +
+      "rows (added columns backfill defaults), volatile and constant " +
+      "defaults, ALTER TYPE evolution, rename; storage-info probes " +
+      "are storage scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("columnar_test_helpers") &&
+        !s.contains("pg_class") && !s.contains("\\d") &&
+        !s.toLowerCase.contains("vacuum") && !s.contains("pg_total") &&
+        // row-level security (grants/RLS scope) and direct shard names
+        !s.contains("row_level_security") && !s.contains("_xxxxx")
+    val (ok, ran) = replayFile("columnar_alter.sql", "CALTFAIL",
+      keep, new ReplayState, countDml = true, valueCheck = keep)
+    info(s"columnar_alter.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 25, s"expected the alter battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_data_types.sql — composite-type / " +
+      "varchar / enum distribution-column batteries: create, " +
+      "INSERT, SELECT and UPDATE over composite-keyed rows (the " +
+      "custom hash-operator plumbing is the reference's; the VALUE " +
+      "semantics replay)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("$cf$") &&
+        !s.contains("$$") && !s.contains("OPERATOR") &&
+        !s.contains("opclass") && !s.contains("pg_type")
+    val (ok, ran) = replayFile("multi_data_types.sql", "MDTFAIL",
+      keep, new ReplayState, countDml = true, valueCheck = keep)
+    info(s"multi_data_types.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 12, s"expected the data-types battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
   }
 
   test("sequential replay of pg17_json.sql (JSON_TABLE document " +
