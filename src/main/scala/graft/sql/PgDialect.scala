@@ -446,6 +446,15 @@ object PgDialect {
     s = """(?i)\brandom_normal\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"((${m.group(1)}) + (${m.group(2)}) * randn())"))
+    // daterange(lo, hi) constructs PG's canonical '[lo,hi)' range
+    // text (the engine carries ranges as text; PG's regression
+    // datestyle renders dates MM-DD-YYYY — pg18.sql WITHOUT OVERLAPS)
+    s = """(?i)\bdaterange\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"concat('[', coalesce(date_format(CAST(${m.group(1)} AS " +
+          s"DATE), 'MM-dd-yyyy'), ''), ',', " +
+          s"coalesce(date_format(CAST(${m.group(2)} AS DATE), " +
+          s"'MM-dd-yyyy'), ''), ')')"))
     // PG's three current-time flavors (clock/statement/transaction
     // timestamp, pg_proc.dat) all map to Spark's per-query now() —
     // each replayed statement is its own query, so successive EXECUTEs
@@ -1921,7 +1930,11 @@ object PgDialect {
     val base =
       if (p == "$" || p.isEmpty) src
       else s"get_json_object($src, '$p')"
-    s"from_json($base, 'ARRAY<STRING>')"
+    // PG lax mode wraps a non-array row-pattern result (object or
+    // scalar) into a one-item sequence — `JSON_TABLE(data, '$.user'
+    // COLUMNS ...)` emits one row per document (pg18.sql:267)
+    s"coalesce(from_json($base, 'ARRAY<STRING>'), " +
+      s"CASE WHEN $base IS NOT NULL THEN array($base) END)"
   }
 
   private def rewriteJsonTable(sql: String): String = {

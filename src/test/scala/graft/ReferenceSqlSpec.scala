@@ -397,11 +397,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
       .filter(_.nonEmpty)
     def splitTop(s: String): Seq[String] = {
       val out = collection.mutable.Buffer[String]()
-      var depth = 0; var inQ = false; var cur = new StringBuilder
+      var depth = 0; var inQ = false; var inDq = false
+      var cur = new StringBuilder
       s.foreach { c =>
         if (inQ) { cur += c; if (c == '\'') inQ = false }
+        else if (inDq) { cur += c; if (c == '"') inDq = false }
         else c match {
           case '\'' => inQ = true; cur += c
+          case '"'  => inDq = true; cur += c
           case '('  => depth += 1; cur += '('
           case ')'  => depth -= 1; cur += ')'
           case ',' if depth == 0 =>
@@ -1477,19 +1480,28 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }.mkString("(", ",", ")")
     case s: String if s.length > 2 && s.startsWith("(") &&
         s.endsWith(")") && s.contains(",") && !s.contains(":") =>
-      // PG record text renders canonically without spaces after commas
-      // (`'(7, 8)'::comp` stores and prints `(7,8)`,
-      // multi_data_types.sql) — normalize outside double quotes
-      val sb = new StringBuilder; var inQ = false; var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '"') { inQ = !inQ; sb += c; i += 1 }
-        else if (!inQ && c == ',') {
-          sb += c; i += 1
-          while (i < s.length && s.charAt(i) == ' ') i += 1
-        } else { sb += c; i += 1 }
+      // PG record text: split top-level fields (quote-aware) and
+      // canonicalize each — `(7, 8)` ≡ `(7,8)`, `(4.20,89)` ≡
+      // `(4.2,89)` (multi_data_types.sql, pg18.sql record min/max)
+      val body = s.substring(1, s.length - 1)
+      val fields = scala.collection.mutable.Buffer[String]()
+      val cur = new StringBuilder
+      var inQ = false; var d = 0
+      body.foreach { c =>
+        if (c == '"') { inQ = !inQ; cur += c }
+        else if (!inQ && c == '(') { d += 1; cur += c }
+        else if (!inQ && c == ')') { d -= 1; cur += c }
+        else if (!inQ && d == 0 && c == ',') {
+          fields += cur.toString; cur.clear()
+        } else cur += c
       }
-      sb.toString
+      fields += cur.toString
+      fields.map { f0 =>
+        val f = f0.trim
+        if (f.startsWith("\"") && f.endsWith("\"") && f.length > 1) f
+        else if (f.isEmpty) ""
+        else canonCell(f) match { case "NULL" => "" case v => v }
+      }.mkString("(", ",", ")")
     case s: String if s.length > 1 && s.startsWith("{") &&
         s.endsWith("}") && s.contains(":") =>
       // JSON object text: whitespace placement differs between PG's
@@ -2045,11 +2057,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // live state: declared schemas + accumulated data per table
     def splitTop(s: String): Seq[String] = {
       val out = collection.mutable.Buffer[String]()
-      var depth = 0; var inQ = false; var cur = new StringBuilder
+      var depth = 0; var inQ = false; var inDq = false
+      var cur = new StringBuilder
       s.foreach { c =>
         if (inQ) { cur += c; if (c == '\'') inQ = false }
+        else if (inDq) { cur += c; if (c == '"') inDq = false }
         else c match {
           case '\'' => inQ = true; cur += c
+          case '"'  => inDq = true; cur += c
           case '('  => depth += 1; cur += '('
           case ')'  => depth -= 1; cur += ')'
           case ',' if depth == 0 =>
@@ -2066,7 +2081,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // composite text, the PgSession convention the coordinator-
       // evaluation corpora compare against); the composite registry
       // types only expression-level row literals (with_basics' xy)
-      if (t.contains("[")) // PG array column (`text[]`)
+      if ("""^(date|num|int[48]|ts|tstz)range\b""".r.findFirstIn(t)
+        .isDefined) "STRING" // PG range types ride as range text
+      else if (t.contains("[")) // PG array column (`text[]`)
         "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
       else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
@@ -2089,7 +2106,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val data = state.data
     def strip(n: String) = n.substring(n.lastIndexOf('.') + 1).toLowerCase
     def emptyOf(name: String): org.apache.spark.sql.DataFrame =
-      spark.range(0).select(schemas(name).map { case (n2, t2) =>
+      spark.range(0).select(schemas.getOrElse(name,
+        Seq("__void" -> "INT")).map { case (n2, t2) =>
         lit(null).cast(t2).as(n2) }: _*)
     // partition-child name → its storage parent (identity otherwise)
     def base(n: String): String = state.parts.get(n).map(_._1).getOrElse(n)
@@ -2595,8 +2613,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
         rest1: String): org.apache.spark.sql.DataFrame = {
       val n = base(strip(name))
       val schema = schemas(n)
+      // PG never inserts into GENERATED columns: the implicit column
+      // list excludes them (COPY over a virtual-generated table maps
+      // data positionally to the real columns, pg18.sql:1278)
       val given = colList.map(_.split(",").map(_.trim.toLowerCase).toSeq)
-        .getOrElse(schema.map(_._1.toLowerCase))
+        .getOrElse(schema.map(_._1.toLowerCase)
+          .filterNot(c => state.generatedCols.contains((n, c))))
       // the optional WHERE between the conflict target and DO is the
       // arbiter INDEX predicate (PG partial-unique-index arbitration);
       // live state has no indexes, so the target columns alone
@@ -3226,6 +3248,18 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 if (graft.sql.PgDialect.compositeFields(ty).isDefined)
                   state.compositeCols(mm.group(1).toLowerCase) = ty
               }
+            // CREATE-time IDENTITY columns count like serials
+            ("""(?is)^([A-Za-z_]\w*)\s+.*?GENERATED\s+""" +
+              """(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""").r
+              .findFirstMatchIn(t).foreach(mm =>
+                state.serialNext((base(tn), mm.group(1).toLowerCase)) = 1L)
+            // CREATE-time generated columns (STORED or PG18 VIRTUAL):
+            // inserts compute the expression from the inserted row
+            ("""(?is)^([A-Za-z_]\w*)\s+.*?GENERATED\s+ALWAYS\s+AS""" +
+              """\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*$""").r
+              .findFirstMatchIn(t).foreach(mm =>
+                state.generatedCols((base(tn), mm.group(1).toLowerCase)) =
+                  mm.group(2).trim)
             val mU = """(?is)^UNIQUE\s*\(([^)]*)\)""".r.findFirstMatchIn(t)
             val mPk =
               """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)""".r.findFirstMatchIn(t)
@@ -3279,7 +3313,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
           val refCols = refCols0
             .map(_.split(",").map(_.trim.toLowerCase).toSeq)
             .getOrElse(state.pkeys.getOrElse(refTab, Seq.empty))
-          if (cols.nonEmpty && refCols.length == cols.length)
+          // PG18 NOT ENFORCED: the constraint is declarative only —
+          // no action fires (pg18.sql's contacts battery keeps the
+          // orphan row after the referenced delete)
+          val enforced =
+            """(?i)\bNOT\s+ENFORCED\b""".r.findFirstIn(tail).isEmpty
+          if (cols.nonEmpty && refCols.length == cols.length && enforced)
             state.fkeys += state.Fk(cname.toLowerCase, tab, cols,
               refTab, refCols, fkAction(tail, "DELETE"),
               fkAction(tail, "UPDATE"))
@@ -3514,7 +3553,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
             // IDENTITY numbers 1..N and counts on like a serial
             // (columnar_alter.sql's add-column batteries)
             val genRe =
-              """(?is)\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*STORED""".r
+              """(?is)\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?\s*$""".r
             val identRe =
               """(?is)\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""".r
             val defRe = ("""(?is)\bDEFAULT\s+(.+?)(?:\s+NOT\s+NULL\b|""" +
@@ -3918,13 +3957,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
             state.fkeys.clear(); state.fkeys ++= keptFks
             state.serialNext.keys.filter(_._1 == n).toSeq
               .foreach(state.serialNext.remove)
-            // dropping a parent cascades to its children
+            // dropping a parent cascades to its children —
+            // TRANSITIVELY (multi-level partitioning, pg18.sql)
             state.parts.remove(n); state.partCol.remove(n)
-            val orphans = state.parts.collect {
-              case (c, (p, _)) if p == n => c }
-            orphans.foreach { c =>
-              state.parts.remove(c); schemas.remove(c)
-              spark.catalog.dropTempView(c)
+            var orphanFront = Seq(n)
+            while (orphanFront.nonEmpty) {
+              val next = state.parts.collect {
+                case (c, (p, _)) if orphanFront.contains(p) => c }.toSeq
+              next.foreach { c =>
+                state.parts.remove(c); state.partCol.remove(c)
+                schemas.remove(c); data.remove(c)
+                spark.catalog.dropTempView(c)
+              }
+              orphanFront = next
             }
             spark.catalog.dropTempView(n)
           }
@@ -5593,6 +5638,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("current_setting") && !s.contains("RETURNING") &&
         !s.contains("undistribute_table") &&
         !s.contains("alter_distributed_table") &&
+        !s.contains("gen_pub_repl") &&
+        // foreign-table LIKE battery (fdw plumbing) and the
+        // escaped-quote identifier battery ("col\'_2")
+        !s.contains("ctl_ft") && !s.contains("generated_stored_") &&
         !s.contains("compare_tables") && !s.contains("check_data") &&
         !s.contains("compare_data") &&
         // show_tables is a view over pg_dist_partition — distribution-
@@ -5865,7 +5914,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // table/constraint/index catalog introspection + re-sharding
         // metadata ops: deployment scope
         !s.contains("pg_constraint") && !s.contains("pg_indexes") &&
-        !s.contains("alter_distributed_table")
+        !s.contains("alter_distributed_table") &&
+        !s.contains("gen_pub_repl") &&
+        // foreign-table LIKE battery (fdw plumbing) and the
+        // escaped-quote identifier battery ("col\'_2")
+        !s.contains("ctl_ft") && !s.contains("generated_stored_")
     val (ok, ran) = replayFile("coordinator_shouldhaveshards.sql",
       "CSHFAIL", keep, new ReplayState, countDml = true)
     info(s"coordinator_shouldhaveshards.sql: $ok/$ran statements run")
@@ -6284,6 +6337,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("pg_total_relation_size") &&
         !s.contains("undistribute_table") && !s.contains("foo()") &&
         !s.contains("alter_distributed_table") &&
+        !s.contains("gen_pub_repl") &&
+        // foreign-table LIKE battery (fdw plumbing) and the
+        // escaped-quote identifier battery ("col\'_2")
+        !s.contains("ctl_ft") && !s.contains("generated_stored_") &&
         !s.contains("pg_backend_pid") && !s.contains("pg_terminate") &&
         !s.contains("columnar") && !s.contains("nextval") &&
         !s.toLowerCase.contains("vacuum") &&
@@ -7799,6 +7856,100 @@ class ReferenceSqlSpec extends AnyFunSuite {
     info(s"multi_data_types.sql: $ok/$ran statements run " +
       "(value-checked)")
     assert(ran >= 12, s"expected the data-types battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of pg18.sql — the PG18 feature battery: " +
+      "self-join elimination semantics (dist/local mixes, USING vs " +
+      "ON, null-introducing joins, prepared + CTE forms), JSON_TABLE " +
+      "COLUMNS extraction over distributed documents, WITHOUT " +
+      "OVERLAPS key batteries (accepting inserts apply; overlap " +
+      "rejections are negative tests), RETURNING old/new DML, " +
+      "NOT VALID/VALIDATE NOT NULL sequences; the logical-replication " +
+      "/ publication half of the file is replication plumbing " +
+      "(keep-filtered), EXPLAIN goldens are the reference planner's") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") &&
+        !s.toLowerCase.contains("publication") &&
+        !s.toLowerCase.contains("subscription") &&
+        !s.contains("pubgencols") && !s.contains("conninfo") &&
+        !s.contains("pg_stat") && !s.contains("table_checks") &&
+        !s.contains("pg_constraint") && !s.contains("pg_attribute") &&
+        !s.contains("pg_class") && !s.contains("shardid") &&
+        !s.contains("pg_sleep") && !s.contains("$$") &&
+        !s.contains("FOREIGN TABLE") && !s.contains("foreign table") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("pg_database") && !s.contains("normalize(") &&
+        !s.contains("is nfc") && !s.contains("IS NFC") &&
+        // nondeterministic-collation and unicode-normalization
+        // batteries (collations: documented engine difference)
+        !s.contains("strtest") && !s.contains("ctest_") &&
+        !s.contains("server_version") &&
+        !s.contains("alter_distributed_table") &&
+        !s.contains("gen_pub_repl") &&
+        // foreign-table LIKE battery (fdw plumbing) and the
+        // escaped-quote identifier battery ("col\'_2")
+        !s.contains("ctl_ft") && !s.contains("generated_stored_")
+    val tr: String => String = raw =>
+      """(?is)\bEXPLAIN\s*\([^)]*\)[^;]*;""".r.replaceAllIn(raw, ";")
+        // the five REJECT_LIMIT COPYs are data-less negative tests
+        // (PG rejects the option combinations before reading STDIN);
+        // left in place their missing `\.` terminator makes the
+        // COPY-conversion swallow the next several hundred lines
+        .replaceAll("(?m)^COPY check_ign_err FROM STDIN[^\n]*$", ";")
+    val (ok, ran) = replayFile("pg18.sql", "PG18FAIL", keep,
+      new ReplayState, countDml = true, transform = tr,
+      valueCheck = keep)
+    info(s"pg18.sql: $ok/$ran statements run (value-checked)")
+    // enumerated residuals: enum min/max (declaration-order vs text
+    // ordering), jsonb `$.**` recursive descent, array-column min/max,
+    // pg_get_loaded_modules (plumbing)
+    assert(ran >= 45, s"expected the PG18 battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of pg12.sql — the PG12 feature battery: " +
+      "generated columns over distributed tables (issue #3538 " +
+      "ordering), COPY FROM loads, CTE [NOT] MATERIALIZED router/" +
+      "pushdown variants, and FKs to partition tables (violations " +
+      "are negative tests)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.toLowerCase.contains("vacuum") &&
+        !s.contains("pg_class") && !s.contains("EXPLAIN") &&
+        !s.contains("undistribute_table") && !s.contains("COLLATE") &&
+        !s.contains("collation") &&
+        // case-insensitive-collation battery (collations: documented
+        // engine difference), the escaped-quote identifier battery,
+        // and table-AM management calls
+        !s.contains("col_test") && !s.contains("generated_stored_") &&
+        !s.contains("alter_table_set_access_method") &&
+        !s.contains("alter_distributed_table")
+    val tr: String => String = raw => raw
+      // the COPY TO file / TRUNCATE / COPY FROM file round-trip
+      // (psql :'temp_dir' var): splice the snapshot's rows back
+      .replace("copy gen1 from :'temp_dir''pg12_copy_test_generated';",
+        "insert into gen1 (id, val1) values (1,4),(3,6),(5,2),(7,2);")
+      // COPY .. WITH csv WHERE val < 4 (PG12 filtered COPY): splice
+      // the filtered rows
+      .replaceAll("""(?s)copy cptest from STDIN with csv where val < 4;.*?\\\.""",
+        "insert into cptest values (2,3),(3,2);")
+    val (ok, ran) = replayFile("pg12.sql", "PG12FAIL", keep,
+      new ReplayState, countDml = true, transform = tr,
+      valueCheck = keep)
+    info(s"pg12.sql: $ok/$ran statements run (value-checked)")
+    assert(ran >= 20, s"expected the PG12 battery, got $ran")
     assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
   }
 
