@@ -7953,6 +7953,35 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
   }
 
+  test("sequential replay of " +
+      "replicate_reference_tables_to_coordinator.sql — coordinator-" +
+      "local reference-table execution: local⋈reference joins, " +
+      "INSERT..SELECT between reference tables in BEGIN..ROLLBACK, " +
+      "correlated and LATERAL mixes — placement/visibility probes " +
+      "are metadata plumbing") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("$$") &&
+        !s.contains("my_volatile_fn") && !s.contains("EXPLAIN") &&
+        !s.contains("pg_sleep") && !s.contains("8000001") &&
+        !s.contains("pg_stat")
+    val tr: String => String = raw =>
+      """(?is)\bEXPLAIN\s*\([^)]*\)[^;]*;""".r.replaceAllIn(raw, ";")
+    val (ok, ran) = replayFile(
+      "replicate_reference_tables_to_coordinator.sql", "REFCOFAIL",
+      keep, new ReplayState, countDml = true, transform = tr,
+      valueCheck = keep)
+    info(s"replicate_reference_tables_to_coordinator.sql: $ok/$ran " +
+      "statements run (value-checked)")
+    assert(ran >= 25, s"expected the coordinator battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of pg17_json.sql (JSON_TABLE document " +
       "shredding — router, lateral-subquery, joins, nested paths, " +
       "ordinality, jsonb-literal sources, UNION branches, DML FROM — " +
