@@ -7982,6 +7982,31 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
   }
 
+  test("sequential replay of " +
+      "local_shard_utility_command_execution.sql — local execution " +
+      "of TRUNCATE/DROP/DDL over FK-chained reference+distributed " +
+      "tables: cascading TRUNCATE through FK graphs, TRUNCATEs " +
+      "forced local inside transaction blocks, DROP/recreate cycles " +
+      "— the local-vs-remote execution choice is connection plumbing") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("$$") &&
+        !s.contains("pg_class") && !s.contains("1500") &&
+        !s.contains("pg_tables") // catalog-visibility probes
+    val (ok, ran) = replayFile(
+      "local_shard_utility_command_execution.sql", "LSUFAIL", keep,
+      new ReplayState, countDml = true, valueCheck = keep)
+    info(s"local_shard_utility_command_execution.sql: $ok/$ran " +
+      "statements run (value-checked)")
+    assert(ran >= 15, s"expected the local-utility battery, got $ran")
+    assert(ok.toDouble / ran >= 0.8, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of pg17_json.sql (JSON_TABLE document " +
       "shredding — router, lateral-subquery, joins, nested paths, " +
       "ordinality, jsonb-literal sources, UNION branches, DML FROM — " +
