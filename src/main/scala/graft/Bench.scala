@@ -133,9 +133,13 @@ object Bench {
     // adjudicated as signal vs noise; the cheap entries stay at 5.
     // q7_volume_shipping joined the set in r9 after its r8 median
     // escaped the prior round's band (0.557 vs max 0.528) on a
-    // 0.32-1.30 straggler spread.
+    // 0.32-1.30 straggler spread. q1/q5 joined in r10 for the same
+    // adjudication: their r9 medians rose 39-41% while staying inside
+    // the r8 bands, and q1's r9 min (0.410) exceeded r8's median —
+    // the q7 pre-adjudication signature.
     val slowJoinEntries = Set("join_shuffle_fact", "join_shuffle_large",
-      "ch_market_share_repartition", "q7_volume_shipping")
+      "ch_market_share_repartition", "q7_volume_shipping",
+      "q1_pricing_summary", "q5_local_supplier")
     def passesFor(n: String): Int =
       if (slowJoinEntries(n)) math.max(timedPasses, 9) else timedPasses
     // A timed pass that throws must not record a fast, flattering time:

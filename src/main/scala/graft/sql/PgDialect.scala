@@ -974,11 +974,17 @@ object PgDialect {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"DISTINCT struct(${m.group(1)}.*)"))
     // non-distinct whole-row count (`COUNT(alias.*)`,
-    // sqlancer_failures.sql): same struct carrier convention as the
-    // DISTINCT form above
+    // sqlancer_failures.sql). PG's whole-row var is a genuine NULL on
+    // the null-extended side of an outer join (not counted); Spark's
+    // struct(t.*) is never NULL there, so a bare struct carrier
+    // overcounts unmatched rows. to_json omits null fields, so an
+    // all-null struct (the null-extension signature) renders '{}' —
+    // nullif that back to NULL. Residual divergence: a REAL row whose
+    // every field is NULL also stops counting (PG counts it); the
+    // corpus never exercises that shape.
     s = """(?is)\bcount\s*\(\s*([A-Za-z_]\w*)\.\*\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"count(struct(${m.group(1)}.*))"))
+        s"count(nullif(to_json(struct(${m.group(1)}.*)), '{}'))"))
     // PG whole-row reference by bare relation name:
     // `count(distinct aggdata)` over FROM aggdata
     locally {
@@ -1157,15 +1163,29 @@ object PgDialect {
     var s0 = """(?is)\b(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'""".r
       .replaceAllIn(sql, m => {
         val pat = new StringBuilder
+        // chars that are regex metacharacters but ORDINARY in SIMILAR
+        // TO (its metas are only | * + ? { } ( ) [ ] % _): escape them.
+        // The output rides in a Spark single-quoted literal whose
+        // escape processing is ON, so one regex backslash = two here.
+        def lit(c: Char): Unit =
+          if (".^$\\".indexOf(c) >= 0) pat ++= s"\\\\$c" else pat += c
+        val src = m.group(2)
+        var i = 0
         var inClass = false
-        m.group(2).foreach { c =>
+        while (i < src.length) {
+          val c = src.charAt(i)
           if (inClass) { pat += c; if (c == ']') inClass = false }
           else c match {
+            case '\\' if i + 1 < src.length =>
+              // SIMILAR TO escape char: `\%`/`\_` (and any other
+              // escaped char) stay literal
+              lit(src.charAt(i + 1)); i += 1
             case '[' => inClass = true; pat += c
             case '%' => pat ++= ".*"
             case '_' => pat += '.'
-            case ch  => pat += ch
+            case ch  => lit(ch)
           }
+          i += 1
         }
         java.util.regex.Matcher.quoteReplacement(
           (if (m.group(1) != null) "NOT " else "") +
@@ -1323,8 +1343,22 @@ object PgDialect {
         val checks =
           (Seq(p) ++ (if (unwrapped != p) Seq(unwrapped) else Seq.empty))
             .map(pp => s"get_json_object($x, '$pp') IS NOT NULL")
+        // get_json_object returns NULL both for key-absent and for
+        // key-present-holding-JSON-null; PG's JSON_EXISTS returns
+        // true for the latter. For a plain dotted path, probe the
+        // parent object's key set to recover that case.
+        val segs0 = p.split("\\.")
+        val nullKeyProbe =
+          if (segs0.length >= 2 && segs0.head == "$" &&
+              segs0.forall(sg => !sg.contains("[") && !sg.contains("*"))) {
+            val parent = segs0.dropRight(1).mkString(".")
+            val parentExpr =
+              if (parent == "$") x else s"get_json_object($x, '$parent')"
+            Seq(s"array_contains(json_object_keys($parentExpr), " +
+              s"'${segs0.last}')")
+          } else Seq.empty
         java.util.regex.Matcher.quoteReplacement(
-          s"(${checks.mkString(" OR ")})")
+          s"(${(checks ++ nullKeyProbe).mkString(" OR ")})")
       })
     // JSON_SERIALIZE(x RETURNING bytea|text) → cast of the text form
     sql1 = """(?is)\bJSON_SERIALIZE\s*\(\s*((?:[^()']|'[^']*'|\([^()]*\))+?)\s+RETURNING\s+(\w+)\s*\)""".r
@@ -1925,7 +1959,15 @@ object PgDialect {
     * inline(...) <tail>`) so an enclosing explicit-lateral subquery
     * keeps its outer reference at depth 1. */
   private def jsonArrayOf(src: String, path0: String): String = {
-    val p = path0.trim.replaceFirst("^(?i)(lax|strict)\\s+", "")
+    val trimmed = path0.trim
+    // `strict $.c[*]` over a non-array is a jsonpath ERROR — JSON_TABLE
+    // swallows it to an EMPTY row set (pg17_json.sql's jsonb_table_test
+    // nested-sibling battery: `"c": 123` must yield no c-rows). Only
+    // LAX mode (the default) auto-wraps a non-array into a one-item
+    // sequence.
+    val strictIter =
+      """(?is)^strict\s.*\[\*\]\s*$""".r.findFirstIn(trimmed).isDefined
+    val p = trimmed.replaceFirst("^(?i)(lax|strict)\\s+", "")
       .stripSuffix("[*]")
     val base =
       if (p == "$" || p.isEmpty) src
@@ -1933,8 +1975,10 @@ object PgDialect {
     // PG lax mode wraps a non-array row-pattern result (object or
     // scalar) into a one-item sequence — `JSON_TABLE(data, '$.user'
     // COLUMNS ...)` emits one row per document (pg18.sql:267)
-    s"coalesce(from_json($base, 'ARRAY<STRING>'), " +
-      s"CASE WHEN $base IS NOT NULL THEN array($base) END)"
+    if (strictIter) s"from_json($base, 'ARRAY<STRING>')"
+    else
+      s"coalesce(from_json($base, 'ARRAY<STRING>'), " +
+        s"CASE WHEN $base IS NOT NULL THEN array($base) END)"
   }
 
   private def rewriteJsonTable(sql: String): String = {
@@ -1993,11 +2037,16 @@ object PgDialect {
               selM.exists(sm => sm.group(2) == null ||
                 sm.group(2).equalsIgnoreCase(alias))
             } && {
-              // ... and no further FROM items follow — flattening
-              // deletes the FROM clause entirely
+              // ... and nothing follows that would still need the
+              // FROM clause: flattening deletes it entirely, so a
+              // trailing WHERE/GROUP BY/HAVING (which references the
+              // generated columns) would dangle unresolved. Only an
+              // empty remainder, statement end, or a row-shape-
+              // preserving ORDER BY/LIMIT tail is safe.
               val after = s.substring(aliasEnd).trim.toUpperCase
-              !after.startsWith(",") &&
-                !"""^(JOIN|LEFT|RIGHT|FULL|INNER|CROSS|NATURAL)\b""".r
+              after.isEmpty || after.startsWith(";") ||
+                after.startsWith(")") ||
+                """^(ORDER\s+BY|LIMIT)\b""".r
                   .findPrefixMatchOf(after).isDefined
             }
             if (soleFrom) {
@@ -2251,6 +2300,27 @@ object PgDialect {
         }
         out.toSet
       }
+      // GROUPING SETS ((a,b),(a),()) / ROLLUP((a,b),c) / CUBE((a,b)):
+      // every depth-1 paren group inside the clause head's argument
+      // list is a grouping-column list, never a row constructor —
+      // the 2nd+ groups are preceded by ',' (and the 1st by '(') and
+      // would otherwise match the punctuation rule below
+      def groupingGroupStarts(s: String): Set[Int] = {
+        val out = scala.collection.mutable.Set[Int]()
+        """(?i)\b(?:GROUPING\s+SETS|CUBE|ROLLUP)\s*\(""".r
+          .findAllMatchIn(s).foreach { m =>
+            var d = 1; var j = m.end
+            while (j < s.length && d > 0) {
+              s.charAt(j) match {
+                case '(' => d += 1; if (d == 2) out += j
+                case ')' => d -= 1
+                case _ => ()
+              }
+              j += 1
+            }
+          }
+        out.toSet
+      }
       var s = sql0
       var go = true
       var guard = 0
@@ -2258,9 +2328,11 @@ object PgDialect {
         go = false; guard += 1
         val n = s.length
         val valuesStarts = valuesGroupStarts(s)
+        val groupingStarts = groupingGroupStarts(s)
         var i = 0
         while (i < n && !go) {
-          if (s.charAt(i) == '(' && !valuesStarts.contains(i)) {
+          if (s.charAt(i) == '(' && !valuesStarts.contains(i) &&
+            !groupingStarts.contains(i)) {
             var p = i - 1
             while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
             val prevOk =

@@ -8048,7 +8048,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // (dynamic jsonpath variables need a non-constant extraction
     // path; get_json_object paths are constants)
     assert(ran17 >= 15, s"expected the JSON_TABLE battery, got $ran17")
-    assert(ok17.toDouble / ran17 >= 0.85, s"only $ok17/$ran17 ran")
+    // EXACT pin (not a ratio): the 3 enumerated residuals are the only
+    // allowed misses — any new failure (e.g. the r9 strict-[*]
+    // auto-wrap regression this guards against) fails the build
+    assert(ok17 >= 24, s"only $ok17/$ran17 ran — a statement regressed")
     // the file is 2 positive queries + 18 reference-side ERROR casts
     // (trailing-junk jsonpath text, negative tests by design)
     assert(ranJp >= 2, s"expected the jsonpath battery, got $ranJp")
