@@ -497,9 +497,58 @@ object PgExtraQueries extends QueryModule {
       WHERE json_extract(props, '$.k') IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** PG range types through the dialect: a constant `int4range`/
+    * `daterange` containing a column element compiles to plain bound
+    * comparisons (reference: src/test/regress/sql/sqlancer_failures
+    * .sql:236 int4range algebra, pg15.sql:631 daterange columns), so
+    * the predicate reaches the parquet scan — range semantics with
+    * zero runtime carrier cost. DuckDB runs the equivalent explicit
+    * comparisons. */
+  private val rangeContains = GraftQuery(
+    "pg_range_contains",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT l_linestatus, count(*) AS n,
+             sum(l_quantity)::int8 AS qty
+           FROM lineitem
+           WHERE int4range(2, 5) @> l_linenumber
+             AND l_shipdate <@ daterange('1996-01-01', '1997-01-01')
+           GROUP BY l_linestatus ORDER BY l_linestatus""")
+    },
+    Some("""SELECT l_linestatus, COUNT(*) AS n,
+        CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_linenumber >= 2 AND l_linenumber < 5
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Runtime range OVERLAP over column-built ranges: `int4range(a,b)
+    * && int4range(c,d)` compiles to `greatest(a,c) < least(b,d)` —
+    * whole-stage codegen, no struct carrier, NULL bounds = infinite
+    * (greatest/least skip NULLs, exactly PG's infinite-bound
+    * semantics). */
+  private val rangeOverlap = GraftQuery(
+    "pg_range_overlap",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT o_orderpriority, count(*) AS n
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE int4range(l_linenumber, l_linenumber + 3)
+                 && int4range(o_custkey % 5 + 2, o_custkey % 5 + 5)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE GREATEST(l_linenumber, o_custkey % 5 + 2)
+            < LEAST(l_linenumber + 3, o_custkey % 5 + 5)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
       histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
-      jsonTableShred, jsonExistsFilter)
+      jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap)
 }

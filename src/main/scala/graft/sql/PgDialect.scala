@@ -1929,7 +1929,7 @@ object PgDialect {
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
           rewritePgDateLiterals(rewritePgSubscripts(
-            rewriteJsonTable(top))))))))))))))))))
+            PgRanges.rewrite(rewriteJsonTable(top)))))))))))))))))))
   }
 
   /** SQL/JSON `JSON_TABLE` (PG17, pg17_json.sql; the reference plans
@@ -2927,6 +2927,11 @@ object PgDialect {
           if (m == null) Seq.empty[TopEntry]
           else m.toSeq.sortBy { case (i, c) => (-c, i) }.take(k)
             .map { case (i, c) => TopEntry(i, c) }))
+      // range_agg per-group finisher over collect_list partials (text-
+      // carried ranges → PG's canonical multirange text). Group-sized
+      // input, never per-row.
+      spark.udf.register("__range_agg",
+        udf((ts: Seq[String]) => PgRanges.rangeAggFinish(ts)))
     }
 
   /** Translate a PG-dialect query and run it on Spark. */
