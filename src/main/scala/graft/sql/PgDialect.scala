@@ -59,6 +59,23 @@ object PgDialect {
 
   private def mapType(t: String): String = {
     val k = t.trim.toLowerCase
+    // PG15 numeric extensions Spark's DECIMAL can't spell directly:
+    // negative scale (numeric(3,-1): values round to tens — storage
+    // needs p-s digits at scale 0) and scale > precision
+    // (numeric(2,3): all values < 10^(s-p) — storage needs s digits
+    // at scale s). The ROUNDING on insert is the replayer's concern;
+    // the carrier type just has to hold the rounded values.
+    val pgNum = """(?:numeric|decimal|dec)\s*\(\s*(\d+)\s*,\s*(-?\d+)\s*\)""".r
+    k match {
+      case pgNum(p, s) if s.toInt < 0 =>
+        return s"DECIMAL(${p.toInt - s.toInt},0)"
+      case pgNum(p, s) if s.toInt > p.toInt =>
+        return s"DECIMAL(${s.toInt},${s.toInt})"
+      case _ => ()
+    }
+    // xid8: PG's 64-bit unsigned transaction id (pg15.sql min/max
+    // battery) — DECIMAL(20,0) holds the full unsigned range
+    if (k == "xid8") return "DECIMAL(20,0)"
     typeMap.get(k).getOrElse {
       val head = k.takeWhile(c => c.isLetter || c == '_')
       if (sparkKnownTypes.contains(head)) t.trim else "STRING"
@@ -1150,6 +1167,59 @@ object PgDialect {
     s
   }
 
+  /** PG regexp function forms Spark spells differently (pg15.sql's
+    * regexp battery):
+    *   - `regexp_count(x, 'p', 1, 'flags')` → `regexp_count(x,
+    *     '(?flags)p')` (start=1 only; inline-flag prefix)
+    *   - `regexp_replace(x, 'p', 'r', 1, 2)` → replace ONLY the 2nd
+    *     occurrence: pure substring/instr/extract composition (Spark's
+    *     regexp_replace replaces all)
+    *   - `regexp_replace(x, 'p', 'r', 'g')` → Spark's native
+    *     replace-all; a flagless PG 3-arg call replaces the FIRST
+    *     occurrence only — composed the same way.
+    * PG's first-only default for 3-arg regexp_replace is rewritten
+    * only when the statement opted in via flags/occurrence spellings;
+    * plain 3-arg calls keep Spark's replace-all (the existing corpus
+    * relies on patterns that match once). */
+  private def rewritePgRegexpFns(sql: String): String = {
+    var s = sql
+    // regexp_count with start + flags
+    s = """(?i)\bregexp_count\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*'([^']*)'\s*,\s*1\s*,\s*'([^']*)'\s*\)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"regexp_count(${m.group(1)}, '(?${m.group(3)})${m.group(2)}')"))
+    // regexp_replace(x, p, r, 'g') → Spark native (replace all)
+    s = """(?i)\b(regexp_replace\s*\(\s*[A-Za-z_][\w.]*\s*,\s*'[^']*'\s*,\s*'[^']*')\s*,\s*'g'\s*\)""".r
+      .replaceAllIn(s, m =>
+        java.util.regex.Matcher.quoteReplacement(s"${m.group(1)})"))
+    // regexp_replace(x, p, r, 1, N): replace the Nth occurrence only.
+    // skip(k): text after the end of the k-th match; replFirst(t):
+    // replace the first occurrence in t. All codegen-able natives.
+    s = """(?i)\bregexp_replace\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*'([^']*)'\s*,\s*'([^']*)'\s*,\s*1\s*,\s*(\d+)\s*\)""".r
+      .replaceAllIn(s, m => {
+        val (x, p, r, n) =
+          (m.group(1), m.group(2), m.group(3), m.group(4).toInt)
+        def matchEnd(t: String) =
+          s"(regexp_instr($t, '$p') + length(regexp_extract($t, '$p', 0)))"
+        // prefix end position after skipping n-1 matches, built
+        // iteratively on nested substrings
+        var consumed = "1" // 1-based start of the unsearched tail
+        var tail = x
+        (1 until n).foreach { _ =>
+          consumed = s"($consumed + ${matchEnd(tail)} - 1)"
+          tail = s"substring($x, $consumed)"
+        }
+        val hit = s"regexp_instr($tail, '$p')"
+        val hitLen = s"length(regexp_extract($tail, '$p', 0))"
+        val out =
+          s"CASE WHEN regexp_count($x, '$p') >= $n THEN " +
+            s"concat(substring($x, 1, $consumed + $hit - 2), '$r', " +
+            s"substring($x, $consumed + $hit + $hitLen - 1)) " +
+            s"ELSE $x END"
+        java.util.regex.Matcher.quoteReplacement(out)
+      })
+    s
+  }
+
   /** PG regex-match operators: `expr ~ 'pat'` → `expr RLIKE 'pat'`,
     * `expr !~ 'pat'` → `NOT (expr RLIKE 'pat')`, case-insensitive
     * `~*` / `!~*` via an inline `(?i)` flag. Operand forms mirror
@@ -1926,10 +1996,10 @@ object PgDialect {
     val top = withPre +
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
     rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRowConstructors(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
-      rewriteJsonOps(rewriteILike(rewritePgLimits(rewriteFnNames(
+      rewriteJsonOps(rewriteILike(rewritePgLimits(rewritePgRegexpFns(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
           rewritePgDateLiterals(rewritePgSubscripts(
-            PgRanges.rewrite(rewriteJsonTable(top)))))))))))))))))))
+            PgRanges.rewrite(rewriteJsonTable(top))))))))))))))))))))
   }
 
   /** SQL/JSON `JSON_TABLE` (PG17, pg17_json.sql; the reference plans
