@@ -1998,8 +1998,8 @@ object PgDialect {
     rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRowConstructors(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewritePgRegexpFns(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
-          rewritePgDateLiterals(rewritePgSubscripts(
-            PgRanges.rewrite(rewriteJsonTable(top))))))))))))))))))))
+          rewritePgDateLiterals(rewritePgSubscripts(rewriteJoinUsingAlias(
+            PgRanges.rewrite(rewriteJsonTable(top)))))))))))))))))))))
   }
 
   /** SQL/JSON `JSON_TABLE` (PG17, pg17_json.sql; the reference plans
@@ -2305,6 +2305,45 @@ object PgDialect {
     s
   }
 
+  /** PG14 join aliases — `a JOIN b USING (cols) AS x` (pg14.sql's
+    * J1_TBL/J2_TBL battery). Spark's USING join exposes the merged
+    * columns unqualified and has no USING alias, so the alias drops
+    * and its references resolve to the merged columns:
+    * `x.c` (c ∈ cols) → `c`; `x.*` → the cols list; `row_to_json(x.*)`
+    * → `to_json(named_struct('f1', c1, ...))` (PG names anonymous
+    * record fields f1..fn, golden `{"f1":1}`). References OUTSIDE the
+    * using set (`x.t`) are PG errors and carry ERROR in the .out. */
+  private def rewriteJoinUsingAlias(sql: String): String =
+    if ("""(?i)\bUSING\s*\([^)]*\)\s*AS\s+""".r.findFirstIn(sql).isEmpty)
+      sql
+    else withMaskedLiterals(sql) { s0 =>
+      var s = s0
+      val aliases =
+        scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+      s = """(?i)\bUSING\s*\(([^)]*)\)\s*AS\s+([A-Za-z_]\w*)""".r
+        .replaceAllIn(s, m => {
+          aliases(m.group(2).toLowerCase) =
+            m.group(1).split(",").map(_.trim).toSeq
+          java.util.regex.Matcher.quoteReplacement(s"USING (${m.group(1)})")
+        })
+      aliases.foreach { case (a, cols) =>
+        s = ("""(?i)\brow_to_json\s*\(\s*""" + a + """\.\*\s*\)""").r
+          .replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(
+            "to_json(named_struct(" + cols.zipWithIndex.map {
+              case (c, i) => s"'f${i + 1}', $c"
+            }.mkString(", ") + "))"))
+        s = ("""(?i)\b""" + a + """\.\*""").r
+          .replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(
+            cols.mkString(", ")))
+        s = ("""(?i)\b""" + a + """\.([A-Za-z_]\w*)""").r.replaceAllIn(s,
+          m =>
+            if (cols.exists(_.equalsIgnoreCase(m.group(1))))
+              m.group(1)
+            else m.matched)
+      }
+      s
+    }
+
   /** PG array subscripts are 1-based; Spark's bare `a[i]` is 0-based.
     * `ident[3]` → try_element_at(ident, 3) — 1-based and NULL out of
     * bounds, both as PG. Only digit-literal subscripts rewrite:
@@ -2314,8 +2353,16 @@ object PgDialect {
     * spellings (which mean Spark semantics) are never re-scanned. */
   private def rewritePgSubscripts(sql: String): String =
     withMaskedLiterals(sql) { s =>
+      // PG14 jsonb subscript READS — `j['key']` (the subscript is a
+      // masked string literal here) → the member's canonical jsonb
+      // text, NULL when absent (pg14.sql test_jsonb_subscript WHERE
+      // probes compare against jsonb literals like '"value"')
+      val s1 =
+        """(?i)\b((?!ARRAY\b)[A-Za-z_][\w.]*)\s*\[\s*(__GRAFT_LIT_\d+__)\s*\]""".r
+          .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+            s"__jsonb_get(${m.group(1)}, ${m.group(2)})"))
       """(?i)\b((?!ARRAY\b)[A-Za-z_][\w.]*)\s*\[\s*(\d+)\s*\]""".r
-        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        .replaceAllIn(s1, m => java.util.regex.Matcher.quoteReplacement(
           s"try_element_at(${m.group(1)}, ${m.group(2)})"))
     }
 
@@ -3002,6 +3049,15 @@ object PgDialect {
       // input, never per-row.
       spark.udf.register("__range_agg",
         udf((ts: Seq[String]) => PgRanges.rangeAggFinish(ts)))
+      // jsonb subscript read/write (PG14, pg14.sql's
+      // test_jsonb_subscript battery) — the dialect's `j['k']` reads
+      // and the replayer's `SET j['k'] = v` writes. Row-level DML
+      // corpus surface, not an analytic hot path; analytic JSON
+      // extraction stays on codegen'd get_json_object elsewhere.
+      spark.udf.register("__jsonb_get",
+        udf((j: String, k: String) => JsonbOps.get(j, k)))
+      spark.udf.register("__jsonb_set",
+        udf((j: String, k: String, v: String) => JsonbOps.set(j, k, v)))
     }
 
   /** Translate a PG-dialect query and run it on Spark. */

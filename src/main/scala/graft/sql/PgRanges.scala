@@ -275,7 +275,17 @@ object PgRanges {
   private val markerRe = """__PGRANGE_(\d+)__""".r
 
   def rewrite(sql0: String): String = {
-    if (!"""(?i)range""".r.findFirstIn(sql0).isDefined) return sql0
+    // fast path: nothing range-like. Besides the obvious "range"
+    // token, a quoted brace literal opening with a bound bracket or
+    // `empty` is multirange TEXT that must normalize even without a
+    // range keyword in the statement — the replayer evaluates INSERT
+    // cells through bare `SELECT (VALUES ...)` splices where the
+    // range-typed table name is absent (pg14.sql `'{[, 5)}'`,
+    // `'{empty}'`). JSON objects open `{"`, numeric arrays `{1`,
+    // so neither can match.
+    if ("""(?i)range""".r.findFirstIn(sql0).isEmpty &&
+      """'\{\s*(?:empty|[\[(])""".r.findFirstIn(sql0).isEmpty)
+      return sql0
     val toks = scala.collection.mutable.ArrayBuffer[Tok]()
     def mk(t: Tok): String = { toks += t; markerOf(toks.length - 1) }
     var s = sql0
@@ -330,8 +340,11 @@ object PgRanges {
     s = """(?i)\b(nummultirange|int4multirange|int8multirange|datemultirange)\s*\(\s*((?:__PGRANGE_\d+__\s*,?\s*)*)\)""".r
       .replaceAllIn(s, m => {
         val kind = typeKind(m.group(1).toLowerCase)
+        // flatMap: a MULTI token argument (the `variadic '{}'::
+        // numrange[]` fold, pg14.sql:594) contributes its ranges —
+        // `.single` on an empty multirange token would throw
         val rs = markerRe.findAllMatchIn(m.group(2))
-          .map(mm => toks(mm.group(1).toInt).single).toSeq
+          .flatMap(mm => toks(mm.group(1).toInt).rs).toSeq
         java.util.regex.Matcher.quoteReplacement(
           mk(Tok(kind, normalizeMulti(rs), multi = true)))
       })
@@ -341,7 +354,11 @@ object PgRanges {
     var guard = 0
     while (go && guard < 500) {
       go = false; guard += 1
-      val parened = """\(\s*(__PGRANGE_\d+__)\s*\)""".r
+      // expression parens only: a word char before `(` means a
+      // FUNCTION/VALUES head — `VALUES(<marker>)` and
+      // `lower(<marker>)` must keep their parens (pg14.sql's
+      // multirange INSERTs)
+      val parened = """(?<![\w])\(\s*(__PGRANGE_\d+__)\s*\)""".r
         .replaceAllIn(s, m =>
           java.util.regex.Matcher.quoteReplacement(m.group(1)))
       if (parened != s) { s = parened; go = true }

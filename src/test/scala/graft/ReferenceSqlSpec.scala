@@ -28,6 +28,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
   private def normSql(s: String): String =
     s.replaceAll("\\s+", " ").trim.stripSuffix(";").trim
 
+  /** Drop a trailing same-line comment AFTER a statement-terminating
+    * `;` (`SELECT ...;  -- error`, pg14.sql's join-alias battery).
+    * The sql-side splitter skips trailing comments entirely, so the
+    * .out echo key must match — and the `endsWith(";")` flush must
+    * still fire. Requires whitespace between `;` and `--` so a
+    * literal like `';--'` can't truncate. */
+  private def stripEchoComment(line: String): String =
+    """^(.*;)\s+--.*$""".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse(line)
+
   /** Strip `<schema>.` qualifiers outside single-quoted literals —
     * the one normal form shared by the replayer (whose state lives
     * under unqualified names) and the .out parsers (whose statement
@@ -74,7 +84,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // ISO-8859-1: lossless byte→char for line scanning (some .out
     // files contain non-UTF-8 bytes in data rows)
     var inDollar = false
-    scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line =>
+    scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line0 =>
+      val line = stripEchoComment(line0)
       val t = line.trim
       if (!inDollar && t.startsWith("ERROR")) {
         if (last != null) { errs += last; last = null }
@@ -131,7 +142,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:",
       "SQL statement", "PL/pgSQL function", "SQL function")
     var inDollar = false
-    scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line =>
+    scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line0 =>
+      val line = stripEchoComment(line0)
       val t = line.trim
       if (!inDollar && t.startsWith("ERROR")) {
         if (last != null) {
@@ -1436,10 +1448,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
         else if (!inDollar && (noise.exists(t.startsWith) ||
           t.startsWith("--") || t.startsWith("\\"))) ()
         else {
-          buf.append(lines(i)).append('\n')
-          if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(lines(i)).size % 2 == 1)
+          val ln = stripEchoComment(lines(i))
+          val t2 = ln.trim
+          buf.append(ln).append('\n')
+          if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(ln).size % 2 == 1)
             inDollar = !inDollar
-          if (!inDollar && (t.endsWith(";") || t.endsWith("\\gset"))) {
+          if (!inDollar && (t2.endsWith(";") || t2.endsWith("\\gset"))) {
             val raw0 = buf.toString.replace("\\gset", "")
             createSchemaRe.findFirstMatchIn(raw0.trim)
               .foreach(m => scNames += m.group(1).toLowerCase)
@@ -1873,6 +1887,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // PG15 NULLS NOT DISTINCT unique sets: ON CONFLICT arbitration on
     // these compares keys null-safely (NULL conflicts with NULL)
     val nndUniques = collection.mutable.Map[String, Seq[Seq[String]]]()
+    // (table, column) pairs declared jsonb — digit-subscript SET
+    // writes on these are jsonb subscript assignments, not array
+    // element writes (pg14.sql test_jsonb_subscript)
+    val jsonbCols = collection.mutable.Set[(String, String)]()
     val pkeys = collection.mutable.Map[String, Seq[String]]()
     // PREPARE name(args) AS body — EXECUTE splices $N textually and
     // reprocesses the spliced statement, so prepared SELECTs AND
@@ -2197,7 +2215,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     /** SET-list parse: `a = e1, b = e2` plus PG's row form
       * `(a, b) = (SELECT e1, e2)` (positional when the row SELECT has
       * no FROM of its own — its items resolve in the outer scope). */
-    def parseAssigns(sets: String): Seq[(String, String)] =
+    def parseAssigns(sets: String,
+        jsonbCols: Set[String] = Set.empty): Seq[(String, String)] =
       splitTop(sets).flatMap { kv =>
         val i = depthMask(kv).indexOf('=')
         if (i < 0) Nil
@@ -2227,6 +2246,34 @@ class ReferenceSqlSpec extends AnyFunSuite {
           } else Seq(lhs.toLowerCase -> rhs)
         }
       } match {
+        // PG14 jsonb subscript assignment (`SET j['k'] = v`,
+        // `SET j[0] = v` on a jsonb column — pg14.sql's
+        // test_jsonb_subscript): each write folds into __jsonb_set
+        // (chaining when one column takes several writes); PG14's
+        // object/array/NULL-source semantics live in JsonbOps.set
+        case assigns
+            if assigns.exists { a =>
+              """^([a-z_]\w*)\[\s*(?:'[^']*'|\d+)\s*\]$""".r
+                .findFirstMatchIn(a._1).exists(m =>
+                  a._1.contains("'") || jsonbCols.contains(m.group(1)))
+            } =>
+          val jsubRe = """^([a-z_]\w*)\[\s*(?:'([^']*)'|(\d+))\s*\]$""".r
+          val out = collection.mutable.LinkedHashMap[String, String]()
+          assigns.foreach { case (k, v) =>
+            jsubRe.findFirstMatchIn(k) match {
+              case Some(m)
+                  if m.group(2) != null ||
+                    jsonbCols.contains(m.group(1)) =>
+                val c = m.group(1)
+                val key = Option(m.group(2)).getOrElse(m.group(3))
+                val cur = out.getOrElse(c, c)
+                val vx = if (v.trim.equalsIgnoreCase("NULL"))
+                  "CAST(NULL AS STRING)" else v
+                out(c) = s"__jsonb_set($cur, '$key', $vx)"
+              case _ => out(k) = v
+            }
+          }
+          out.toSeq
         // PG array-element assignment (`SET arr[1] = x, arr[3] = y`,
         // subscripting_op.sql): merge all subscript writes on one
         // column into a single rebuilt-array assignment — 1-based,
@@ -2478,7 +2525,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
       val a = alias.getOrElse(n0)
       val cur = data.get(n).flatten.getOrElse(emptyOf(n))
       val eff = boundAnd(n0, cond)
-      val assigns = parseAssigns(sets).map { case (c0, e0) =>
+      val assigns = parseAssigns(sets,
+        state.jsonbCols.collect { case (t, c) if t == n => c }.toSet)
+        .map { case (c0, e0) =>
         if (e0.trim.equalsIgnoreCase("DEFAULT"))
           (c0, state.colDefaults.getOrElse((n0, c0),
             state.colDefaults.getOrElse((n, c0), "NULL")))
@@ -2614,7 +2663,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
         println(s"$tag[$file]: " +
           s.split('\n').map(_.trim).mkString(" ").take(180) +
           "  => " + Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.filter(_.nonEmpty).take(1).mkString.take(140))
+            .linesIterator.filter(_.nonEmpty).take(1).mkString.take(500))
         if (sys.env.contains("SPARK_GRAFT_REF_STACK"))
           e.printStackTrace()
       }
@@ -3880,6 +3929,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
               defaultRe.findFirstMatchIn(parts(1)).foreach(m =>
                 state.colDefaults(
                   (strip(name), parts(0).toLowerCase)) = m.group(1).trim)
+              if (parts(1).toLowerCase.startsWith("jsonb"))
+                state.jsonbCols +=
+                  ((base(strip(name)), parts(0).toLowerCase))
               Some(parts(0) -> sparkType(parts(1)))
             }
           }
@@ -8146,6 +8198,51 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ran >= 30, s"expected the PG15 battery, got $ran")
     // EXACT pin: 36/36 as of r10 — any regression fails the build
     assert(ok >= 36, s"only $ok/$ran ran — a statement regressed")
+  }
+
+  test("sequential replay of pg14.sql — the PG14 feature battery: " +
+      "jsonb subscripting (reads in WHERE, writes via __jsonb_set " +
+      "with PG's object/array/NULL-source semantics and canonical " +
+      "jsonb render), JOIN .. USING (cols) AS alias (x.i / x.* / " +
+      "row_to_json(x.*) resolve to the merged columns), numeric " +
+      "multiranges (constructor folding, '{empty}'/'{[, 5)}' text " +
+      "canonicalization, equality probes, natural join); the " +
+      "vacuum/statistics/column-compression/procedure-pushdown/role/" +
+      "FDW sections are catalog-and-plumbing scope, and the SEARCH " +
+      "DEPTH FIRST recursive CTEs carry reference ERRORs " +
+      "(per-occurrence .out verdicts exclude them)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s => {
+      val l = s.toLowerCase
+      !l.contains("create_distributed_table") &&
+        !l.contains("create_reference_table") &&
+        !l.contains("citus_") && !l.contains("master_") &&
+        !l.contains("run_command") && !l.contains("pg_dist_") &&
+        !l.contains("pg_catalog") && !l.contains("pg_attribute") &&
+        !l.contains("worker_") && !l.contains("pg_roles") &&
+        !l.contains("create_distributed_function") &&
+        !l.contains("wait_for_resource_cleanup") &&
+        !l.contains("rebalance_table_shards") &&
+        // procedure-pushdown battery: CALL delegation is documented
+        // n/a scope (function call delegation, SURVEY §2.10)
+        !l.contains("insert_data") && !l.contains("proc_") &&
+        !l.contains("prctbl") && !l.contains("test_proc_table") &&
+        // ALTER STATISTICS role battery + FDW/truncate-foreign battery
+        !l.contains("role_s1") && !l.contains("foreign_table") &&
+        !l.contains("foreign_server") && !l.contains("moving_shard") &&
+        !l.contains("col_compression") && !l.contains("col_comp_par")
+    }
+    val vcheck: String => Boolean = s => {
+      val l = s.toLowerCase
+      keep(s) && (l.contains("test_jsonb_subscript") ||
+        l.contains("j1_tbl") || l.contains("nummultirange"))
+    }
+    val (ok, ran) = replayFile("pg14.sql", "PG14FAIL", keep,
+      new ReplayState, countDml = true, valueCheck = vcheck)
+    info(s"pg14.sql: $ok/$ran statements run (value-checked)")
+    assert(ran >= 30, s"expected the PG14 battery, got $ran")
+    // EXACT pin: 31/31 as of r10 — any regression fails the build
+    assert(ok >= 31, s"only $ok/$ran ran — a statement regressed")
   }
 
   test("sequential replay of " +
