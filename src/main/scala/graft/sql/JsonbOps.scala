@@ -185,6 +185,20 @@ object JsonbOps {
   // subscript read / write
   // ----------------------------------------------------------------
 
+  /** IS JSON WITH UNIQUE KEYS (PG16, pg16.sql's test_is_json
+    * battery): every OBJECT at every nesting level must have distinct
+    * keys. Unparseable input → false (the caller ANDs with validity). */
+  def hasUniqueKeys(json: String): Boolean = {
+    def chk(v: JVal): Boolean = v match {
+      case JObj(fs) =>
+        fs.map(_._1).distinct.length == fs.length &&
+          fs.forall(f => chk(f._2))
+      case JArr(is) => is.forall(chk)
+      case _ => true
+    }
+    parse(json).exists(chk)
+  }
+
   /** `j['k']` / `j[i]` read → the member's canonical jsonb TEXT
     * (PG renders subscript reads as jsonb), or NULL when absent. */
   def get(json: String, key: String): String =

@@ -460,6 +460,18 @@ object PgDialect {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"CAST(floor(rand() * ((${m.group(2)}) - (${m.group(1)}) + 1))" +
           s" + (${m.group(1)}) AS BIGINT)"))
+    // named-arg form (PG16: random_normal(stddev => 1, mean => 0))
+    // and the zero-arg standard-normal draw
+    s = """(?i)\brandom_normal\s*\(\s*((?:stddev|mean)\s*=>[^()]*)\)""".r
+      .replaceAllIn(s, m => {
+        val args = m.group(1).split(",").map(_.trim)
+        def arg(n: String, d: String) = args
+          .find(_.toLowerCase.startsWith(n)).map(_.split("=>")(1).trim)
+          .getOrElse(d)
+        java.util.regex.Matcher.quoteReplacement(
+          s"((${arg("mean", "0")}) + (${arg("stddev", "1")}) * randn())")
+      })
+    s = """(?i)\brandom_normal\s*\(\s*\)""".r.replaceAllIn(s, "randn()")
     s = """(?i)\brandom_normal\s*\(\s*([^,()]+?)\s*,\s*([^()]+?)\s*\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"((${m.group(1)}) + (${m.group(2)}) * randn())"))
@@ -702,6 +714,73 @@ object PgDialect {
     // Spark carrier either way
     s = """(?i)\bjsonb_(object_agg|agg|cat_agg)\b""".r
       .replaceAllIn(s, m => "json_" + m.group(1))
+    // PG16 SQL/JSON standard aggregates (pg16.sql's agg_test battery).
+    // The output type is JSON TEXT, so the rewrite builds PG's exact
+    // render: JSON_ARRAYAGG → `[a, b, c]` (same for json and jsonb);
+    // JSON_OBJECTAGG → `{ "k" : v, ... }` for json, `{"k": v, ...}`
+    // for jsonb. Pure collect_list/array_sort/transform chains — the
+    // same two-phase distribution as every array aggregate here.
+    // Scalar values render via CAST(.. AS STRING) (the battery's
+    // columns are numeric; strings would need JSON quoting).
+    s = """(?is)\bJSON_ARRAYAGG\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
+      .replaceAllIn(s, m => {
+        val a = m.group(1)
+        val retI = topLevelIndex(a, "RETURNING")
+        val body = (if (retI > 0) a.substring(0, retI) else a).trim
+        val ordI = topLevelIndex(body, "ORDER")
+        val (expr, ord) =
+          if (ordI > 0) (body.substring(0, ordI).trim,
+            Some(body.substring(ordI)
+              .replaceAll("(?is)^ORDER\\s+BY\\s*", "").trim))
+          else (body, None)
+        val arr = ord match {
+          case Some(o) if o == expr => s"array_sort(collect_list($expr))"
+          case Some(o) => "transform(array_sort(collect_list(" +
+            s"named_struct('o', $o, 'v', $expr))), s -> s.v)"
+          case None => s"collect_list($expr)"
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"concat('[', array_join(transform($arr, " +
+            "x -> CAST(x AS STRING)), ', '), ']')")
+      })
+    s = """(?is)\bJSON_OBJECTAGG\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""".r
+      .replaceAllIn(s, m => {
+        val a = m.group(1)
+        val retI = topLevelIndex(a, "RETURNING")
+        val jsonb = retI > 0 &&
+          a.substring(retI).toLowerCase.contains("jsonb")
+        val body = (if (retI > 0) a.substring(0, retI) else a).trim
+        // top-level single `:` splits key : value (`::` is a cast)
+        var i = -1; var d = 0; var q = false; var ci = 0
+        while (ci < body.length && i < 0) {
+          val c = body.charAt(ci)
+          if (q) { if (c == '\'') q = false }
+          else c match {
+            case '\'' => q = true
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ':' if d == 0 &&
+                (ci + 1 >= body.length || body.charAt(ci + 1) != ':') &&
+                (ci == 0 || body.charAt(ci - 1) != ':') => i = ci
+            case _ => ()
+          }
+          ci += 1
+        }
+        if (i < 0) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else {
+          val k = body.substring(0, i).trim
+          val v = body.substring(i + 1).trim
+          val ent = "array_sort(collect_list(named_struct(" +
+            s"'k', CAST($k AS STRING), 'v', $v)))"
+          val item =
+            if (jsonb) """concat('"', e.k, '": ', CAST(e.v AS STRING))"""
+            else """concat('"', e.k, '" : ', CAST(e.v AS STRING))"""
+          val (opn, cls) = if (jsonb) ("'{'", "'}'") else ("'{ '", "' }'")
+          java.util.regex.Matcher.quoteReplacement(
+            s"concat($opn, array_join(transform($ent, e -> $item), " +
+              s"', '), $cls)")
+        }
+      })
     // json array length over the ARRAY carrier; PG to_jsonb(scalar)
     // rides as the scalar's text (to_json is Spark's own fn — only
     // the PG-specific jsonb spelling maps); json_build_array is a
@@ -1393,6 +1472,14 @@ object PgDialect {
     * on the right. */
   def rewriteJsonOps(sql: String): String = {
     var sql1 = sql
+    // a COLUMN cast to jsonb normalizes to jsonb canonical text —
+    // PG's jsonb dedups duplicate object keys (last wins) and sorts
+    // them (pg16.sql: `js::jsonb` over `{ "a": 1, "a": null }` →
+    // `{"a": null}`). Literal::jsonb casts keep their text path (the
+    // corpus literals are already canonical).
+    sql1 = """([A-Za-z_][\w.]*)\s*::\s*jsonb\b""".r
+      .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
+        s"__jsonb_norm(${m.group(1)})"))
     // PG17 SQL/JSON function family (pg17_json.sql), mapped onto the
     // text-JSON carrier:
     // JSON_EXISTS / jsonb_path_exists(x, 'p') → path-hit test
@@ -1448,14 +1535,22 @@ object PgDialect {
     sql1 = """(?is)(?<![\w_])JSON\s*\(\s*('(?:[^']|'')*')\s*(?:WITH(?:OUT)?\s+UNIQUE(?:\s+KEYS)?)?\s*\)""".r
       .replaceAllIn(sql1, m =>
         java.util.regex.Matcher.quoteReplacement(s"(${m.group(1)})"))
-    // IS [NOT] JSON [ARRAY|OBJECT|SCALAR|VALUE] / WITH UNIQUE KEYS:
-    // validity via try_parse_json, shape via the leading character
-    sql1 = """(?is)\b((?:[A-Za-z_][\w.]*|\([^()]*\)))\s+is\s+(not\s+)?json(?:\s+(array|object|scalar|value))?(\s+with\s+unique(?:\s+keys)?)?""".r
+    // IS [NOT] JSON [ARRAY|OBJECT|SCALAR|VALUE] / WITH[OUT] UNIQUE
+    // KEYS: validity via try_parse_json, shape via the leading
+    // character, key uniqueness via __json_unique_keys (JsonbOps
+    // recursive dup-key scan — PG checks EVERY nesting level,
+    // pg16.sql's `{ "a": 1, "b": [{ "a": 1, "b": 0, "a": 2 }] }`).
+    // A NULL input yields NULL, as PG (pg16's test_is_json NULL row).
+    sql1 = """(?is)\b((?:[A-Za-z_][\w.]*|\([^()]*\)))\s+is\s+(not\s+)?json(?:\s+(array|object|scalar|value))?(\s+with(out)?\s+unique(?:\s+keys)?)?""".r
       .replaceAllIn(sql1, m => {
         val x = m.group(1)
         val shape = Option(m.group(3)).map(_.toLowerCase)
-        val base = s"try_parse_json(CAST($x AS STRING)) IS NOT NULL"
-        val test = shape match {
+        // validity via JsonbOps.parse, NOT try_parse_json: Spark's
+        // variant parser rejects duplicate object keys, which PG's
+        // json type accepts (pg16.sql `{ "a": 1, "a": null }` IS
+        // JSON → true, only WITH UNIQUE KEYS → false)
+        val base = s"__json_valid(CAST($x AS STRING))"
+        val test0 = shape match {
           case Some("array") =>
             s"($base AND startswith(ltrim(CAST($x AS STRING)), '['))"
           case Some("object") =>
@@ -1465,8 +1560,14 @@ object PgDialect {
               s" AND NOT startswith(ltrim(CAST($x AS STRING)), '{'))"
           case _ => s"($base)"
         }
+        val test =
+          if (m.group(4) != null && m.group(5) == null) // WITH UNIQUE
+            s"($test0 AND __json_unique_keys(CAST($x AS STRING)))"
+          else test0
+        val signed =
+          if (m.group(2) != null) s"(NOT $test)" else test
         java.util.regex.Matcher.quoteReplacement(
-          if (m.group(2) != null) s"(NOT $test)" else test)
+          s"(CASE WHEN ($x) IS NULL THEN NULL ELSE $signed END)")
       })
     // JSON_VALUE / JSON_QUERY without PASSING variables:
     // (x, 'p' [RETURNING t] [OMIT|KEEP QUOTES] [DEFAULT d ON EMPTY]
@@ -3058,6 +3159,13 @@ object PgDialect {
         udf((j: String, k: String) => JsonbOps.get(j, k)))
       spark.udf.register("__jsonb_set",
         udf((j: String, k: String, v: String) => JsonbOps.set(j, k, v)))
+      spark.udf.register("__json_unique_keys",
+        udf((j: String) => JsonbOps.hasUniqueKeys(j)))
+      spark.udf.register("__json_valid",
+        udf((j: String) => j != null && JsonbOps.parse(j).isDefined))
+      spark.udf.register("__jsonb_norm",
+        udf((j: String) =>
+          JsonbOps.parse(j).map(JsonbOps.render).getOrElse(j)))
     }
 
   /** Translate a PG-dialect query and run it on Spark. */
