@@ -546,9 +546,81 @@ object PgExtraQueries extends QueryModule {
             < LEAST(l_linenumber + 3, o_custkey % 5 + 5)
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** PG14 jsonb subscripting (pg14.sql's test_jsonb_subscript):
+    * member reads render the member's canonical jsonb text, writes
+    * follow PG's object/array/NULL-source semantics with the
+    * (length, byte-order) canonical key sort. The oracle is the
+    * hand-computed PG render of the fixed document, like the
+    * json_table_shred golden. */
+  private val jsonbSubscript = GraftQuery(
+    "jsonb_subscript_ops",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT js['key'] AS member,
+                  __jsonb_set(js, 'a', '[1, 2, 3]') AS with_a,
+                  __jsonb_set(CAST(NULL AS STRING), '0', '1') AS arr,
+                  js['nope'] AS absent
+           FROM (SELECT '{"key": "value"}' AS js)""")
+    },
+    Some("""SELECT '"value"' AS member,
+        '{"a": [1, 2, 3], "key": "value"}' AS with_a,
+        '[1]' AS arr, CAST(NULL AS VARCHAR) AS absent"""))
+
+  /** PG16 SQL/JSON standard aggregates (pg16.sql's agg_test battery)
+    * over the nation dimension — JSON_ARRAYAGG renders `[a, b]`,
+    * JSON_OBJECTAGG PG's json spacing `{ "k" : v, ... }`; both are
+    * pure collect_list chains (two-phase distributable, no UDAF).
+    * DuckDB builds the same text with ordered string_agg. */
+  private val pg16JsonAggs = GraftQuery(
+    "pg16_json_aggs",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT n_regionkey,
+                  JSON_ARRAYAGG(n_nationkey ORDER BY n_nationkey)
+                    AS keys_json,
+                  JSON_OBJECTAGG(n_name: n_nationkey) AS by_name
+           FROM nation
+           GROUP BY n_regionkey ORDER BY n_regionkey""")
+    },
+    Some("""SELECT n_regionkey,
+        '[' || string_agg(CAST(n_nationkey AS VARCHAR), ', '
+                          ORDER BY n_nationkey) || ']' AS keys_json,
+        '{ ' || string_agg('"' || n_name || '" : ' ||
+                           CAST(n_nationkey AS VARCHAR), ', '
+                           ORDER BY n_name) || ' }' AS by_name
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** PG16 IS JSON predicate family (pg16.sql's test_is_json shapes):
+    * validity accepts duplicate keys (as PG's json type), shape tests
+    * key off the document head, and NULL propagates. DuckDB's
+    * json_valid + a head test is the same contract for these
+    * shapes. */
+  private val isJsonShapes = GraftQuery(
+    "pg16_is_json_shapes",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT js, js IS JSON AS valid, js IS JSON OBJECT AS obj,
+                  js IS JSON ARRAY AS arr, js IS JSON SCALAR AS scal
+           FROM (VALUES ('{"a": 1, "a": 2}'), ('{a:1}'), ('[1, 2]'),
+                        ('true'), ('12'), ('aaa')) v(js)
+           ORDER BY js""")
+    },
+    Some("""SELECT js, json_valid(js) AS valid,
+        (json_valid(js) AND ltrim(js) LIKE '{%') AS obj,
+        (json_valid(js) AND ltrim(js) LIKE '[%') AS arr,
+        (json_valid(js) AND ltrim(js) NOT LIKE '{%'
+          AND ltrim(js) NOT LIKE '[%') AS scal
+      FROM (VALUES ('{"a": 1, "a": 2}'), ('{a:1}'), ('[1, 2]'),
+                   ('true'), ('12'), ('aaa')) v(js)
+      ORDER BY js"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
       histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
-      jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap)
+      jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap,
+      jsonbSubscript, pg16JsonAggs, isJsonShapes)
 }
