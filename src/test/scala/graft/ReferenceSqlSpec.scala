@@ -419,6 +419,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
           case '"'  => inDq = true; cur += c
           case '('  => depth += 1; cur += '('
           case ')'  => depth -= 1; cur += ')'
+          // ARRAY[1,2] subscript/constructor brackets nest like parens
+          // (distributed_domain.sql's domain-array VALUES cells)
+          case '['  => depth += 1; cur += '['
+          case ']'  => depth -= 1; cur += ']'
           case ',' if depth == 0 =>
             out += cur.toString; cur = new StringBuilder
           case other => cur += other
@@ -1891,6 +1895,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // writes on these are jsonb subscript assignments, not array
     // element writes (pg14.sql test_jsonb_subscript)
     val jsonbCols = collection.mutable.Set[(String, String)]()
+    // CREATE DOMAIN registry: name → (base type text, DEFAULT expr) —
+    // a column declared with the domain resolves to the base type and
+    // inherits the domain default (distributed_domain.sql)
+    val domainInfo =
+      collection.mutable.Map[String, (String, Option[String])]()
+    // domain → columns declared with it, so ALTER DOMAIN SET/DROP
+    // DEFAULT retargets the live column defaults (PG resolves the
+    // domain default at INSERT time)
+    val domainCols =
+      collection.mutable.Map[String, Set[(String, String)]]()
     // modeled shard metadata for the explicit-shard corpora
     // (distributed_intermediate_results.sql): shard ids follow the
     // file's `SET citus.next_shard_id` exactly as the reference's
@@ -2105,6 +2119,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
           case '"'  => inDq = true; cur += c
           case '('  => depth += 1; cur += '('
           case ')'  => depth -= 1; cur += ')'
+          // ARRAY[1,2] subscript/constructor brackets nest like parens
+          // (distributed_domain.sql's domain-array VALUES cells)
+          case '['  => depth += 1; cur += '['
+          case ']'  => depth -= 1; cur += ']'
           case ',' if depth == 0 =>
             out += cur.toString; cur = new StringBuilder
           case other => cur += other
@@ -2869,8 +2887,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
           // column not in the insert list: declared DEFAULT, else NULL
           // (sq_source.balance DEFAULT 0 — pgmerge.sql:807 reads it)
           val d = state.colDefaults.getOrElse((n, cn.toLowerCase), "NULL")
-          (try org.apache.spark.sql.functions.expr(d)
-          catch { case _: Throwable => lit(null) }).cast(ct).as(cn)
+          (try {
+            val e = org.apache.spark.sql.functions.expr(d)
+            // force ANALYSIS too — a default calling an unresolvable
+            // function (distributed_domain.sql random_between) must
+            // fall back to NULL here, not die at the insert action
+            spark.range(1).select(e).queryExecution.analyzed
+            e
+          } catch { case _: Throwable => lit(null) }).cast(ct).as(cn)
         }
       }
       val serialMissing = schema.map(_._1.toLowerCase).filter { c =>
@@ -4144,7 +4168,23 @@ class ReferenceSqlSpec extends AnyFunSuite {
               if (parts(1).toLowerCase.startsWith("jsonb"))
                 state.jsonbCols +=
                   ((base(strip(name)), parts(0).toLowerCase))
-              Some(parts(0) -> sparkType(parts(1)))
+              // a domain-typed column resolves to the domain's base
+              // type and inherits the domain DEFAULT unless the
+              // column declares its own (distributed_domain.sql)
+              val tyHead = parts(1).trim.split("[\\s(]")(0).toLowerCase
+              state.domainInfo.get(tyHead) match {
+                case Some((dBase, dDflt)) =>
+                  state.domainCols(tyHead) =
+                    state.domainCols.getOrElse(tyHead, Set.empty) +
+                      ((strip(name), parts(0).toLowerCase))
+                  if (!state.colDefaults.contains(
+                      (strip(name), parts(0).toLowerCase)))
+                    dDflt.foreach(d => state.colDefaults(
+                      (strip(name), parts(0).toLowerCase)) = d)
+                  Some(parts(0) -> sparkType(dBase))
+                case None =>
+                  Some(parts(0) -> sparkType(parts(1)))
+              }
             }
           }
           if (cols.nonEmpty) {
@@ -4347,14 +4387,50 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   strip(m.group(1)), fields)
             }
         // domains are named base types; register so casts to the
-        // domain resolve to its base (distributed_types.sql:377)
+        // domain resolve to its base (distributed_types.sql:377).
+        // A domain DEFAULT becomes the column default of columns
+        // declared with the domain (distributed_domain.sql's
+        // with_default batteries); CHECK/NOT NULL enforcement stays
+        // the reference's own — violating inserts carry ERROR in the
+        // .out and are excluded positionally
         case s if """(?is)^CREATE\s+DOMAIN\s+""".r
             .findPrefixMatchOf(s).isDefined =>
           ("""(?is)^CREATE\s+DOMAIN\s+([A-Za-z_][\w.]*)\s+""" +
             """(?:AS\s+)?([A-Za-z_][\w.]*(?:\s*\[\s*\])?)""").r
-            .findFirstMatchIn(s).foreach(m =>
+            .findFirstMatchIn(s).foreach { m =>
               graft.sql.PgDialect.registerDomain(
-                strip(m.group(1)), m.group(2).replaceAll("\\s+", "")))
+                strip(m.group(1)), m.group(2).replaceAll("\\s+", ""))
+              val dflt =
+                """(?is)\bDEFAULT\s+('[^']*'|[\w.+-]+)""".r
+                  .findFirstMatchIn(s).map(_.group(1))
+                  .filterNot(_.equalsIgnoreCase("NULL"))
+              state.domainInfo(strip(m.group(1))) =
+                (m.group(2).replaceAll("\\s+", ""), dflt)
+            }
+        // ALTER DOMAIN SET/DROP DEFAULT retargets the default of
+        // every column declared with the domain — PG resolves the
+        // domain default at INSERT time (distributed_domain.sql's
+        // alter_default battery: foo → bar → none)
+        case s if """(?is)^ALTER\s+DOMAIN\s+""".r
+            .findPrefixMatchOf(s).isDefined =>
+          """(?is)^ALTER\s+DOMAIN\s+([A-Za-z_][\w.]*)""".r
+            .findFirstMatchIn(s).map(m => strip(m.group(1))).foreach { d =>
+              val setD = """(?is)\bSET\s+DEFAULT\s+(.+?)\s*$""".r
+                .findFirstMatchIn(s).map(_.group(1).trim)
+              val dropD =
+                """(?is)\bDROP\s+DEFAULT\b""".r.findFirstIn(s).isDefined
+              if (setD.isDefined || dropD) {
+                val (b0, _) = state.domainInfo.getOrElse(d, ("int", None))
+                val eff = setD.filterNot(_.equalsIgnoreCase("NULL"))
+                state.domainInfo(d) = (b0, eff)
+                state.domainCols.getOrElse(d, Set.empty).foreach {
+                  case (t, c) => eff match {
+                    case Some(e) => state.colDefaults((t, c)) = e
+                    case None => state.colDefaults.remove((t, c))
+                  }
+                }
+              }
+            }
         // composite-type shape evolution (distributed_types.sql:88-97):
         // ADD ATTRIBUTE appends a declared field, RENAME ATTRIBUTE
         // renames one — later `(col::type).field` reads parse with the
@@ -8652,6 +8728,45 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "run (value-checked)")
     assert(ran >= 15, s"expected the repartition battery, got $ran")
     assert(ok.toDouble / ran >= 0.85, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of distributed_domain.sql — CREATE DOMAIN " +
+      "as a column type: domain DEFAULTs fill missing insert columns " +
+      "(NEW: domain-typed columns resolve to the base type and " +
+      "inherit the domain default), ALTER DOMAIN SET/DROP DEFAULT " +
+      "retargets live column defaults at insert time (foo → bar → " +
+      "none), CHECK/NOT NULL violations are the reference's own " +
+      "ERRORs (positional .out verdicts keep state exact), NOT " +
+      "VALID + VALIDATE batteries; worker catalog probes " +
+      "(run_command regtype/typdefault dumps) and owner/role DDL " +
+      "are propagation scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s => {
+      val l = s.toLowerCase
+      !l.contains("create_distributed_table") &&
+        !l.contains("citus_") && !l.contains("run_command") &&
+        !l.contains("pg_type") && !l.contains("pg_roles") &&
+        !l.contains("regtype") && !l.contains("domain_owner") &&
+        !l.contains("master_") &&
+        // the U&'..' collation battery orders under a declared
+        // collation — collation semantics are documented n/a scope
+        !l.contains("use_with_collation") && !l.contains("wciexplicit")
+    }
+    val vcheck: String => Boolean = s =>
+      keep(s) && s.toLowerCase.contains("use_")
+    // the one data-bearing \COPY negative (CHECK violation) — PG
+    // loads nothing; the converted INSERT must not either
+    val tr: String => String = raw => raw.replace(
+      "\\COPY use_age_default FROM STDIN DELIMITER AS ',';\n4, -1\n\\.",
+      "")
+    val (ok, ran) = replayFile("distributed_domain.sql", "DOMFAIL",
+      keep, new ReplayState, countDml = true, transform = tr,
+      valueCheck = vcheck)
+    info(s"distributed_domain.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 12, s"expected the domain battery, got $ran")
+    // EXACT pin: 15/15 as of r10 — any regression fails the build
+    assert(ok >= 15, s"only $ok/$ran ran — a statement regressed")
   }
 
   test("columnar_paths.sql — the columnar planner's access-path " +
