@@ -201,6 +201,27 @@ object JsonbOps {
 
   /** `j['k']` / `j[i]` read → the member's canonical jsonb TEXT
     * (PG renders subscript reads as jsonb), or NULL when absent. */
+  /** jsonpath recursive descent `$.**."key"` (pg18.sql's WAL-EXPLAIN
+    * battery probes plan documents this way): preorder walk in
+    * document order over objects AND arrays, returning the rendered
+    * value of the FIRST member named `key` — jsonb_path_query_first
+    * semantics. A key holding JSON null returns the text "null"
+    * (non-SQL-NULL), so `IS NOT NULL` over this matches PG's
+    * jsonb_path_exists (present-with-null → true). */
+  def descendFirst(json: String, key: String): String = {
+    def walk(v: JVal): Option[JVal] = v match {
+      case JObj(fs) =>
+        fs.collectFirst { case (k, vv) if k == key => vv }
+          .orElse(fs.iterator.map(f => walk(f._2))
+            .collectFirst { case Some(hit) => hit })
+      case JArr(is) =>
+        is.iterator.map(walk).collectFirst { case Some(hit) => hit }
+      case _ => None
+    }
+    (for { j <- Option(json); p <- parse(j); hit <- walk(p) }
+      yield render(hit)).orNull
+  }
+
   def get(json: String, key: String): String =
     (parse(json), Option(key)) match {
       case (Some(JObj(fs)), Some(k)) =>

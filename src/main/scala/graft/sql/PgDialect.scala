@@ -1482,6 +1482,19 @@ object PgDialect {
         s"__jsonb_norm(${m.group(1)})"))
     // PG17 SQL/JSON function family (pg17_json.sql), mapped onto the
     // text-JSON carrier:
+    // recursive descent `$.**."key"` (pg18.sql WAL-EXPLAIN battery)
+    // fires BEFORE the generic path rewrites — get_json_object has no
+    // `**` step, so these route through the JsonbOps walker. The
+    // walker returns the rendered value (text "null" for a JSON null
+    // hit), so IS NOT NULL matches PG's present-with-null = true.
+    sql1 = ("""(?is)\bjsonb_path_exists\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)""" +
+      """\s*,\s*'\s*\$\s*\.\s*\*\*\s*\.\s*"([^"]+)"\s*'\s*\)""").r
+      .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
+        s"(__jsonb_descend(${m.group(1)}, '${m.group(2)}') IS NOT NULL)"))
+    sql1 = ("""(?is)\bjsonb_path_query_first\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)""" +
+      """\s*,\s*'\s*\$\s*\.\s*\*\*\s*\.\s*"([^"]+)"\s*'\s*\)""").r
+      .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
+        s"__jsonb_descend(${m.group(1)}, '${m.group(2)}')"))
     // JSON_EXISTS / jsonb_path_exists(x, 'p') → path-hit test
     sql1 = """(?is)\b(?:JSON_EXISTS|jsonb_path_exists)\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)""".r
       .replaceAllIn(sql1, m => {
@@ -1857,7 +1870,52 @@ object PgDialect {
   /** Drop all session-registered type names (composite + domain) —
     * invoked alongside [[TableFunctions.clear]] so one corpus file's
     * CREATE TYPEs never leak into the next file's translations. */
-  def clearTypes(): Unit = { compositeTypes.clear(); domainTypes.clear() }
+  def clearTypes(): Unit = {
+    compositeTypes.clear(); domainTypes.clear()
+    enumTypes.clear(); enumCols.clear()
+  }
+
+  /** PG enums order by DECLARATION position, not label text
+    * (pg18.sql's mood battery: min='sad', max='happy' while text
+    * ordering would give 'happy'/'sad'). Enum-typed columns carry as
+    * STRING; min/max over a registered enum column compile to ordinal
+    * min/max through the label array —
+    * `element_at(labels, min(array_position(labels, col)))` — pure
+    * built-in expressions, two-phase distributable like any min/max. */
+  private val enumTypes = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[String]]
+  // column name → enum type (columns declared with an enum type)
+  private val enumCols = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  def registerEnum(name: String, labels: Seq[String]): Unit =
+    enumTypes.put(
+      name.substring(name.lastIndexOf('.') + 1).toLowerCase, labels)
+
+  def enumLabels(name: String): Option[Seq[String]] =
+    enumTypes.get(name.substring(name.lastIndexOf('.') + 1).toLowerCase)
+
+  def registerEnumColumn(col: String, enumType: String): Unit =
+    if (enumTypes.contains(enumType.toLowerCase))
+      enumCols.put(col.toLowerCase, enumType.toLowerCase)
+
+  private def rewriteEnumMinMax(sql: String): String = {
+    if (enumCols.isEmpty) return sql
+    """(?i)\b(min|max)\s*\(\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s*\)""".r
+      .replaceAllIn(sql, m =>
+        enumCols.get(m.group(3).toLowerCase)
+          .flatMap(enumTypes.get) match {
+          case Some(labels) =>
+            val arr = "array(" +
+              labels.map(l => s"'${l.replace("'", "''")}'")
+                .mkString(", ") + ")"
+            java.util.regex.Matcher.quoteReplacement(
+              s"element_at($arr, CAST(${m.group(1).toLowerCase}(" +
+                s"array_position($arr, ${m.group(2)})) AS INT))")
+          case None =>
+            java.util.regex.Matcher.quoteReplacement(m.matched)
+        })
+  }
 
   /** Spans (start, end) of single-quoted literals in `s` — textual
     * type-cast scans must never fire on `::name` text INSIDE a
@@ -2096,11 +2154,11 @@ object PgDialect {
     val (withPre, mainQ) = splitWithPrelude(scoped)
     val top = withPre +
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(mainQ)))
-    rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRowConstructors(rewriteCompositeLiterals(rewriteRegexOps(rewriteArrayOps(
+    rewriteOrderByNulls(rewriteConcatPrecedence(rewriteExplicitCastTypes(rewriteCasts(rewriteRowConstructors(rewriteCompositeLiterals(rewriteEnumMinMax(rewriteRegexOps(rewriteArrayOps(
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewritePgRegexpFns(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
           rewritePgDateLiterals(rewritePgSubscripts(rewriteJoinUsingAlias(
-            PgRanges.rewrite(rewriteJsonTable(top)))))))))))))))))))))
+            PgRanges.rewrite(rewriteJsonTable(top))))))))))))))))))))))
   }
 
   /** SQL/JSON `JSON_TABLE` (PG17, pg17_json.sql; the reference plans
@@ -3166,6 +3224,11 @@ object PgDialect {
       spark.udf.register("__jsonb_norm",
         udf((j: String) =>
           JsonbOps.parse(j).map(JsonbOps.render).getOrElse(j)))
+      // jsonpath `$.**."key"` recursive descent (pg18.sql's
+      // WAL-EXPLAIN plan probes) — first match in document order,
+      // jsonb_path_query_first semantics. Fixture-document surface.
+      spark.udf.register("__jsonb_descend",
+        udf((j: String, k: String) => JsonbOps.descendFirst(j, k)))
     }
 
   /** Translate a PG-dialect query and run it on Spark. */

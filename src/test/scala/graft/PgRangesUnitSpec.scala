@@ -58,4 +58,22 @@ class PgRangesUnitSpec extends AnyFunSuite {
     assert(JsonbOps.get("""[5, 6]""", "1") === "6")
     assert(JsonbOps.get(null, "k") === null)
   }
+
+  test("jsonpath $.** recursive descent: first match in document " +
+      "order, through arrays, present-with-null ≠ absent (pg18.sql " +
+      "wal_explain battery)") {
+    val plan = """[{"Plan": {"Node Type": "Custom Scan",
+      "Task Count": 4, "WAL Buffers Full": 0,
+      "Plans": [{"Node Type": "Aggregate", "Task Count": 9}]}}]"""
+    assert(JsonbOps.descendFirst(plan, "Task Count") === "4")
+    assert(JsonbOps.descendFirst(plan, "WAL Buffers Full") === "0")
+    assert(JsonbOps.descendFirst(plan, "Node Type") ===
+      "\"Custom Scan\"")
+    assert(JsonbOps.descendFirst(plan, "Missing Key") === null)
+    // a key HOLDING JSON null is present (PG jsonb_path_exists = t):
+    // the walker returns the rendered text "null", not SQL NULL
+    assert(JsonbOps.descendFirst("""{"a": {"b": null}}""", "b") ===
+      "null")
+    assert(JsonbOps.descendFirst(null, "k") === null)
+  }
 }
