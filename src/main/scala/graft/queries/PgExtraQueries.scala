@@ -617,10 +617,46 @@ object PgExtraQueries extends QueryModule {
                    ('true'), ('12'), ('aaa')) v(js)
       ORDER BY js"""))
 
+  /** percentile_cont with a GROUP-KEY-DEPENDENT fraction — PG
+    * evaluates the ordered-set fraction per group
+    * (aggregate_support.sql:829 `percentile_cont(key/10.0)`); Spark's
+    * native function requires a foldable fraction, so the dialect
+    * compiles PG's linear interpolation over a sorted collect_list
+    * (two-phase distributable). DuckDB's quantile_cont has the same
+    * constant-fraction restriction, so the oracle computes the same
+    * standard interpolation over list() — an independent engine's
+    * list machinery checking ours. Both sides round through
+    * DECIMAL(18,2) then compare as DOUBLE so IEEE noise can't break
+    * the hash. */
+  private val pctPerGroupFraction = GraftQuery(
+    "agg_percentile_per_group_fraction",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT l_linenumber AS k,
+             CAST(CAST(percentile_cont(l_linenumber * 0.1e0)
+               WITHIN GROUP (ORDER BY l_extendedprice)
+               AS DECIMAL(18,2)) AS DOUBLE) AS pct
+           FROM lineitem GROUP BY l_linenumber ORDER BY k""")
+    },
+    Some("""WITH g AS (
+        SELECT l_linenumber AS k,
+               list(CAST(l_extendedprice AS DOUBLE)
+                 ORDER BY CAST(l_extendedprice AS DOUBLE)) AS vs
+        FROM lineitem GROUP BY 1),
+      h AS (SELECT k, vs,
+              (k * 0.1e0) * (len(vs) - 1) AS hh FROM g)
+      SELECT k, CAST(CAST(
+          vs[CAST(floor(hh) AS INT) + 1] + (hh - floor(hh)) *
+            (vs[least(CAST(floor(hh) AS INT) + 2, len(vs))] -
+             vs[CAST(floor(hh) AS INT) + 1])
+        AS DECIMAL(18,2)) AS DOUBLE) AS pct
+      FROM h ORDER BY k"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
       histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
       jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap,
-      jsonbSubscript, pg16JsonAggs, isJsonShapes)
+      jsonbSubscript, pg16JsonAggs, isJsonShapes, pctPerGroupFraction)
 }

@@ -1370,8 +1370,13 @@ object PgDialect {
       literals += m.matched
       s"__GRAFT_LIT_${literals.size - 1}__"
     })
-    val lit = """ARRAY\s*\[([^\]]*)\]""".r.replaceAllIn(masked, m =>
-      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    // case-insensitive: the corpora spell both ARRAY[..] and array[..]
+    // (aggregate_support.sql:663); `array` is a PG reserved word, so
+    // no subscripted column can collide — but a column NAMED
+    // `..._array[i]` is a subscript, hence the lookbehind
+    val lit = """(?i)(?<![\w."])ARRAY\s*\[([^\]]*)\]""".r
+      .replaceAllIn(masked, m =>
+        java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
     // PG array-literal strings in quantifier position
     // (`ANY ('{1,2,3}')`, optionally `::int[]`-cast) → array(...)
     val arrLitRe = ("""(?i)\b(ANY|ALL|SOME)\s*\(\s*__GRAFT_LIT_(\d+)__""" +
@@ -1581,6 +1586,62 @@ object PgDialect {
           if (m.group(2) != null) s"(NOT $test)" else test
         java.util.regex.Matcher.quoteReplacement(
           s"(CASE WHEN ($x) IS NULL THEN NULL ELSE $signed END)")
+      })
+    // JSON_VALUE with a member-wildcard FILTER over a PASSING
+    // variable — `'$.* ? (@ > $i)' PASSING id AS i` (pg17_json.sql's
+    // sqljson_queryfuncs battery): lax `$.*` yields the object's
+    // member values; the filter keeps those matching the comparison.
+    // JSON_VALUE needs exactly ONE scalar — 0 matches → ON EMPTY,
+    // >1 → ON ERROR (PG's contract). Compiles to filter() over
+    // map_values(from_json(..)) — pure built-ins, no UDF.
+    sql1 = ("""(?is)\bJSON_VALUE\s*\(\s*(?:jsonb\s+)?""" +
+      """('[^']*'|(?:[^(),']|'[^']*'|\([^()]*\))+?)\s*,\s*""" +
+      """'\s*(?:lax\s+)?\$\.\*\s*\?\s*\(\s*@\s*(>=|<=|==|!=|>|<)\s*\$(\w+)\s*\)\s*'\s+""" +
+      """PASSING\s+((?:[^(),']|'[^']*'|\([^()]*\))+?)\s+AS\s+(\w+)\s*""" +
+      """(?:RETURNING\s+(\w+)\s*)?""" +
+      """(?:DEFAULT\s+((?:[^()]|\([^()]*\))+?)\s+ON\s+EMPTY\s*)?""" +
+      """(?:DEFAULT\s+((?:[^()]|\([^()]*\))+?)\s+ON\s+ERROR\s*)?\)""").r
+      .replaceAllIn(sql1, m => {
+        if (!m.group(3).equalsIgnoreCase(m.group(5))) m.matched
+        else {
+          val t = Option(m.group(6)).map(mapType).getOrElse("STRING")
+          val op = m.group(2) match {
+            case "==" => "="; case "!=" => "<>"; case o => o
+          }
+          val filt = s"filter(map_values(from_json(" +
+            s"CAST(${m.group(1)} AS STRING), 'MAP<STRING,STRING>'))," +
+            s" __jv -> CAST(__jv AS DOUBLE) $op " +
+            s"CAST((${m.group(4)}) AS DOUBLE))"
+          val onEmpty = Option(m.group(7)).getOrElse("NULL")
+          val onError = Option(m.group(8)).getOrElse("NULL")
+          java.util.regex.Matcher.quoteReplacement(
+            s"(CASE WHEN size($filt) = 1 THEN " +
+              s"CAST(element_at($filt, 1) AS $t) " +
+              s"WHEN size($filt) = 0 THEN CAST($onEmpty AS $t) " +
+              s"ELSE CAST($onError AS $t) END)")
+        }
+      })
+    // JSON_VALUE / JSON_QUERY with a PASSING variable used as a
+    // dynamic path STEP — `'$[$i].x' PASSING id AS i` — splices the
+    // variable's text into the path via concat; get_json_object
+    // accepts a non-foldable path (re-parsed per row; fixture-scale
+    // surface). OMIT QUOTES is get_json_object's native behavior.
+    sql1 = ("""(?is)\b(?:JSON_VALUE|JSON_QUERY)\s*\(\s*""" +
+      """((?:[^(),']|'[^']*'|\([^()]*\))+?)\s*,\s*'([^']*\$\w+[^']*)'\s+""" +
+      """(?:passing|PASSING)\s+((?:[^(),']|'[^']*'|\([^()]*\))+?)\s+AS\s+(\w+)\s*""" +
+      """(?:RETURNING\s+(\w+)\s*)?(?:(?:OMIT|KEEP)\s+QUOTES\s*)?\)""").r
+      .replaceAllIn(sql1, m => {
+        val p = m.group(2).replaceFirst("^(lax|strict)\\s+", "")
+        val v = "$" + m.group(4)
+        if (!p.contains(v)) m.matched
+        else {
+          val t = Option(m.group(5)).map(mapType).getOrElse("STRING")
+          val pieces = p.split(java.util.regex.Pattern.quote(v), -1)
+          val pathExpr = "concat(" + pieces.map(pc => s"'$pc'")
+            .mkString(s", CAST((${m.group(3)}) AS STRING), ") + ")"
+          java.util.regex.Matcher.quoteReplacement(
+            s"CAST(get_json_object(${m.group(1)}, $pathExpr) AS $t)")
+        }
       })
     // JSON_VALUE / JSON_QUERY without PASSING variables:
     // (x, 'p' [RETURNING t] [OMIT|KEEP QUOTES] [DEFAULT d ON EMPTY]
@@ -2142,7 +2203,7 @@ object PgDialect {
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
     // ride the full dialect pipeline below
-    val sql = TableFunctions.expand(sql0)
+    val sql = rewriteGroupedPercentile(TableFunctions.expand(sql0))
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
@@ -2278,7 +2339,28 @@ object PgDialect {
                 """^(ORDER\s+BY|LIMIT)\b""".r
                   .findPrefixMatchOf(after).isDefined
             }
-            if (soleFrom) {
+            // `(SELECT count(*) [cmp N] FROM JSON_TABLE(..) [AS a]
+            // [LIMIT n])`: the row count of a pure-expression shred
+            // is the generated array's SIZE — no subquery survives,
+            // so the context may correlate from ANY depth (the
+            // SELECT-clause pushdown battery correlates ctx two
+            // levels out, pg17_json.sql:143-147)
+            val cntM =
+              if (prevWord != "FROM") None
+              else ("""(?is)\(\s*SELECT\s+count\s*\(\s*\*\s*\)\s*""" +
+                """((?:>=|<=|<>|!=|>|<|=)\s*\d+)?\s*$""").r
+                .findFirstMatchIn(s.substring(0, p + 1 - 4))
+            val cntTail =
+              """(?is)^\s*(?:LIMIT\s+\d+\s*)?\)""".r
+                .findPrefixMatchOf(s.substring(aliasEnd))
+            if (cntM.isDefined && cntTail.isDefined) {
+              val cmp = Option(cntM.get.group(1))
+                .map(" " + _).getOrElse("")
+              s = s.substring(0, cntM.get.start) +
+                s"(coalesce(size($arrExpr), 0)$cmp)" +
+                s.substring(aliasEnd + cntTail.get.end)
+              go = true
+            } else if (soleFrom) {
               // drop `SELECT x FROM JSON_TABLE(..) AS a` → SELECT gen
               val selStart = """(?is)\bSELECT\s+(\*|[A-Za-z_]\w*\.\*)\s*$""".r
                 .findFirstMatchIn(s.substring(0, p + 1 - 4)).get.start
@@ -3549,6 +3631,46 @@ object PgDialect {
     else None
   }
 
+  /** `percentile_cont(f(key)) WITHIN GROUP (ORDER BY v)` with a
+    * GROUP-KEY-dependent fraction (aggregate_support.sql:829): PG
+    * evaluates the fraction per group; Spark's percentile_cont
+    * requires a FOLDABLE fraction. Compile PG's interpolation
+    * directly — sorted collect_list per group, linear interpolation
+    * at h = f · (n−1) — pure built-ins, two-phase distributable
+    * (collect_list partials merge). NULL inputs drop (both engines);
+    * an all-NULL group yields NULL. Foldable fractions stay on the
+    * native function; volatile ones are coordinator-evaluated
+    * upstream. */
+  private def rewriteGroupedPercentile(s0: String): String = {
+    val re = ("""(?is)\bpercentile_cont\s*\(\s*""" +
+      """((?:[^()']|\((?:[^()']|\([^()]*\))*\))+?)\s*\)\s*""" +
+      """within\s+group\s*\(\s*order\s+by\s+""" +
+      """((?:[^()']|\((?:[^()']|\([^()]*\))*\))+?)\s*(?:asc\s*)?\)""").r
+    re.replaceAllIn(s0, m => {
+      val frac = m.group(1).trim
+      val noCasts = frac.replaceAll("::\\s*[\\w.]+", "")
+      val keyDependent =
+        """[A-Za-z_]""".r.findFirstIn(noCasts).isDefined &&
+          """(?i)\brandom|\brandn""".r.findFirstIn(frac).isEmpty &&
+          """(?i)\bdesc\b""".r.findFirstIn(m.group(2)).isEmpty &&
+          // the ARRAY-of-fractions form returns an array — not this
+          // scalar interpolation's shape
+          """(?i)\barray\b|\[""".r.findFirstIn(frac).isEmpty
+      if (!keyDependent) m.matched
+      else {
+        val vs = s"sort_array(collect_list(" +
+          s"CAST((${m.group(2).trim}) AS DOUBLE)))"
+        val h = s"(($frac) * (size($vs) - 1))"
+        val lo = s"element_at($vs, CAST(floor($h) AS INT) + 1)"
+        val hi = s"element_at($vs, " +
+          s"least(CAST(floor($h) AS INT) + 2, size($vs)))"
+        java.util.regex.Matcher.quoteReplacement(
+          s"(CASE WHEN size($vs) = 0 THEN CAST(NULL AS DOUBLE) " +
+            s"ELSE $lo + ($h - floor($h)) * ($hi - $lo) END)")
+      }
+    })
+  }
+
   /** Coordinator evaluation of VOLATILE ordered-set-aggregate
     * fractions (pg17.sql's `PERCENTILE_DISC((2 > random(0,1))::int
     * ::numeric / 10) WITHIN GROUP ...`): PG evaluates the volatile
@@ -3652,6 +3774,12 @@ object PgDialect {
         val hoisted = hoistHavingAggregates(text)
         if (hoisted != text) spark.sql(hoisted)
         else {
+          // the same HAVING/ORDER-BY-aggregate shape INSIDE a derived
+          // table (columnar_paths.sql:211's sub_3) — hoist per
+          // subquery body, innermost first
+          val subHoisted = mapSubqueryBodies(text, hoistHavingAggregates)
+          if (subHoisted != text) spark.sql(subHoisted)
+          else {
           val wHoisted = hoistWindowAggregates(text)
           if (wHoisted != text) spark.sql(wHoisted)
           else {
@@ -3666,6 +3794,7 @@ object PgDialect {
               if (exHoisted == text) throw e
               spark.sql(exHoisted)
             }
+          }
           }
         }
       case e: Throwable

@@ -182,7 +182,11 @@ object UserAggregates {
     def handle(stmt: String): Boolean = stmt.trim match {
       case createFnRe(name, paramText, _) =>
         val bodyRe = """(?s)\$[A-Za-z]*\$(.*?)\$[A-Za-z]*\$""".r
-        val bodyM = bodyRe.findFirstMatchIn(stmt)
+        // `AS '...'` single-quoted body form ('' unescapes to ';
+        // aggregate_support.sql's stfnp_zero_arg/ffp_zero_arg)
+        val bodyM = bodyRe.findFirstMatchIn(stmt).map(_.group(1))
+          .orElse("""(?is)\bAS\s+'((?:[^']|'')*)'""".r
+            .findFirstMatchIn(stmt).map(_.group(1).replace("''", "'")))
         if (bodyM.isEmpty) return true // consumed, uninterpretable
         // attributes (STRICT, LANGUAGE) live outside the body in any
         // order — scan the whole statement with the body masked
@@ -199,7 +203,7 @@ object UserAggregates {
               toks(0)
             else s"__p${i + 1}"
         }
-        bodyToExpr(bodyM.get.group(1), language, params).foreach(expr =>
+        bodyToExpr(bodyM.get, language, params).foreach(expr =>
           fns(strip(name)) = FnMacro(params, expr, strict))
         true
       case createAggHead(name, rest) =>
@@ -343,7 +347,13 @@ object UserAggregates {
         // ascending keys only (the corpus's forms); strip ASC noise
         Some(splitTop(ob).map(_.replaceAll("(?i)\\s+asc\\b", "").trim))
       } else None
-      val args = splitTop(argText)
+      // zero-argument `agg(*)` (PG's CREATE AGGREGATE name(*); the
+      // polymorphic battery in aggregate_support.sql:658-666): the
+      // transition sees only the state, once per row — collect a
+      // constant per row so the fold still iterates row-count times
+      val args =
+        if (argText == "*" || argText.isEmpty) Seq("1")
+        else splitTop(argText)
 
       spec.builtin.foreach { b =>
         // internal-state aggregate: known Spark equivalent; FILTER is
