@@ -68,6 +68,38 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * line-terminating `;`; result blocks are flushed at their
     * `(N rows)` terminator; an ERROR line marks the last completed
     * statement. Returns whitespace-normalized statement texts. */
+  /** psql `\d`-describe output blocks in a .out (`Table "schema.t"`
+    * title + header/separator + attribute rows, NO `(N rows)` footer)
+    * would pollute the scanners' statement buffers and misattribute
+    * ERRORs/goldens (multi_sequence_default.sql describes sequences
+    * between rejected ALTERs) — detect the title and skip through the
+    * following blank line. */
+  /** A .out line can only BEGIN a statement echo if its first token
+    * is a SQL statement keyword — HINT/DETAIL prose that wraps onto a
+    * continuation line (multi_sequence_default.sql's two-line HINT)
+    * otherwise leaks into the next statement's key and misattributes
+    * its ERROR/golden. Continuations of an already-open echo are
+    * unaffected (the buffer is non-empty). */
+  private val stmtStartKw = Set("select", "with", "insert", "update",
+    "delete", "merge", "create", "drop", "alter", "set", "reset",
+    "begin", "commit", "end", "rollback", "abort", "start",
+    "savepoint", "release", "truncate", "copy", "prepare", "execute",
+    "deallocate", "grant", "revoke", "comment", "vacuum", "analyze",
+    "explain", "lock", "values", "table", "call", "do", "reindex",
+    "cluster", "refresh", "show", "declare", "fetch", "close",
+    "checkpoint", "discard", "load", "(")
+  private def looksLikeStmtStart(t: String): Boolean = {
+    if (t.isEmpty) false
+    else if (t.startsWith("(")) true
+    else stmtStartKw.contains(
+      t.takeWhile(c => c.isLetter).toLowerCase)
+  }
+
+  private def isDescribeTitle(t: String): Boolean =
+    t.matches("""(?:Table|Unlogged table|Partitioned table|Sequence|""" +
+      """Unlogged sequence|View|Materialized view|Foreign table|""" +
+      """Composite type|Index|Partitioned index) "[^"]*".*""")
+
   private def pgExpectedErrors(file: String): Set[String] = {
     val out = new java.io.File(refExpDir,
       file.stripSuffix(".sql") + ".out")
@@ -84,10 +116,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // ISO-8859-1: lossless byte→char for line scanning (some .out
     // files contain non-UTF-8 bytes in data rows)
     var inDollar = false
+    var inDescribe = false
     scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line0 =>
       val line = stripEchoComment(line0)
       val t = line.trim
-      if (!inDollar && t.startsWith("ERROR")) {
+      if (inDescribe) { if (t.isEmpty) inDescribe = false }
+      else if (!inDollar && isDescribeTitle(t)) inDescribe = true
+      else if (!inDollar && t.startsWith("ERROR")) {
         if (last != null) { errs += last; last = null }
         buf.clear()
       } else if (!inDollar && t.matches("""\(\d+ rows?\)""")) buf.clear()
@@ -97,6 +132,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // statement key and break error attribution (pgmerge.sql's
         // \set VERBOSITY lines before expected-ERROR MERGEs)
         t.startsWith("\\"))) ()
+      else if (buf.isEmpty && !inDollar && !looksLikeStmtStart(t)) ()
       else {
         buf.append(line).append('\n')
         // dollar-quoted bodies ($$..$$, $tag$..$tag$) are ONE
@@ -142,10 +178,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "NOTICE:", "WARNING:", "QUERY:", "DEBUG:", "LOG:", "INFO:",
       "SQL statement", "PL/pgSQL function", "SQL function")
     var inDollar = false
+    var inDescribe = false
     scala.io.Source.fromFile(out, "ISO-8859-1").getLines().foreach { line0 =>
       val line = stripEchoComment(line0)
       val t = line.trim
-      if (!inDollar && t.startsWith("ERROR")) {
+      if (inDescribe) { if (t.isEmpty) inDescribe = false }
+      else if (!inDollar && isDescribeTitle(t)) inDescribe = true
+      else if (!inDollar && t.startsWith("ERROR")) {
         if (last != null) {
           errs(last) = errs.getOrElse(last, Set.empty) + lastOrd
           last = null
@@ -154,6 +193,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
       } else if (!inDollar && t.matches("""\(\d+ rows?\)""")) buf.clear()
       else if (!inDollar && (noise.exists(t.startsWith) ||
         t.startsWith("--") || t.startsWith("\\"))) ()
+      else if (buf.isEmpty && !inDollar && !looksLikeStmtStart(t)) ()
       else {
         buf.append(line).append('\n')
         if ("""\$[A-Za-z_0-9]*\$""".r.findAllIn(line).size % 2 == 1)
@@ -1432,9 +1472,16 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // the failing inner statement and its PL/pgSQL frame)
       "SQL statement", "PL/pgSQL function", "SQL function")
     var i = 0
+    var inDescribe = false
     while (i < lines.length) {
       val t = lines(i).trim
-      if (i + 1 < lines.length &&
+      if (inDescribe) {
+        if (t.isEmpty) inDescribe = false
+        i += 1
+      } else if (!inDollar && isDescribeTitle(t)) {
+        inDescribe = true
+        i += 1
+      } else if (i + 1 < lines.length &&
           lines(i + 1).trim.matches("-{20,}") && last != null &&
           !inDollar) {
         // `t` is the header; collect data rows to the (N rows) mark
@@ -1452,6 +1499,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
         if (!inDollar && t.startsWith("ERROR")) { last = null; buf.clear() }
         else if (!inDollar && (noise.exists(t.startsWith) ||
           t.startsWith("--") || t.startsWith("\\"))) ()
+        else if (buf.isEmpty && !inDollar &&
+          !looksLikeStmtStart(stripEchoComment(lines(i)).trim)) ()
         else {
           val ln = stripEchoComment(lines(i))
           val t2 = ln.trim
@@ -1952,6 +2001,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val fkeys = collection.mutable.Buffer[Fk]()
     // fkeys length at BEGIN — ROLLBACK/ABORT trims back to it
     var txnFkCount: Int = -1
+    // a PG-rejected statement inside the open transaction aborted it:
+    // COMMIT must restore the BEGIN snapshot (PG aborts whole txns)
+    var txnAborted: Boolean = false
+    // named PK/UNIQUE constraints from ALTER TABLE ADD CONSTRAINT —
+    // (table, constraint name) → column set, so DROP CONSTRAINT can
+    // retire the arbiter (multi_alter_table_add_constraints.sql)
+    val namedCons =
+      collection.mutable.Map[(String, String), Seq[String]]()
   }
 
   /** EXECUTE argument splice: `$N` → the N-th call argument. Plain
@@ -3371,7 +3428,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
       """(?is)^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)""".r
         .findFirstMatchIn(stmt)
         .foreach(m2 => state.sequences(strip(m2.group(1))) = 0L)
-      if (state.sequences.nonEmpty &&
+      // a PG-REJECTED statement must keep its ORIGINAL text: splicing
+      // a sequence value first would both advance the counter and
+      // break the positional .out-ERROR match that excludes it
+      // (multi_sequence_default.sql's rejected ADD COLUMN .. DEFAULT
+      // nextval on a non-empty distributed table)
+      if (state.sequences.nonEmpty && !pgRejected(stmt) &&
         """(?i)\b(nextval|currval)\s*\(""".r.findFirstIn(stmt).isDefined) {
         stmt = """(?i)\b(nextval|currval)\s*\(\s*'([^']+)'\s*(?:::\s*regclass\s*)?\)""".r
           .replaceAllIn(stmt, mm => {
@@ -3648,6 +3710,52 @@ class ReferenceSqlSpec extends AnyFunSuite {
               m.group(3).split(",").map(_.trim.toLowerCase).toSeq,
               m.group(4), Option(m.group(5)), m.group(6))
           }
+        // ADD CONSTRAINT nm PRIMARY KEY/UNIQUE (cols): registers the
+        // arbiter column set under its NAME — only when the reference
+        // ACCEPTED it (a PK off the distribution column, or one over
+        // conflicting data, is the .out's own ERROR)
+        // ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT retargets
+        // the insert-time default (multi_alter_table_statements.sql's
+        // default-battery loads pick up the CURRENT default)
+        ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+          """([A-Za-z_][\w.]*)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+""" +
+          """SET\s+DEFAULT\s+(.+?)\s*$""").r
+          .findFirstMatchIn(stmt)
+          .filter(_ => !pgRejected(stmt)).foreach { m =>
+            state.colDefaults((base(strip(m.group(1))),
+              m.group(2).toLowerCase)) = m.group(3).trim
+          }
+        ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+          """([A-Za-z_][\w.]*)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+""" +
+          """DROP\s+DEFAULT\s*$""").r
+          .findFirstMatchIn(stmt)
+          .filter(_ => !pgRejected(stmt)).foreach { m =>
+            state.colDefaults.remove((base(strip(m.group(1))),
+              m.group(2).toLowerCase))
+          }
+        ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
+          """([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
+          """(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)""").r
+          .findFirstMatchIn(stmt)
+          .filter(_ => !pgRejected(stmt))
+          // a PK/UNIQUE on a partition CHILD scopes to that child's
+          // rows; children share the parent's storage here, so a
+          // parent-wide arbiter would wrongly reject other
+          // partitions' inserts (multi_partitioning.sql's
+          // partitioning_test_2009 PK) — skip those
+          .filterNot(m => state.parts.contains(strip(m.group(1))))
+          .foreach { m =>
+            val tn = base(strip(m.group(1)))
+            val cols = m.group(4).split(",")
+              .map(_.trim.toLowerCase).toSeq
+            if (cols.forall(_.matches("""[a-z_]\w*"""))) {
+              state.uniques(tn) =
+                state.uniques.getOrElse(tn, Seq.empty) :+ cols
+              state.namedCons((tn, m.group(2).toLowerCase)) = cols
+              if (m.group(3).toUpperCase.startsWith("PRIMARY"))
+                state.pkeys(tn) = cols
+            }
+          }
         ("""(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?""" +
           """([A-Za-z_][\w.]*)\s+DROP\s+CONSTRAINT\s+""" +
           """(?:IF\s+EXISTS\s+)?(\w+)""").r
@@ -3657,6 +3765,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
             val keptFks = state.fkeys.toSeq.filterNot(fk =>
               fk.tab == tn && fk.cname == nm)
             state.fkeys.clear(); state.fkeys ++= keptFks
+            // a dropped named PK/UNIQUE stops arbitrating
+            state.namedCons.remove((tn, nm)).foreach { cols =>
+              state.uniques(tn) = state.uniques
+                .getOrElse(tn, Seq.empty).filterNot(_ == cols)
+              if (state.pkeys.get(tn).contains(cols))
+                state.pkeys.remove(tn)
+            }
           }
       }
       // PG's ONLY on a declarative-partition parent addresses the
@@ -3673,6 +3788,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 s"${m.group(1)} (SELECT * FROM ${m.group(2)} WHERE 1=0)"
               else s"${m.group(1)} ${m.group(2)}")
           })
+      // PG aborts the WHOLE transaction at the first error — work
+      // already applied inside it must not survive COMMIT
+      // (multi_mx_modifying_xacts.sql's PK-violation battery: the
+      // first INSERT succeeded, the second violates, COMMIT persists
+      // NOTHING). A rejected statement inside an open transaction
+      // marks it aborted; COMMIT then restores the BEGIN snapshot.
+      if (state.txnSnapshot.isDefined && pgRejected(stmt))
+        state.txnAborted = true
       stmt match {
         // top-level transactions: BEGIN snapshots live data, ROLLBACK
         // restores it, COMMIT/END discards the snapshot. (PG aborts a
@@ -3683,11 +3806,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
             .findPrefixMatchOf(s).isDefined =>
           state.txnSnapshot = Some((state.data.toMap, schemas.toMap))
           state.txnFkCount = state.fkeys.length
+          state.txnAborted = false
           state.savepoints.clear()
         case s if """(?is)^(COMMIT|END)\b""".r
             .findPrefixMatchOf(s).isDefined =>
+          if (state.txnAborted)
+            state.txnSnapshot.foreach { case (dataSnap, schemaSnap) =>
+              state.data.clear(); state.data ++= dataSnap
+              schemas.clear(); schemas ++= schemaSnap
+              dataSnap.keys.filter(schemas.contains).foreach(register)
+            }
           state.txnSnapshot = None
           state.txnFkCount = -1
+          state.txnAborted = false
           state.savepoints.clear()
         // ABORT is PG's ROLLBACK synonym (multi_foreign_key.sql wraps
         // a constraint probe in BEGIN..ABORT)
@@ -3705,6 +3836,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
               state.fkeys.length - state.txnFkCount)
           state.txnSnapshot = None
           state.txnFkCount = -1
+          state.txnAborted = false
           state.savepoints.clear()
         // subtransactions (multi_subtransactions.sql): SAVEPOINT
         // snapshots live state; ROLLBACK TO restores it, keeps the
@@ -3729,6 +3861,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
                     .dropWhile(_ != name).drop(1)
                   later.foreach(state.savepoints.remove)
               }
+              // PG: rolling back to a savepoint RECOVERS an aborted
+              // transaction — work after the rollback commits
+              // (multi_subtransactions.sql's error-recovery battery)
+              state.txnAborted = false
             }
         case s if """(?is)^RELEASE\b""".r
             .findPrefixMatchOf(s).isDefined =>
@@ -4468,6 +4604,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   state.schemaTables.remove(sc)
                 }
             }
+        // a DROP the reference itself rejected (permission/ownership
+        // batteries: "must be owner of table",
+        // multi_alter_table_statements.sql:568) left PG's state
+        // intact — skip it so later accepted statements still see
+        // the relation
+        case s0 if dropRe.findFirstMatchIn(s0).isDefined &&
+            pgRejected(s0) => ()
         case dropRe(names) =>
           splitTop(names).map(strip).foreach { n =>
             schemas.remove(n); data.remove(n)
@@ -8364,6 +8507,186 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok >= 11, s"only $ok/$ran ran")
   }
 
+  test("sequential replay of multi_mx_modifying_xacts.sql — MX " +
+      "transactional DML: BEGIN..COMMIT/ABORT interleaved " +
+      "DELETE+INSERT on the researchers/labs/objects fixtures, " +
+      "cross-table transactions, ROLLBACK visibility probes; the " +
+      "shard-trigger failure-injection half (reject_bad_mx on " +
+      "shard-suffixed relations simulating mid-2PC worker failure) " +
+      "is failure-schedule scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    // fixtures from multi_mx_create_table.sql:344-367
+    val tr: String => String = raw => {
+      // everything from the reject_bad_mx trigger install onward is
+      // the failure-injection half: its transactions' outcomes hinge
+      // on a shard-level trigger firing mid-2PC — no analogue
+      val cut = raw.indexOf("CREATE FUNCTION reject_bad_mx")
+      "CREATE TABLE researchers_mx (id bigint NOT NULL, " +
+        "lab_id int NOT NULL, name text NOT NULL);\n" +
+        "CREATE TABLE labs_mx (id bigint NOT NULL, " +
+        "name text NOT NULL);\n" +
+        "CREATE TABLE objects_mx (id bigint PRIMARY KEY, " +
+        "name text NOT NULL);\n" +
+        (if (cut >= 0) raw.substring(0, cut) else raw)
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("reject_bad") &&
+        // shard-suffixed physical relations (trigger install sites)
+        !s.matches("(?is).*_12201\\d\\d.*")
+    val (ok, ran) = replayFile("multi_mx_modifying_xacts.sql",
+      "MXXFAIL", keep, new ReplayState, countDml = true,
+      transform = tr, valueCheck = keep)
+    info(s"multi_mx_modifying_xacts.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    assert(ran >= 15, s"expected the xact battery, got $ran")
+    // EXACT pin: 22/22 (incl. the PK-violation txn whose COMMIT
+    // persists nothing — the abort-on-error machinery)
+    assert(ok >= 22, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_sequence_default.sql — sequence-" +
+      "backed column DEFAULTs: the reference REJECTS adding a " +
+      "nextval default to a non-empty distributed table (its own " +
+      "ERRORs, state stays exact), accepted defaults fill at insert " +
+      "time through the live colDefaults machinery, ALTER SEQUENCE " +
+      "restrictions are negative tests; \\d describes are client " +
+      "meta") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("pg_sequence") &&
+        !s.contains("pg_class") && !s.contains("information_schema") &&
+        !s.contains("metadata_sync") && // node metadata-sync plumbing
+        !s.contains("undistribute_table") // management UDF
+    val (ok, ran) = replayFile("multi_sequence_default.sql",
+      "SEQDFAIL", keep, new ReplayState, countDml = true,
+      valueCheck = keep)
+    info(s"multi_sequence_default.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    // 7 countable: the rejected nextval/serial ALTERs and ALTER
+    // SEQUENCE restrictions are the reference's own ERRORs; the
+    // accepted SELECT * goldens (z stays NULL on existing rows)
+    // value-match. EXACT pin: 7/7
+    assert(ran >= 7, s"expected the sequence battery, got $ran")
+    assert(ok >= 7, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_alter_table_add_constraints.sql " +
+      "— ALTER TABLE ADD CONSTRAINT batteries: PRIMARY KEY/UNIQUE " +
+      "restricted to the distribution column (off-key attempts and " +
+      "conflicting-data attempts are the reference's own ERRORs), " +
+      "CHECK constraints, DROP CONSTRAINT retiring the arbiter, " +
+      "post-battery inserts value-checked") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("$$") && !s.contains("EXCLUDE USING") &&
+        !s.contains("\\c ") && !s.contains("SHOW ") &&
+        // pg_constraint catalog view + psql version probe
+        !s.contains("table_checks") && !s.contains("server_version")
+    val (ok, ran) = replayFile("multi_alter_table_add_constraints.sql",
+      "ATACFAIL", keep, new ReplayState, countDml = true,
+      valueCheck = keep)
+    info(s"multi_alter_table_add_constraints.sql: $ok/$ran " +
+      "statements run (value-checked)")
+    // a small COUNTED surface (3 probes) — the battery's real weight
+    // is uncounted behavior: every off-key / conflicting-data ADD
+    // CONSTRAINT and every duplicate-key load is rejected HERE
+    // exactly where PG rejects it (the converted COPY loads fail
+    // against the registered arbiter, matching the .out), and DROP
+    // CONSTRAINT retires the arbiter so the follow-up loads apply
+    assert(ran >= 3, s"expected the constraint battery, got $ran")
+    // EXACT pin: 3/3
+    assert(ok >= 3, s"only $ok/$ran ran")
+  }
+
+  test("sequential replay of multi_alter_table_statements.sql — the " +
+      "ALTER TABLE battery over a file-loaded lineitem: ADD COLUMN " +
+      "(defaults, NOT NULL), ALTER COLUMN TYPE / SET-DROP DEFAULT / " +
+      "SET-DROP NOT NULL, DROP COLUMN + re-ADD, RENAME, count probes " +
+      "after every step value-checked; reloptions/pg_class catalog " +
+      "probes and worker reconnects are metadata scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val dataRoot = refDir.getParentFile
+    val tr: String => String = raw0 => {
+      val vars = collection.mutable.Map[String, String]()
+      """(?m)^\\set\s+(\w+)\s+:abs_srcdir\s+'([^']+)'\s*$""".r
+        .findAllMatchIn(raw0).foreach(m => vars(m.group(1)) = m.group(2))
+      // copy t [(cols)] FROM :'file_var' with (delimiter '|' ...) →
+      // INSERT from the shipped |-delimited TPC-H data file (the
+      // column-list form loads into a table widened by ADD COLUMN).
+      // The THIRD load violates a SET NOT NULL column and is the
+      // reference's own ERROR (multi_alter_table_statements.out:195)
+      // — PG loaded nothing, so the conversion drops it (the echo
+      // text differs from the converted INSERT, so the positional
+      // exclusion cannot catch it)
+      var copyOcc = -1
+      ("""(?im)^copy\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*FROM\s+""" +
+        """:'(\w+)'\s+with[^;\n]*;""").r.replaceAllIn(raw0, m => {
+        copyOcc += 1
+        if (copyOcc == 2) " " else {
+        val f = new java.io.File(dataRoot, vars.getOrElse(m.group(3), ""))
+        if (!f.isFile) " "
+        else {
+          val rows = scala.io.Source.fromFile(f, "ISO-8859-1")
+            .getLines().filter(_.trim.nonEmpty).map { ln =>
+              "(" + ln.split("\\|", -1).map(v =>
+                if (v.isEmpty) "NULL"
+                else "'" + v.replace("'", "''") + "'").mkString(", ") +
+                ")"
+            }.mkString(", ")
+          val colList = Option(m.group(2)).map(" " + _).getOrElse("")
+          java.util.regex.Matcher.quoteReplacement(
+            if (rows.isEmpty) " "
+            else s"INSERT INTO ${m.group(1)}$colList VALUES $rows;")
+        }
+      }})
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("pg_class") && !s.contains("reloptions") &&
+        !s.contains("pg_attribute") && !s.contains("pg_index") &&
+        !s.contains("pg_constraint") && !s.contains("pg_trigger") &&
+        !s.contains("information_schema") && !s.contains("$$") &&
+        !s.contains("attnum") && !s.contains("indexrelid") &&
+        !s.contains("lock_relation") && !s.contains("sequential") &&
+        // table_desc/index_attrs are pg_attribute catalog views;
+        // pg_typeof is type introspection; triggers and shard-
+        // suffixed relations are out-of-scope machinery
+        !s.contains("table_desc") && !s.contains("pg_typeof") &&
+        !s.contains("index_attrs") && !s.contains("pg_indexes") &&
+        !s.toLowerCase.contains("trigger") &&
+        !s.contains("lineitem_alter_22")
+    val (ok, ran) = replayFile("multi_alter_table_statements.sql",
+      "ATSFAIL", keep, new ReplayState, countDml = true,
+      transform = tr, valueCheck = keep)
+    info(s"multi_alter_table_statements.sql: $ok/$ran statements run " +
+      "(value-checked)")
+    // 12 countable probes around the ALTER/RENAME/default batteries
+    // (counts at 6000/12000/18000 track the accepted loads; the
+    // NOT-NULL-violating third load and the permission-battery DROP
+    // are the reference's own ERRORs). EXACT pin: 12/12
+    assert(ran >= 12, s"expected the ALTER battery, got $ran")
+    assert(ok >= 12, s"only $ok/$ran ran")
+  }
+
   test("sequential replay of binary_protocol.sql — the wire-format " +
       "round-trip battery: 30-column wide selects, composite / " +
       "nested-composite / domain-of-composite renders, arrays of " +
@@ -8694,8 +9017,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
       valueCheck = keep)
     info(s"pg12.sql: $ok/$ran statements run (value-checked)")
     assert(ran >= 20, s"expected the PG12 battery, got $ran")
-    // EXACT pin: 23/23 as of r10 — ledger drift fails the build
-    assert(ok >= 23, s"only ${ok}/${ran} ran — a statement regressed")
+    // EXACT pin: 22/22 (late r10: the post-COPY-WHERE `select sum`
+    // carries ERROR in the reference .out — a psql artifact of the
+    // rejected COPY eating its data lines as commands — and the
+    // hardened scanners now attribute it correctly, so it excludes
+    // positionally like any reference-rejected statement)
+    assert(ok >= 22, s"only ${ok}/${ran} ran — a statement regressed")
   }
 
   test("sequential replay of pg15.sql — the PG15 feature battery: " +
