@@ -163,20 +163,29 @@ object SetOpQueries extends QueryModule {
       ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey"""))
 
   /** `FETCH FIRST n ROWS WITH TIES` (PG 13+; reference inherits it):
-    * neither Spark nor DuckDB has WITH TIES, so the engine rewrites to
-    * rank() <= n — rank (unlike row_number) admits the tied tail,
-    * which is exactly the WITH TIES contract. Oracle uses DuckDB's
-    * QUALIFY form of the same rank filter. */
+    * neither Spark nor DuckDB has WITH TIES. The scale-safe plan is
+    * threshold-then-filter, NOT a global rank() window (an
+    * unpartitioned WindowExec funnels every row through one task at
+    * 100 TB): pass 1 finds the n-th boundary key with a distributed
+    * partial top-k (`orderBy().limit(n)` → TakeOrderedAndProject,
+    * each task keeps ≤n rows); pass 2 is a distributed
+    * `filter(key <= boundary)` with the 1-row boundary broadcast —
+    * ties of the boundary row are admitted by construction, which is
+    * exactly the WITH TIES contract. Fewer than n input rows → the
+    * boundary is the global max → the filter admits everything,
+    * matching PG. Oracle uses DuckDB's QUALIFY rank() form of the
+    * same contract. */
   private val fetchWithTies = GraftQuery(
     "sort_fetch_with_ties",
     (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_orderpriority"))
-      t(s, dir, "orders")
+      val base = t(s, dir, "orders")
         .filter(col("o_orderkey") < 500)
         .select(col("o_orderkey"), col("o_orderpriority"))
-        .withColumn("__rk", rank().over(w))
-        .filter(col("__rk") <= 10).drop("__rk")
+      val boundary = base.orderBy(col("o_orderpriority")).limit(10)
+        .agg(max(col("o_orderpriority")).as("__wt_th"))
+      base.crossJoin(broadcast(boundary))
+        .filter(col("o_orderpriority") <= col("__wt_th"))
+        .drop("__wt_th")
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
     },
     Some("""SELECT o_orderkey, o_orderpriority FROM orders

@@ -1495,11 +1495,13 @@ object PgDialect {
     sql1 = ("""(?is)\bjsonb_path_exists\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)""" +
       """\s*,\s*'\s*\$\s*\.\s*\*\*\s*\.\s*"([^"]+)"\s*'\s*\)""").r
       .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
-        s"(__jsonb_descend(${m.group(1)}, '${m.group(2)}') IS NOT NULL)"))
+        s"(__jsonb_descend(${m.group(1)}, " +
+          s"'${m.group(2).replace("'", "''")}') IS NOT NULL)"))
     sql1 = ("""(?is)\bjsonb_path_query_first\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)""" +
       """\s*,\s*'\s*\$\s*\.\s*\*\*\s*\.\s*"([^"]+)"\s*'\s*\)""").r
       .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
-        s"__jsonb_descend(${m.group(1)}, '${m.group(2)}')"))
+        s"__jsonb_descend(${m.group(1)}, " +
+          s"'${m.group(2).replace("'", "''")}')"))
     // JSON_EXISTS / jsonb_path_exists(x, 'p') → path-hit test
     sql1 = """(?is)\b(?:JSON_EXISTS|jsonb_path_exists)\s*\(\s*((?:[^(),']|'[^']*'|\([^()]*\))+?)\s*,\s*'([^']*)'\s*\)""".r
       .replaceAllIn(sql1, m => {
@@ -1636,8 +1638,13 @@ object PgDialect {
         if (!p.contains(v)) m.matched
         else {
           val t = Option(m.group(5)).map(mapType).getOrElse("STRING")
-          val pieces = p.split(java.util.regex.Pattern.quote(v), -1)
-          val pathExpr = "concat(" + pieces.map(pc => s"'$pc'")
+          // word-boundary split: variable $i must not also split a
+          // longer $id occurrence; '' -double quotes embedded in the
+          // spliced pieces so the rebuilt literal stays well-formed
+          val pieces = p.split(
+            java.util.regex.Pattern.quote(v) + "(?!\\w)", -1)
+          val pathExpr = "concat(" +
+            pieces.map(pc => s"'${pc.replace("'", "''")}'")
             .mkString(s", CAST((${m.group(3)}) AS STRING), ") + ")"
           java.util.regex.Matcher.quoteReplacement(
             s"CAST(get_json_object(${m.group(1)}, $pathExpr) AS $t)")
@@ -1945,9 +1952,13 @@ object PgDialect {
     * built-in expressions, two-phase distributable like any min/max. */
   private val enumTypes = scala.collection.concurrent.TrieMap
     .empty[String, Seq[String]]
-  // column name → enum type (columns declared with an enum type)
+  // (table, column) → enum type. Keyed by OWNER TABLE, not bare
+  // column name (r10 ADVICE): a same-named non-enum column in any
+  // other table must keep its native min/max — a bare-name key
+  // rewrote it to array_position ordinals, where non-label values
+  // hit position 0 and element_at(arr, 0) throws.
   private val enumCols = scala.collection.concurrent.TrieMap
-    .empty[String, String]
+    .empty[(String, String), String]
 
   def registerEnum(name: String, labels: Seq[String]): Unit =
     enumTypes.put(
@@ -1956,26 +1967,42 @@ object PgDialect {
   def enumLabels(name: String): Option[Seq[String]] =
     enumTypes.get(name.substring(name.lastIndexOf('.') + 1).toLowerCase)
 
-  def registerEnumColumn(col: String, enumType: String): Unit =
+  def registerEnumColumn(table: String, col: String,
+      enumType: String): Unit =
     if (enumTypes.contains(enumType.toLowerCase))
-      enumCols.put(col.toLowerCase, enumType.toLowerCase)
+      enumCols.put((table.toLowerCase, col.toLowerCase),
+        enumType.toLowerCase)
 
   private def rewriteEnumMinMax(sql: String): String = {
     if (enumCols.isEmpty) return sql
     """(?i)\b(min|max)\s*\(\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s*\)""".r
-      .replaceAllIn(sql, m =>
-        enumCols.get(m.group(3).toLowerCase)
-          .flatMap(enumTypes.get) match {
+      .replaceAllIn(sql, m => {
+        val colName = m.group(3).toLowerCase
+        // fire only when a registered owner table of this column is
+        // actually referenced by the statement (word match covers
+        // `FROM t`, `FROM t alias`, `schema.t`); otherwise the
+        // same-named column belongs to an unrelated table
+        val owner = enumCols.collectFirst {
+          case ((tbl, c), ty) if c == colName &&
+            ("""(?i)\b""" + java.util.regex.Pattern.quote(tbl) +
+              """\b""").r.findFirstIn(sql).isDefined => ty
+        }
+        owner.flatMap(enumTypes.get) match {
           case Some(labels) =>
             val arr = "array(" +
               labels.map(l => s"'${l.replace("'", "''")}'")
                 .mkString(", ") + ")"
+            // nullif guard: a non-label value folds to NULL (PG
+            // would have rejected it at insert) instead of
+            // element_at(arr, 0) throwing at runtime
             java.util.regex.Matcher.quoteReplacement(
               s"element_at($arr, CAST(${m.group(1).toLowerCase}(" +
-                s"array_position($arr, ${m.group(2)})) AS INT))")
+                s"nullif(array_position($arr, ${m.group(2)}), 0))" +
+                " AS INT))")
           case None =>
             java.util.regex.Matcher.quoteReplacement(m.matched)
-        })
+        }
+      })
   }
 
   /** Spans (start, end) of single-quoted literals in `s` — textual
@@ -3645,12 +3672,22 @@ object PgDialect {
     val re = ("""(?is)\bpercentile_cont\s*\(\s*""" +
       """((?:[^()']|\((?:[^()']|\([^()]*\))*\))+?)\s*\)\s*""" +
       """within\s+group\s*\(\s*order\s+by\s+""" +
-      """((?:[^()']|\((?:[^()']|\([^()]*\))*\))+?)\s*(?:asc\s*)?\)""").r
+      """((?:[^()']|\((?:[^()']|\([^()]*\))*\))+?)\s*(?:asc\s*)?\)""" +
+      """(\s*filter\s*\(\s*where\s+""" +
+      """((?:[^()']|'[^']*'|\((?:[^()']|\([^()]*\))*\))+?)\s*\))?""").r
     re.replaceAllIn(s0, m => {
       val frac = m.group(1).trim
       val noCasts = frac.replaceAll("::\\s*[\\w.]+", "")
+      // a FOLDABLE fraction must keep the native percentile_cont —
+      // strip every literal-only letter form (CAST(0.5 AS DOUBLE),
+      // 0.5e0 scientific notation) before the letter probe, so only
+      // genuine column references flag as group-key-dependent
+      val noFold = noCasts
+        .replaceAll("(?i)\\bCAST\\s*\\(", "(")
+        .replaceAll("(?i)\\s+AS\\s+[\\w.]+", "")
+        .replaceAll("(?i)(?<=[\\d.])e[+-]?\\d+", "")
       val keyDependent =
-        """[A-Za-z_]""".r.findFirstIn(noCasts).isDefined &&
+        """[A-Za-z_]""".r.findFirstIn(noFold).isDefined &&
           """(?i)\brandom|\brandn""".r.findFirstIn(frac).isEmpty &&
           """(?i)\bdesc\b""".r.findFirstIn(m.group(2)).isEmpty &&
           // the ARRAY-of-fractions form returns an array — not this
@@ -3658,8 +3695,17 @@ object PgDialect {
           """(?i)\barray\b|\[""".r.findFirstIn(frac).isEmpty
       if (!keyDependent) m.matched
       else {
-        val vs = s"sort_array(collect_list(" +
-          s"CAST((${m.group(2).trim}) AS DOUBLE)))"
+        // a trailing FILTER (WHERE p) is consumed by the match and
+        // pushed into the collected values (collect_list drops the
+        // CASE's NULLs — exactly PG's FILTER row exclusion); leaving
+        // it dangling after the CASE would be unparsable SQL
+        val collected = Option(m.group(4)) match {
+          case Some(pred) =>
+            s"CASE WHEN (${pred.trim}) THEN " +
+              s"CAST((${m.group(2).trim}) AS DOUBLE) END"
+          case None => s"CAST((${m.group(2).trim}) AS DOUBLE)"
+        }
+        val vs = s"sort_array(collect_list($collected))"
         val h = s"(($frac) * (size($vs) - 1))"
         val lo = s"element_at($vs, CAST(floor($h) AS INT) + 1)"
         val hi = s"element_at($vs, " +
@@ -3744,6 +3790,42 @@ object PgDialect {
           val n = if (m.group(3) == null || m.group(3).isEmpty) 1
             else m.group(3).toInt
           val head = t.substring(0, m.start).trim
+          // Scale-safe shape: a rank() window with no PARTITION BY
+          // funnels every row through ONE task — a non-starter at
+          // 100 TB. Bound the window's input first with
+          // threshold-then-filter: pass 1 finds the (o+n)-th
+          // boundary value of the FIRST sort key via a distributed
+          // partial top-k (`ORDER BY keys LIMIT o+n` →
+          // TakeOrderedAndProject) in an uncorrelated scalar
+          // subquery; pass 2 is a distributed pre-filter keeping
+          // only rows at-or-before that boundary on key1 — a
+          // superset of the answer (a row past the boundary on the
+          // primary key can neither rank within o+n nor tie the
+          // boundary row on the full key list). The exact PG
+          // contract (OFFSET skip, full-key ties, fewer-than-o+n →
+          // return all past the offset) is then applied by the
+          // rank/row_number machinery over the BOUNDED survivors.
+          // Null guards keep the pre-filter a superset under every
+          // ordering: boundary NULL (empty/short input) or NULLs
+          // present among the top o+n admit everything/null rows.
+          val k1raw = splitTopLevel(keys).head
+          val dirRe = """(?is)\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$""".r
+          val nullsRe = """(?is)\s+NULLS\s+(FIRST|LAST)\s*$""".r
+          val desc = dirRe.findFirstMatchIn(k1raw)
+            .exists(_.group(1).equalsIgnoreCase("DESC"))
+          val k1 = nullsRe.replaceAllIn(
+            dirRe.replaceAllIn(k1raw, ""), "").trim
+          val (bAgg, cmp) = if (desc) ("min", ">=") else ("max", "<=")
+          val cand =
+            s"SELECT ($k1) AS __wt_k FROM ($head) AS __wt_c " +
+            s"ORDER BY $keys LIMIT ${o + n}"
+          val small =
+            s"""SELECT * FROM ($head) AS __wt_p
+               |WHERE ($k1) $cmp (SELECT $bAgg(__wt_k) FROM ($cand))
+               |   OR ($k1) IS NULL
+               |   OR (SELECT $bAgg(__wt_k) FROM ($cand)) IS NULL
+               |   OR (SELECT max(CASE WHEN __wt_k IS NULL THEN 1
+               |         ELSE 0 END) FROM ($cand)) = 1""".stripMargin
           val q2 =
             s"""SELECT * FROM (
                |  SELECT *, max(CASE WHEN __wt_rn = ${o + n}
@@ -3751,7 +3833,7 @@ object PgDialect {
                |  FROM (
                |    SELECT __wt_q.*, rank() OVER (ORDER BY $keys) AS __wt_rk,
                |           row_number() OVER (ORDER BY $keys) AS __wt_rn
-               |    FROM ($head) AS __wt_q) AS __wt1) AS __wt2
+               |    FROM ($small) AS __wt_q) AS __wt1) AS __wt2
                |WHERE __wt_rn > $o
                |  AND __wt_rk <= coalesce(__wt_th, 2147483647)
                |ORDER BY $keys""".stripMargin

@@ -145,6 +145,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-25 must plan as TakeOrderedAndProject: $nodes")
   }
 
+  test("sort_fetch_with_ties: threshold-then-filter — NO " +
+      "unpartitioned WindowExec anywhere (a global rank() window " +
+      "funnels every row through one task at 100 TB); the boundary " +
+      "is a distributed partial top-k (TakeOrderedAndProject) " +
+      "broadcast into a distributed filter") {
+    val p = plan("sort_fetch_with_ties")
+    val nodes = collectAll(p).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.contains("Window")),
+      s"WITH TIES must not plan ANY window: $nodes")
+    assert(collectAll(p).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"boundary pass must be a distributed partial top-k: $nodes")
+    assert(nodes.exists(_.contains("BroadcastNestedLoopJoin")),
+      s"1-row boundary must broadcast into the filter pass: $nodes")
+  }
+
   test("columnar chunk filtering: a selective predicate READS fewer " +
       "parquet rows than the table holds — metrics-level proof of " +
       "row-group min/max skipping (reference: columnar.h:85-125 " +

@@ -87,7 +87,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
     "deallocate", "grant", "revoke", "comment", "vacuum", "analyze",
     "explain", "lock", "values", "table", "call", "do", "reindex",
     "cluster", "refresh", "show", "declare", "fetch", "close",
-    "checkpoint", "discard", "load", "(")
+    "checkpoint", "discard", "load", "listen", "notify", "unlisten",
+    "move", "import", "security", "(")
   private def looksLikeStmtStart(t: String): Boolean = {
     if (t.isEmpty) false
     else if (t.startsWith("(")) true
@@ -1931,6 +1932,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
     var txnSnapshot: Option[(
       Map[String, Option[org.apache.spark.sql.DataFrame]],
       Map[String, Seq[(String, String)]])] = None
+    // constraint/default registries snapshot taken at BEGIN: in PG
+    // ALL DDL inside a rolled-back OR aborted transaction rolls back,
+    // so uniques/pkeys/named constraints/column defaults registered
+    // inside it must not survive ROLLBACK or an aborted COMMIT
+    // (r10 ADVICE: the aborted-COMMIT branch previously kept them)
+    var txnConsSnapshot: Option[(
+      Map[String, Seq[Seq[String]]], Map[String, Seq[String]],
+      Map[(String, String), Seq[String]],
+      Map[(String, String), String])] = None
     // SAVEPOINT name → (data, schemas) snapshot, in creation order
     // (multi_subtransactions.sql); cleared at txn boundaries
     val savepoints = collection.mutable.LinkedHashMap[String, (
@@ -3805,18 +3815,35 @@ class ReferenceSqlSpec extends AnyFunSuite {
         case s if """(?is)^(BEGIN|START\s+TRANSACTION)\b""".r
             .findPrefixMatchOf(s).isDefined =>
           state.txnSnapshot = Some((state.data.toMap, schemas.toMap))
+          state.txnConsSnapshot = Some((state.uniques.toMap,
+            state.pkeys.toMap, state.namedCons.toMap,
+            state.colDefaults.toMap))
           state.txnFkCount = state.fkeys.length
           state.txnAborted = false
           state.savepoints.clear()
         case s if """(?is)^(COMMIT|END)\b""".r
             .findPrefixMatchOf(s).isDefined =>
-          if (state.txnAborted)
+          if (state.txnAborted) {
             state.txnSnapshot.foreach { case (dataSnap, schemaSnap) =>
               state.data.clear(); state.data ++= dataSnap
               schemas.clear(); schemas ++= schemaSnap
               dataSnap.keys.filter(schemas.contains).foreach(register)
             }
+            // DDL inside the aborted txn rolls back too — same
+            // cleanup as the ROLLBACK branch
+            if (state.txnFkCount >= 0 &&
+                state.fkeys.length > state.txnFkCount)
+              state.fkeys.remove(state.txnFkCount,
+                state.fkeys.length - state.txnFkCount)
+            state.txnConsSnapshot.foreach { case (u, p, nc, cd) =>
+              state.uniques.clear(); state.uniques ++= u
+              state.pkeys.clear(); state.pkeys ++= p
+              state.namedCons.clear(); state.namedCons ++= nc
+              state.colDefaults.clear(); state.colDefaults ++= cd
+            }
+          }
           state.txnSnapshot = None
+          state.txnConsSnapshot = None
           state.txnFkCount = -1
           state.txnAborted = false
           state.savepoints.clear()
@@ -3834,7 +3861,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
           if (state.txnFkCount >= 0 && state.fkeys.length > state.txnFkCount)
             state.fkeys.remove(state.txnFkCount,
               state.fkeys.length - state.txnFkCount)
+          state.txnConsSnapshot.foreach { case (u, p, nc, cd) =>
+            state.uniques.clear(); state.uniques ++= u
+            state.pkeys.clear(); state.pkeys ++= p
+            state.namedCons.clear(); state.namedCons ++= nc
+            state.colDefaults.clear(); state.colDefaults ++= cd
+          }
           state.txnSnapshot = None
+          state.txnConsSnapshot = None
           state.txnFkCount = -1
           state.txnAborted = false
           state.savepoints.clear()
@@ -4389,7 +4423,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
               // min/max compile to declaration-order ordinals
               if (graft.sql.PgDialect.enumLabels(tyHead).isDefined)
                 graft.sql.PgDialect.registerEnumColumn(
-                  parts(0).toLowerCase, tyHead)
+                  base(strip(name)), parts(0).toLowerCase, tyHead)
               state.domainInfo.get(tyHead) match {
                 case Some((dBase, dDflt)) =>
                   state.domainCols(tyHead) =
