@@ -243,8 +243,23 @@ object TableFunctions {
             .map(mm => "SELECT " + mm.group(1).trim))
           .orElse(tailIntoRe.findFirstMatchIn(bodyClean)
             .map(_.group(1).trim))
-          .orElse(retExprRe.findFirstMatchIn(bodyClean)
-            .map(mm => "SELECT (" + mm.group(1).trim + ")"))
+          .orElse(retExprRe.findFirstMatchIn(bodyClean).map { mm =>
+            var e = mm.group(1).trim
+            // PG `/` between integers TRUNCATES (plpgsql
+            // `theValue * 3 / 2 + 1`, multi_schema_support.sql's
+            // dummyFunction): when every declared parameter is
+            // integer-typed and the expression is pure integer
+            // arithmetic, compile `/` to Spark's integral `div`
+            val ps = splitTop(paramText)
+            val intParams = ps.nonEmpty && ps.forall(p =>
+              """(?i)\b(int(eger|[248])?|smallint|bigint|serial)\b""".r
+                .findFirstIn(p).isDefined)
+            if (intParams && e.contains("/") && !e.contains(".") &&
+                """^[A-Za-z0-9_\s+\-*/%()]*$""".r.findFirstIn(e)
+                  .contains(e))
+              e = e.replace("/", " div ")
+            "SELECT (" + e + ")"
+          })
           .getOrElse(return false)
       }
 
