@@ -193,7 +193,37 @@ object SetOpQueries extends QueryModule {
       QUALIFY RANK() OVER (ORDER BY o_orderpriority) <= 10
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** `OFFSET o FETCH FIRST n ROWS WITH TIES` through the DIALECT's
+    * threshold-then-filter path (pg13_with_ties.sql's shape): the
+    * boundary pre-filter bounds the rank window's input to
+    * O(answer) rows — the scale-safe plan — while the rank /
+    * row_number machinery applies PG's exact offset+ties contract.
+    * Output is the ORDER BY key alone so the result multiset is
+    * deterministic across tie-group cuts. DuckDB runs the rank
+    * cutoff contract explicitly. */
+  private val fetchTiesOffset = GraftQuery(
+    "sort_fetch_ties_offset",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT o_orderpriority FROM orders
+          WHERE o_orderkey < 300
+          ORDER BY o_orderpriority
+          OFFSET 3 FETCH FIRST 5 ROWS WITH TIES""")
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH ranked AS (
+        SELECT o_orderpriority,
+               rank() OVER (ORDER BY o_orderpriority) AS rk,
+               row_number() OVER (ORDER BY o_orderpriority) AS rn
+        FROM orders WHERE o_orderkey < 300)
+      SELECT o_orderpriority FROM ranked
+      WHERE rn > 3 AND rk <= coalesce(
+        (SELECT max(rk) FROM ranked WHERE rn = 8), 2147483647)
+      ORDER BY o_orderpriority"""))
+
   override val queries: Seq[GraftQuery] = Seq(
     unionAll, unionDistinct, intersectQ, exceptQ, exceptAll,
-    topK, limitOffset, nullsOrder, topKPerGroup, fetchWithTies)
+    topK, limitOffset, nullsOrder, topKPerGroup, fetchWithTies,
+    fetchTiesOffset)
 }

@@ -1934,6 +1934,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // single-schema files use (where both are equivalent).
     var schemaAware = false
     var searchPath: Seq[String] = Seq("public")
+    // live view names (flat keys) so schema-aware bare-reference
+    // resolution can see views as well as tables
+    val viewNames = collection.mutable.Set[String]()
     // flat table key → the spelling the .out key normal form uses
     // (qualifier-stripped original, quotes kept) so pgRejected /
     // golden lookups still align with the .out scanners
@@ -2090,7 +2093,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // that this engine supports what the reference refuses
       // (subqueries_not_supported.sql); DML negative tests stay
       // excluded so rejected mutations never corrupt replay state
-      runPgErrors: Boolean = false): (Int, Int) = {
+      runPgErrors: Boolean = false,
+      // count CREATE [MATERIALIZED] VIEW statements as surface (the
+      // view-propagation corpus IS view DDL): ok requires the
+      // registered view to actually be queryable afterwards
+      countViews: Boolean = false): (Int, Int) = {
     state.beginReplay()
     val seedSchemas: Set[String] =
       if (state.schemaAware) Set("public") else Set.empty
@@ -2318,7 +2325,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
     }
     def registered(k: String): Boolean =
       schemas.contains(k) || data.contains(k) ||
-        state.sequences.contains(k)
+        state.sequences.contains(k) || state.viewNames.contains(k)
     /** Split a possibly-quoted qualified name on its dot. */
     def splitQName(n: String): Seq[String] = {
       val qtok = """("(?:[^"]|"")+"|[A-Za-z_]\w*)"""
@@ -2345,13 +2352,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
         else f
       case Seq(t) =>
         val bare = sanitizeIdent(unquoteIdent(t))
-        if (registered(bare) || bare.contains("__")) bare
+        // PG precedence: the FIRST search_path schema owning the name
+        // wins — a same-named public table must NOT shadow it when
+        // public is not on the path (multi_mx_schema_support's two
+        // nation_hash tables); already-flat keys pass through
+        if (bare.contains("__")) bare
         else state.searchPath.iterator
           .map(sc => if (sanitizeIdent(sc) == "public") bare
             else sanitizeIdent(sc) + "__" + bare)
           .find(registered) match {
             case Some(f) =>
-              state.flatToKey.getOrElseUpdate(f, t); f
+              if (f != bare) state.flatToKey.getOrElseUpdate(f, t)
+              f
+            case None if registered(bare) => bare // lenient fallback
             case None =>
               val sc0 = state.searchPath.headOption.getOrElse("public")
               if (sanitizeIdent(sc0) == "public") bare
@@ -2389,8 +2402,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }
       // pass A: DDL object positions
       var s = s0
-      val createHead = ("""(?is)^(\s*CREATE\s+(?:TEMP(?:ORARY)?\s+|""" +
-        """UNLOGGED\s+)?(?:TABLE|SEQUENCE)\s+(?:IF\s+NOT\s+EXISTS\s+)?)""" +
+      val createHead = ("""(?is)^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?""" +
+        """(?:TEMP(?:ORARY)?\s+|UNLOGGED\s+|MATERIALIZED\s+)?""" +
+        """(?:TABLE|SEQUENCE|VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?)""" +
         qname).r
       s = createHead.replaceAllIn(s, m =>
         java.util.regex.Matcher.quoteReplacement(
@@ -2406,6 +2420,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
           m.group(1) + resolveName(m.matched.substring(m.group(1).length))))
       val listHead =
         ("""(?is)^(\s*(?:DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?|""" +
+          """DROP\s+(?:MATERIALIZED\s+)?VIEW\s+(?:IF\s+EXISTS\s+)?|""" +
           """TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?))(.+?)""" +
           """(\s+(?:CASCADE|RESTRICT))?\s*;?\s*$""").r
       s = listHead.replaceAllIn(s, m =>
@@ -2474,23 +2489,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 } else sb.append(tok2) // function/type/collation ref
                 i = end2
               case _ =>
-                // bare ref: lookup-only through searchPath
+                // bare ref: lookup through searchPath IN ORDER — PG
+                // precedence, so a same-named public table only wins
+                // when public precedes the owning schema on the path
                 val bare = sanitizeIdent(unquoteIdent(tok))
-                val hit =
-                  if (registered(bare)) None // public/flat — leave
-                  else state.searchPath.iterator
-                    .filter(sc => sanitizeIdent(sc) != "public")
-                    .map(sc => sanitizeIdent(sc) + "__" + bare)
-                    .find(registered)
+                val hit = state.searchPath.iterator
+                  .map(sc => if (sanitizeIdent(sc) == "public") bare
+                    else sanitizeIdent(sc) + "__" + bare)
+                  .find(registered)
                 hit match {
-                  case Some(flat) =>
+                  case Some(flat) if flat != bare =>
                     state.flatToKey.getOrElseUpdate(flat, tok)
                     sb.append(flat)
-                  case None =>
-                    if (tok.startsWith("\"") && registered(bare)) {
-                      state.flatToKey.getOrElseUpdate(bare, tok)
-                      sb.append(bare) // quoted public table
-                    } else sb.append(tok)
+                  case Some(_) if tok.startsWith("\"") =>
+                    state.flatToKey.getOrElseUpdate(bare, tok)
+                    sb.append(bare) // quoted public table
+                  case _ => sb.append(tok)
                 }
                 i = end
             }
@@ -3706,9 +3720,21 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }
       // registered sequences: nextval/currval splice their values (one
       // value per occurrence — exact for the corpora's single-row use)
-      """(?is)^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)""".r
+      ("""(?is)^CREATE\s+(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+""" +
+        """(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w.]*)""").r
         .findFirstMatchIn(stmt)
-        .foreach(m2 => state.sequences(strip(m2.group(1))) = 0L)
+        .foreach { m2 =>
+          val sq = strip(m2.group(1))
+          state.sequences(sq) = 0L
+          // schema-aware corpora read the sequence RELATION
+          // (view_propagation.sql's seq_view_prop selects is_called):
+          // model PG's 1-row sequence tuple pre-first-nextval
+          if (state.schemaAware)
+            try spark.sql("SELECT CAST(1 AS BIGINT) AS last_value, " +
+              "CAST(0 AS BIGINT) AS log_cnt, false AS is_called")
+              .createOrReplaceTempView(sq)
+            catch { case _: Throwable => () }
+        }
       // a PG-REJECTED statement must keep its ORIGINAL text: splicing
       // a sequence value first would both advance the counter and
       // break the positional .out-ERROR match that excludes it
@@ -3886,8 +3912,18 @@ class ReferenceSqlSpec extends AnyFunSuite {
           }
           if (us.nonEmpty) state.uniques(tn) = us.toSeq
         }
-      """(?is)^CREATE\s+UNIQUE\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?[\w"]+\s+ON\s+(?:ONLY\s+)?([A-Za-z_][\w.]*)\s*(?:USING\s+\w+\s*)?\(([^)]*)\)""".r
-        .findFirstMatchIn(stmt).foreach { m =>
+      ("""(?is)^CREATE\s+UNIQUE\s+INDEX\s+(?:CONCURRENTLY\s+)?""" +
+        """(?:IF\s+NOT\s+EXISTS\s+)?(?:[\w"]+\s+)?ON\s+(?:ONLY\s+)?""" +
+        """([A-Za-z_][\w.]*)\s*(?:USING\s+\w+\s*)?\(([^)]*)\)""" +
+        """(\s*WHERE\b)?""").r
+        .findFirstMatchIn(stmt)
+        // a CREATE the reference itself rejected (CONCURRENTLY leaves
+        // an INVALID index on columnar — columnar_indexes.sql) must
+        // not arbitrate; a PARTIAL unique (trailing WHERE) protects
+        // only its predicate interval — not modeled, its violation
+        // statements are .out-ERRORs and already excluded
+        .filter(m => !pgRejected(stmt) && m.group(3) == null)
+        .foreach { m =>
           val tn = strip(m.group(1))
           val cols = m.group(2).split(",").map(_.trim.toLowerCase).toSeq
           // expression indexes (parens/functions in the column list)
@@ -4052,6 +4088,42 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 .getOrElse(tn, Seq.empty).filterNot(_ == cols)
               if (state.pkeys.get(tn).contains(cols))
                 state.pkeys.remove(tn)
+            }
+            // PG AUTO-NAMED constraints (`<table>_pkey`,
+            // `<table>_<col>_key`) retire by name convention — the
+            // schema-aware flat key's BARE part names them
+            // (columnar_indexes.sql drops columnar_table_pkey)
+            val bare = tn.substring(tn.lastIndexOf("__") match {
+              case -1 => 0; case ix => ix + 2 })
+            if (nm == bare + "_pkey")
+              state.pkeys.remove(tn).foreach { cols =>
+                state.uniques(tn) = state.uniques
+                  .getOrElse(tn, Seq.empty).filterNot(_ == cols)
+              }
+            state.uniques.get(tn).foreach { us =>
+              val kept = us.filterNot(cols => cols.size == 1 &&
+                nm == s"${bare}_${cols.head}_key")
+              if (kept != us) state.uniques(tn) = kept
+            }
+          }
+        // DROP INDEX retires the auto-named unique it backed
+        // (`<table>_<col>_idx` — columnar_indexes.sql's battery
+        // alternates CREATE UNIQUE INDEX / DROP INDEX around
+        // duplicate loads)
+        ("""(?is)^DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?""" +
+          """(?:IF\s+EXISTS\s+)?([\w.]+)""").r
+          .findFirstMatchIn(stmt).foreach { m =>
+            // index names are their own namespace — resolve by text,
+            // not through table resolution
+            val nm = m.group(1)
+              .substring(m.group(1).lastIndexOf('.') + 1).toLowerCase
+            state.uniques.keys.toSeq.foreach { tn =>
+              val bare = tn.substring(tn.lastIndexOf("__") match {
+                case -1 => 0; case ix => ix + 2 })
+              val kept = state.uniques(tn).filterNot(cols =>
+                cols.size == 1 && (nm == s"${bare}_${cols.head}_idx" ||
+                  nm == s"${bare}_${cols.head}_key"))
+              if (kept != state.uniques(tn)) state.uniques(tn) = kept
             }
           }
       }
@@ -4755,12 +4827,17 @@ class ReferenceSqlSpec extends AnyFunSuite {
             .findFirstMatchIn(s).foreach { m =>
               val cols = Option(m.group(2))
               state.matviews(strip(m.group(1))) = (m.group(3), cols)
+              state.viewNames += strip(m.group(1))
+              val vCounted = countViews && countable && keep(s) &&
+                !pgRejected(s)
+              if (vCounted) ran += 1
               try {
                 var df = PgDialect.sql(spark, m.group(3))
                 cols.foreach(cs =>
                   df = df.toDF(cs.split(",").map(_.trim): _*))
                 df.localCheckpoint(true)
                   .createOrReplaceTempView(strip(m.group(1)))
+                if (vCounted) ok += 1
               } catch { case e: Throwable => dbgFail(s, e) }
             }
         case s if """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\b""".r
@@ -4778,19 +4855,33 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   } catch { case _: Throwable => () }
               }
             }
-        case viewRe(name, body) =>
+        case viewRe(name, body0) =>
           // register from TEXT so the view re-resolves per use (PG
           // views are LIVE over their base tables — a Dataset-based
           // temp view would freeze the base snapshot at creation,
           // pgmerge.sql:826's `v` must see later sq_source inserts);
           // dialect shapes that need runtime fallbacks keep the
-          // snapshot path
+          // snapshot path. WITH [LOCAL|CASCADED] CHECK OPTION is an
+          // update-path constraint — no read-side meaning here
+          val body = body0.replaceAll(
+            "(?is)\\s+WITH\\s+(?:LOCAL\\s+|CASCADED\\s+)?CHECK\\s+OPTION\\s*$", "")
+          state.viewNames += strip(name)
+          val vCounted = countViews && countable && keep(stmt) &&
+            !pgRejected(stmt)
+          if (vCounted) ran += 1
           try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
             s"${strip(name)} AS ${PgDialect.translate(body)}")
           catch { case _: Throwable =>
             try PgDialect.sql(spark, body)
               .createOrReplaceTempView(strip(name))
             catch { case _: Throwable => () }
+          }
+          if (vCounted) {
+            // surface check: the registered view must be queryable
+            try {
+              spark.sql(s"SELECT * FROM ${strip(name)} LIMIT 1").collect()
+              ok += 1
+            } catch { case e: Throwable => dbgFail(stmt, e) }
           }
         // INSERT .. SELECT <explain-json helper>($$query$$): the
         // plpgsql fixture wraps EXPLAIN (ANALYZE, WAL, FORMAT JSON)
@@ -4896,6 +4987,21 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 if (schemas.contains(n)) { data(n) = None; register(n) }
             }
           }
+        // DROP VIEW (schema-aware): retire the live temp view and its
+        // registry entries so later same-name resolution misses
+        case s if state.schemaAware &&
+            """(?is)^DROP\s+(?:MATERIALIZED\s+)?VIEW\b""".r
+              .findPrefixMatchOf(s).isDefined && !pgRejected(s) =>
+          ("""(?is)^DROP\s+(?:MATERIALIZED\s+)?VIEW\s+""" +
+            """(?:IF\s+EXISTS\s+)?(.+?)(?:\s+CASCADE|\s+RESTRICT)?""" +
+            """\s*;?\s*$""").r.findFirstMatchIn(s).foreach { m =>
+            splitTop(m.group(1)).map(strip).foreach { v =>
+              state.viewNames -= v
+              state.matviews.remove(v)
+              try spark.catalog.dropTempView(v)
+              catch { case _: Throwable => () }
+            }
+          }
         // ALTER SCHEMA .. RENAME TO: every member table's flat key
         // moves to the new schema prefix (PG renames the namespace,
         // members follow — the foo→bar battery reads bar.test after)
@@ -4976,6 +5082,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
                         .filter(_.startsWith(p)).foreach(dropTable)
                       state.sequences.keys.toSeq.filter(_.startsWith(p))
                         .foreach(state.sequences.remove)
+                      state.viewNames.toSeq.filter(_.startsWith(p))
+                        .foreach { v =>
+                          state.viewNames -= v
+                          state.matviews.remove(v)
+                          try spark.catalog.dropTempView(v)
+                          catch { case _: Throwable => () }
+                        }
                     }
                   }
                   state.schemaTables.remove(sc)
@@ -10027,6 +10140,242 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok >= 39, s"only $ok/$ran ran — a statement regressed")
   }
 
+  test("sequential replay of view_propagation.sql — views over " +
+      "distributed/reference/local tables on the live text-view " +
+      "machinery under schema-aware resolution: views created bare " +
+      "under a search_path, cross-schema view bodies, CREATE OR " +
+      "REPLACE re-registration, WITH RECURSIVE view bodies, DROP " +
+      "VIEW retiring resolution, and DML visible through live views " +
+      "(reference: src/test/regress/sql/view_propagation.sql)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("pg_views") &&
+        !s.contains("pg_class") && !s.contains("reloptions") &&
+        !s.contains("pg_stat_activity") &&
+        !s.contains("start_metadata") && !s.contains("worker_") &&
+        !s.contains("current_setting") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("alter_table_set_access_method") &&
+        !s.contains("information_schema")
+    val st = new ReplayState
+    st.schemaAware = true
+    val (ok, ran) = replayFile("view_propagation.sql", "VIEWPROPFAIL",
+      keep, st, countDml = true, valueCheck = keep,
+      countViews = true)
+    info(s"view_propagation.sql: $ok/$ran statements run " +
+      "(CREATE VIEW surface counted + probed; live text views, " +
+      "schema-aware)")
+    // EXACT pin: 52/52 as of r11 — ledger drift fails the build
+    assert(ran >= 30, s"expected the view battery, got $ran")
+    assert(ok >= 52, s"only $ok/$ran ran — a statement regressed")
+  }
+
+  test("sequential replay of fkeys_between_local_ref.sql — the " +
+      "query-shaped half of the local↔reference↔distributed FK-graph " +
+      "battery on the r9-r11 FK machinery: FK graphs across table " +
+      "types, cascading deletes through multi-edge graphs, " +
+      "generate_series loads, and the in-txn count probes; table-" +
+      "conversion bookkeeping (create_reference_table/undistribute " +
+      "cycles, pg_dist metadata probes) is n/a by scope") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("pg_tables") &&
+        !s.contains("current_setting") && !s.contains("worker_") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("logicalrelid") &&
+        !s.contains("information_schema")
+    val st = new ReplayState
+    st.schemaAware = true
+    val (ok, ran) = replayFile("fkeys_between_local_ref.sql",
+      "FKLRFAIL", keep, st, countDml = true, valueCheck = keep)
+    info(s"fkeys_between_local_ref.sql: $ok/$ran statements run " +
+      "(value-checked; schema-aware)")
+    // EXACT pin: 10/10 as of r11 — ledger drift fails the build
+    assert(ran >= 8, s"expected the FK-graph battery, got $ran")
+    assert(ok >= 10, s"only $ok/$ran ran — a statement regressed")
+  }
+
+  test("columnar_indexes.sql — the index-path battery closed at " +
+      "plan level, two passes like columnar_paths: (1) the " +
+      "query-shaped surface (point/range/OR lookups, partial-index " +
+      "uniqueness batteries, pkey/hash probes, EXPLAIN'd queries " +
+      "unwrapped) executes and VALUE-checks against live state — " +
+      "index DDL itself is n/a for a parquet engine (CONCURRENTLY " +
+      "failure modes, REINDEX, CLUSTER, fillfactor sizes are " +
+      "btree-internal); (2) the property an index protects at " +
+      "scale — the lookup predicate reaching the scan as " +
+      "PushedFilters with pruned ReadSchema — is pinned per lookup " +
+      "shape from the file over a parquet copy of its fixture") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val tr: String => String = raw => {
+      // EXPLAIN without ANALYZE does NOT execute: an EXPLAIN'd DML
+      // must DROP (unwrapping it would double-apply the mutation);
+      // an EXPLAIN'd query unwraps to the query itself
+      var s = ("""(?is)\bEXPLAIN\s*\(COSTS\s+OFF\)\s*""" +
+        """(?:INSERT|UPDATE|DELETE|MERGE)[^;]*;""").r
+        .replaceAllIn(raw, " ")
+      s = """(?is)\bEXPLAIN\s*\(COSTS\s+OFF\)\s*""".r
+        .replaceAllIn(s, "")
+      s = s.replaceAll("(?i)\\s+USING\\s+columnar\\b", "")
+      s
+    }
+    val keep: String => Boolean = s =>
+      !s.contains("citus_") && !s.contains("pg_catalog") &&
+        !s.contains("pg_index") && !s.contains("pg_total_relation_size") &&
+        !s.contains("columnar_test_helpers") &&
+        !s.contains("columnar_internal") &&
+        !s.contains("pg_class") && !s.contains("pg_am") &&
+        // columnar storage internals (stripe metadata) and the
+        // geometric-type index batteries (box/point/circle/gist/
+        // exclusion constraints) are out of scope for a parquet
+        // engine — PG geo types have no Spark analogue
+        !s.contains("columnar.stripe") && !s.contains("get_storage_id") &&
+        !s.contains("exclusion_test") && !s.contains("gist_point_tbl") &&
+        !s.contains("box_temp") && !s.contains("mixed_data_types") &&
+        !s.toLowerCase.startsWith("analyze") &&
+        !s.toLowerCase.startsWith("vacuum")
+    val st = new ReplayState
+    st.schemaAware = true
+    val (ok, ran) = replayFile("columnar_indexes.sql", "CIDXFAIL",
+      keep, st, countDml = true, transform = tr, valueCheck = keep)
+    info(s"columnar_indexes.sql: $ok/$ran statements run " +
+      "(value-checked; index DDL n/a)")
+    // EXACT pin: 72/72 as of r11 — ledger drift fails the build
+    assert(ran >= 15, s"expected the index-path battery, got $ran")
+    assert(ok >= 72, s"only $ok/$ran ran — a statement regressed")
+    // ---- pass 2: the scale property the index paths protect
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cidx").toString
+    spark.range(1, 160001)
+      .select(col("id").cast("int").as("a"),
+        (col("id") * 2).cast("int").as("b"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("cidx_fixture")
+    val lookups = Seq(
+      "SELECT a FROM cidx_fixture WHERE a = 16050",
+      "SELECT b FROM cidx_fixture WHERE a = 6456",
+      "SELECT SUM(b) FROM cidx_fixture WHERE a > 700 AND a < 965",
+      "SELECT b FROM cidx_fixture WHERE b = 30001",
+      "SELECT b FROM cidx_fixture WHERE a = 150000",
+      "SELECT SUM(a) FROM cidx_fixture WHERE a < 25000",
+      "SELECT SUM(a) FROM cidx_fixture WHERE a = 16000 OR a = 151000",
+      "SELECT SUM(a) FROM cidx_fixture WHERE a = 16000 OR a = 32000",
+      "SELECT SUM(a) FROM cidx_fixture WHERE b = 7000")
+    var pins = 0
+    lookups.foreach { q =>
+      val rep = graft.plans.PlanChecks
+        .explainReport(spark.sql(q)).collect()
+      val scans = rep.filter(_.getString(1) == "scan")
+      assert(scans.nonEmpty, s"no scan in plan for: $q")
+      scans.foreach { r =>
+        val detail = r.getString(3)
+        assert(!detail.contains("pushed=[]"),
+          s"lookup predicate did not push into the scan for: $q — $detail")
+        val readCols = detail.replaceAll(".*schema=", "")
+          .replaceAll(" .*", "").split(",").toSet
+        val refd = Set("a", "b").filter(c =>
+          ("""\b""" + c + """\b""").r.findFirstIn(q).isDefined)
+        assert(readCols.subsetOf(refd),
+          s"scan reads ${readCols.mkString(",")} but query " +
+            s"references only ${refd.mkString(",")}: $q")
+      }
+      pins += 1
+    }
+    info(s"columnar_indexes.sql: $pins/${lookups.size} lookup shapes " +
+      "pin PushedFilters + pruned ReadSchema over parquet")
+  }
+
+  test("sequential replay of multi_mx_schema_support.sql — the MX " +
+      "(worker-side) mirror of the multi-schema battery over the " +
+      "multi_mx_create_table.sql fixtures: schema-qualified + " +
+      "search_path-resolved reads from a worker, cross-schema " +
+      "repartition joins over three same-named nation_hash tables, " +
+      "schema-scoped UDFs/operators/collations/composite types, and " +
+      "ALTER TABLE SET SCHEMA on live state") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val st = new ReplayState
+    st.schemaAware = true
+    // stage 1: the fixture file (DDL + in-file COPY loads) builds
+    // shared state; nothing counts
+    replayFile("multi_mx_create_table.sql", "MXCTFIX", _ => false, st)
+    // stage 2: the nation.data loads multi_mx_copy_data.sql issues
+    // through psql \set indirection (client-side \copy from the
+    // shipped data file) — spliced as direct COPY..FROM STDIN blocks
+    val nationData = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(refDir.getParentFile,
+        "data/nation.data").toPath)).trim
+    val loads = Seq("nation_hash", "citus_mx_test_schema.nation_hash",
+      "citus_mx_test_schema_join_1.nation_hash",
+      "citus_mx_test_schema_join_1.nation_hash_2",
+      "citus_mx_test_schema_join_2.nation_hash")
+      .map(t => s"COPY $t FROM STDIN with delimiter '|';\n" +
+        nationData + "\n\\.")
+      .mkString("\nSET search_path TO public;\n", "\n", "\n")
+    val tr: String => String = raw => loads + raw
+      .replace("OPERATOR(citus_mx_test_schema.===)", "=")
+      .replace("OPERATOR(===)", "=")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        // the fixture SCHEMAS are named citus_mx_test_schema* — only
+        // exclude the citus_ UDF/metadata surface
+        !s.replace("citus_mx_test_schema", "").contains("citus_") &&
+        !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("pg_namespace") &&
+        !s.contains("nspacl") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("server_version") &&
+        !s.contains("information_schema") &&
+        !s.contains("pg_total_relation_size") &&
+        !s.contains("start_metadata") && !s.contains("stop_metadata")
+    val (ok, ran) = replayFile("multi_mx_schema_support.sql",
+      "MXSCHFAIL", keep, st, countDml = true, transform = tr,
+      valueCheck = keep)
+    info(s"multi_mx_schema_support.sql: $ok/$ran statements run " +
+      "(value-checked; worker-side schema battery)")
+    // EXACT pin: 29/29 as of r11 — ledger drift fails the build
+    assert(ran >= 25, s"expected the mx schema battery, got $ran")
+    assert(ok >= 29, s"only $ok/$ran ran — a statement regressed")
+  }
+
+  test("sequential replay of drop_column_partitioned_table.sql — " +
+      "prepared INSERT/SELECT batteries over a RANGE-partitioned " +
+      "table whose columns are dropped between partition attaches " +
+      "(PREPARE plans must survive the shape change), partition-" +
+      "routed point reads, and the UNION-over-partitions count; " +
+      "shard-id/EXPLAIN plumbing is n/a") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("EXPLAIN") &&
+        !s.contains("get_shard_id") && !s.contains("explain_has") &&
+        !s.contains("alter_table_set_access_method") &&
+        !s.contains("column_to_column_name") &&
+        !s.contains("alter_distributed_table")
+    val st = new ReplayState
+    st.schemaAware = true
+    val (ok, ran) = replayFile("drop_column_partitioned_table.sql",
+      "DROPCOLFAIL", keep, st, countDml = true, valueCheck = keep)
+    info(s"drop_column_partitioned_table.sql: $ok/$ran statements " +
+      "run (value-checked; schema-aware)")
+    // EXACT pin: 15/15 as of r11 (the 14 prepared point-count probes
+    // + the UNION-over-partitions count) — ledger drift fails
+    assert(ran >= 15, s"expected the prepared battery, got $ran")
+    assert(ok >= 15, s"only $ok/$ran ran — a statement regressed")
+  }
+
   test("schema-aware scratch repro (env-gated dev harness)") {
     assume(sys.env.contains("SPARK_GRAFT_SCHEMA_DBG"))
     val mini =
@@ -10048,6 +10397,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         |SELECT * FROM test_schema_support.nation_hash WHERE n_nationkey = 6;
         |SET search_path TO test_schema_support;
         |SELECT count(*) FROM nation_hash;
+        |SET search_path TO public;
+        |DELETE from test_schema_support.nation_hash where n_nationkey = 100;
+        |INSERT INTO test_schema_support.nation_hash(n_nationkey, n_name, n_regionkey) VALUES (100, 'TURKEY', 3);
+        |SELECT count(*) FROM test_schema_support.nation_hash;
         |""".stripMargin
     val st = new ReplayState
     st.schemaAware = true
