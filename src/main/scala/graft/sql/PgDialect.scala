@@ -146,8 +146,8 @@ object PgDialect {
     // operand; each loop pass then peels exactly one cast off the
     // chain, left to right
     val castRe =
-      (s"""(?<![:\\w])(('[^']*')|("[^"]*")|([A-Za-z_][A-Za-z0-9_.]*\\($nested\\))|(\\($nested\\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\\.[0-9]+)?))""" +
-        """\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)""").r
+      (s"""(?<![:\\w])(('[^']*')|("[^"]*")|(`[^`]*`)|([A-Za-z_][A-Za-z0-9_.]*\\($nested\\))|(\\($nested\\))|([A-Za-z_][A-Za-z0-9_.]*)|([0-9]+(\\.[0-9]+)?))""" +
+        """\s*::\s*([A-Za-z_][A-Za-z0-9_]*(\s*\(\s*[0-9]+(\s*,\s*[0-9]+)?\s*\))?)(\s*\[\s*\])?""").r
     var out = sql
     // literal '...'::interval is Spark's INTERVAL literal syntax, not
     // a cast ('1 day'::interval series steps,
@@ -172,7 +172,7 @@ object PgDialect {
     while (changed) {
       val next = castRe.replaceAllIn(out, m => {
         val operand = m.group(1)
-        val rawT = m.group(9).trim.toLowerCase
+        val rawT = m.group(10).trim.toLowerCase
         java.util.regex.Matcher.quoteReplacement(
           if (rawT == "interval")
             // dynamic string→interval (the literal form became an
@@ -211,7 +211,12 @@ object PgDialect {
               // PG enum/domain/composite cast: no Spark type — the
               // value rides as-is ('buy'::order_side, (a,b)::xy)
               s"($operand)"
-            else s"CAST($operand AS ${mapType(m.group(9))})"
+            // `::type[]` array cast: elements cast through the base
+            // type (multi_function_evaluation.sql's
+            // array[timestamptz ..]::date[])
+            else if (m.group(13) != null)
+              s"CAST($operand AS ARRAY<${mapType(m.group(10))}>)"
+            else s"CAST($operand AS ${mapType(m.group(10))})"
           })
       })
       changed = next != out
@@ -1380,7 +1385,7 @@ object PgDialect {
     // PG array-literal strings in quantifier position
     // (`ANY ('{1,2,3}')`, optionally `::int[]`-cast) → array(...)
     val arrLitRe = ("""(?i)\b(ANY|ALL|SOME)\s*\(\s*__GRAFT_LIT_(\d+)__""" +
-      """\s*(?:::\s*\w+\s*\[\s*\])?\s*\)""").r
+      """\s*(?:::\s*(\w+)\s*\[\s*\])?\s*\)""").r
     val lit1 = arrLitRe.replaceAllIn(lit, m => {
       val raw = literals(m.group(2).toInt)
       val inner = raw.stripPrefix("'").stripSuffix("'").trim
@@ -1401,20 +1406,47 @@ object PgDialect {
           } else cur += c
         }
         parts += ((cur.toString, sawDq))
+        val castT = Option(m.group(3)).map(_.toLowerCase)
+        // a date[] cast normalizes PG's MM-DD-YYYY element spelling
+        // so the typed membership test compares real dates
+        def normEl(it: String): String = castT match {
+          case Some("date") =>
+            """^(\d{1,2})-(\d{1,2})-(\d{4})$""".r
+              .findFirstMatchIn(it).map { dm =>
+                val (f1, f2) =
+                  (dm.group(1).toInt, dm.group(2).toInt)
+                val (mo, dy) = if (f1 > 12 && f2 <= 12) (f2, f1)
+                  else (f1, f2)
+                f"${dm.group(3)}-$mo%02d-$dy%02d"
+              }.getOrElse(it)
+          case _ => it
+        }
         val elems = parts.map { case (p, q) => (p.trim, q) }.map {
           case (it, false) if it.matches("""-?\d+(\.\d+)?""") ||
             it.equalsIgnoreCase("null") => it
-          case (it, _) => "'" + it.replace("'", "''") + "'"
+          case (it, _) => "'" + normEl(it).replace("'", "''") + "'"
         }.mkString(", ")
+        val arrExpr = castT match {
+          case Some(t) if typeMap.contains(t) ||
+              sparkKnownTypes.contains(t) =>
+            s"CAST(array($elems) AS ARRAY<${mapType(t)}>)"
+          case _ => s"array($elems)"
+        }
         java.util.regex.Matcher.quoteReplacement(
-          s"${m.group(1)}(array($elems))")
+          s"${m.group(1)}($arrExpr)")
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
     // quantified comparisons over arrays: `x = ANY(arr)` (membership),
     // `x <> ALL(arr)` (its negation), `x = ALL(arr)` / `x <> ANY(arr)`,
     // and the ordered spellings `x < ALL(arr)` (below the min) etc.
+    // typed literals (`DATE '...'` — masked to a placeholder at this
+    // stage) must bind as ONE operand, or the keyword dangles outside
+    // the rewritten membership test (multi_function_evaluation.sql)
     val scalarOperand =
-      """((?:[A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|(?:[A-Za-z_][A-Za-z0-9_.]*)|(?:[0-9]+(?:\.[0-9]+)?))"""
+      """((?:(?i:DATE|TIMESTAMP|TIMESTAMPTZ|TIME)\s*""" +
+        """(?:'[^']*'|__GRAFT_LIT_\d+__))|""" +
+        """(?:[A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\))|""" +
+        """(?:[A-Za-z_][A-Za-z0-9_.]*)|(?:[0-9]+(?:\.[0-9]+)?))"""
     // a quantifier over a NULL array is NULL regardless of the lhs
     // (PG: no elements to witness, unknown array) — three-valued NULL
     val nullQuantRe = (scalarOperand +
@@ -1424,7 +1456,10 @@ object PgDialect {
     // one paren nesting level inside array(...): prepared-statement
     // splices parenthesize arguments (`array((NULL), 'x')`)
     val arrOperand =
-      """((?:array\((?:[^()]++|\([^()]*+\))*+\))|(?:[A-Za-z_][A-Za-z0-9_.]*))"""
+      """((?:(?i:CAST)\s*\(\s*array\((?:[^()]++|\([^()]*+\))*+\)""" +
+        """\s+(?i:AS)\s+(?i:ARRAY)<[^>()]*>\s*\))|""" +
+        """(?:array\((?:[^()]++|\([^()]*+\))*+\))|""" +
+        """(?:[A-Za-z_][A-Za-z0-9_.]*))"""
     val quantified = (scalarOperand +
       """\s*(=|<>|!=|<=|>=|<|>)\s*(?i:(ANY|SOME|ALL))\s*\(\s*""" + arrOperand + """\s*\)""").r
     val quant = quantified.replaceAllIn(lit2, m => {
@@ -1677,8 +1712,13 @@ object PgDialect {
           java.util.regex.Matcher.quoteReplacement(s"($e)")
         }
       })
+    // base = identifier OR a function call (row_to_json(row(a))->'f1',
+    // anonymous_columns.sql) — two paren nesting levels
     val chainRe =
-      """(?<![:\w'])([A-Za-z_][A-Za-z0-9_.]*)((?:\s*(?:->>|->|#>>|#>)\s*(?:'[^']*'|\d+))+)""".r
+      ("""(?<![:\w'])((?:[A-Za-z_][A-Za-z0-9_.]*""" +
+        """\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))*\))|""" +
+        """(?:[A-Za-z_][A-Za-z0-9_.]*))""" +
+        """((?:\s*(?:->>|->|#>>|#>)\s*(?:'[^']*'|\d+))+)""").r
     val stepRe = """(->>|->|#>>|#>)\s*(?:'([^']*)'|(\d+))""".r
     chainRe.replaceAllIn(sql1, m => {
       val base = m.group(1)
@@ -2230,7 +2270,22 @@ object PgDialect {
   def translate(sql0: String): String = {
     // function scans in FROM/JOIN expand FIRST so their spliced bodies
     // ride the full dialect pipeline below
-    val sql = rewriteGroupedPercentile(TableFunctions.expand(sql0))
+    var sql = rewriteGroupedPercentile(TableFunctions.expand(sql0))
+    // PG names an unaliased projected expression "?column?"; when a
+    // statement then REFERENCES that name (anonymous_columns.sql's
+    // `ORDER BY "?column?"`), alias the single anonymous item so the
+    // reference resolves
+    if (sql.contains("\"?column?\""))
+      sql = ("""(?is)(\(\s*SELECT\s+)""" +
+        """((?:[^(),']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))+?)""" +
+        """(\s+FROM\b)""").r.replaceAllIn(sql, m => {
+        val item = m.group(2).trim
+        if ("""(?is)\bAS\s+\S+$""".r.findFirstIn(item).isDefined ||
+            item == "*" || item.isEmpty)
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + item + " AS \"?column?\"" + m.group(3))
+      })
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>

@@ -2133,12 +2133,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // COPY t [(cols)] FROM STDIN ...; <rows> \. → INSERT INTO t VALUES
     // (also the psql `\copy t FROM STDIN DELIMITER ','` spelling,
     // which carries no terminating semicolon — materialized_view.sql)
+    // a DATALESS COPY..FROM STDIN (no rows, no \. terminator — the
+    // failed-connection batteries: the real run's COPY dies before
+    // any data) must DROP, or the lazy body match below swallows
+    // every statement up to the next unrelated \. terminator
+    // (multi_modifying_xacts.sql:1000 ate the users/items DDL)
+    val rawNoEmptyCopy =
+      ("""(?im)^\\?COPY\s+[^\n]*FROM\s+STDIN[^\n]*\n""" +
+        """(?=\s*(?:COMMIT|ROLLBACK|BEGIN|SELECT|SET|RESET|INSERT|""" +
+        """CREATE|DROP|ALTER|COPY|END|ABORT|\\)\b)""").r
+        .replaceAllIn(raw, " \n")
     val copyRe =
       ("""(?is)\\?COPY\s+((?:"(?:[^"]|"")+"|[A-Za-z_]\w*)""" +
         """(?:\.(?:"(?:[^"]|"")+"|[A-Za-z_]\w*))*)""" +
         """\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN""" +
         """([^;\n]*);?\s*\n(.*?)\n\\\.""").r
-    val converted = copyRe.replaceAllIn(raw, m => {
+    val converted = copyRe.replaceAllIn(rawNoEmptyCopy, m => {
       val body = m.group(4)
       // an explicit `delimiter 'c'` option wins (the schema corpus
       // loads nation rows with '|'); else tab (PG default) or comma
@@ -3064,7 +3074,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val viewRe =
       """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([A-Za-z_][\w.]*)\s+AS\s+(.*)$""".r
     val insertRe =
-      """(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(?:\(([^)]*)\))?\s*(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*\(?\s*SELECT\s.*)$""".r
+      ("""(?is)^INSERT\s+INTO\s+([A-Za-z_][\w.]*)""" +
+        """(?:\s+AS\s+([A-Za-z_]\w*))?""" +
+        """\s*(?:\(([^)]*)\))?\s*""" +
+        """(VALUES\s*.*|SELECT\s.*|WITH\s.*|\(\s*\(?\s*SELECT\s.*)$""").r
     // DELETE FROM t [alias] [USING items] [WHERE cond] — head + tail;
     // the tail parses via top-level keyword split (USING/WHERE)
     val deleteHeadRe =
@@ -3498,7 +3511,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
             Option(alias).getOrElse(strip(name)), base(strip(name))))
         case updateHeadRe(name, alias, rest0)
             if schemas.contains(strip(name)) =>
-          val (sets, from, cond) = topSplit(rest0.trim, "FROM") match {
+          // `IS [NOT] DISTINCT FROM` in a SET expression is an
+          // operator, not an UPDATE..FROM clause
+          // (multi_function_evaluation.sql's volatility batteries)
+          val (sets, from, cond) = topSplit(rest0.trim,
+            """(?<!DISTINCT\s)FROM""") match {
             case Some((s1, f)) => topSplit(f, "WHERE") match {
               case Some((fl, c)) => (s1, Some(fl), Some(c))
               case None          => (s1, Some(f), None)
@@ -3510,9 +3527,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
           }
           Some((applyUpdate(name, Option(alias), sets, from, cond),
             Option(alias).getOrElse(strip(name)), base(strip(name))))
-        case insertRe(name, colList, rest)
+        case insertRe(name, alias, colList, rest)
             if schemas.contains(strip(name)) =>
-          Some((applyInsert(name, Option(colList), rest.trim),
+          // `INSERT INTO t AS alias`: alias references in the
+          // ON CONFLICT SET resolve against the target table
+          val rest1 = if (alias != null)
+            rest.replaceAll("(?i)\\b" + alias + "\\.", name + ".")
+          else rest
+          Some((applyInsert(name, Option(colList), rest1.trim),
             strip(name), base(strip(name))))
         case _ => None
       }
@@ -4708,7 +4730,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
             if (counted) ran += 1
             try {
               val (rest, _) = stripReturning(rest0.trim)
-              val (sets, from, cond) = topSplit(rest, "FROM") match {
+              // `IS [NOT] DISTINCT FROM` in a SET expression is an
+              // operator, not an UPDATE..FROM clause
+              val (sets, from, cond) = topSplit(rest,
+                """(?<!DISTINCT\s)FROM""") match {
                 case Some((s1, f)) => topSplit(f, "WHERE") match {
                   case Some((fl, c)) => (s1, Some(fl), Some(c))
                   case None          => (s1, Some(f), None)
@@ -4892,7 +4917,7 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // and PG18's WAL counters — zero, the truthful count in an
         // engine with no WAL. The battery's probes then check those
         // fields survive the distributed EXPLAIN path, as upstream.
-        case insertRe(name, colList, rest)
+        case insertRe(name, _, colList, rest)
             if schemas.contains(strip(name)) &&
               state.explainJsonFns.nonEmpty &&
               """(?is)^\s*SELECT\s+([A-Za-z_]\w*)\s*\(\s*\$\w*\$""".r
@@ -4922,8 +4947,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
               s""""Plans": [${nodeJson(plan)}]}}]"""
             applyInsert(name, Option(colList), s"VALUES ('$doc')")
           } catch { case e: Throwable => dbgFail(stmt, e) }
-        case insertRe(name, colList, rest)
+        case insertRe(name, alias, colList, rest0)
             if schemas.contains(strip(name)) =>
+          val rest = if (alias != null)
+            rest0.replaceAll("(?i)\\b" + alias + "\\.", name + ".")
+          else rest0
           // a statement PG itself rejects (constraint violation,
           // planning error) did not mutate its state — skip entirely
           if (!pgRejected(stmt)) {
@@ -7307,6 +7335,8 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("information_schema") && !s.contains("worker_") &&
         !s.contains("pg_sleep") && !s.contains("pg_stat") &&
         !s.contains("$$") && !s.contains("$Q$") &&
+        !s.contains("create_distributed_function") &&
+        !s.contains("pg_class") &&
         !s.contains("coordinator_plan") && !s.contains("undistribute")
     val vcheckTables = Set("upsert_test", "tt1", "modify_fast_path")
     val files = Seq(
