@@ -1638,12 +1638,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
           // session-local wall time, which is the literal the INSERT
           // carried, so dropping the abbrev compares the same instant
           val pgTs =
-            """(\w{3}) (\w{3}) (\d+) (\d{2}:\d{2}:\d{2})(?:\.\d+)? (\d{4})(?: \w{2,5})?""".r
+            """(\w{3}) (\w{3}) (\d+) (\d{2}:\d{2}:\d{2})(\.\d+)? (\d{4})(?: \w{2,5})?""".r
           s match {
-            case pgTs(_, mon, day, time, year) =>
+            case pgTs(_, mon, day, time, frac, year) =>
               val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
                 "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
-              f"$year-${months.indexOf(mon) + 1}%02d-${day.toInt}%02d $time"
+              // fractional seconds survive (query_single_shard_table's
+              // max(time) goldens carry microseconds)
+              f"$year-${months.indexOf(mon) + 1}%02d-${day.toInt}%02d " +
+                s"$time${Option(frac).getOrElse("")}"
             case _ =>
               // DateStyle=Postgres DATE tokens render MM-DD-YYYY —
               // normalize to ISO wherever they appear (bare cells and
@@ -4783,8 +4786,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
                 parts0.updated(0, parts0(0)
                   .substring(1, parts0(0).length - 1).replace("\"\"", "\""))
               else parts0
+            // `UNIQUE(cols)` spells the keyword WITHOUT a space
+            // before the paren — test the letter prefix, not the
+            // whitespace token (query_single_shard_table.sql's
+            // UNIQUE(user_id, value_1) tables)
             if (parts.length < 2 ||
-              constraintKw.contains(parts(0).toLowerCase)) None
+              constraintKw.contains(parts(0).toLowerCase) ||
+              constraintKw.contains(
+                parts(0).toLowerCase.takeWhile(_.isLetter))) None
             else {
               defaultRe.findFirstMatchIn(parts(1)).foreach(m =>
                 state.colDefaults(
@@ -6146,15 +6155,35 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("pg_catalog") && !s.contains("current_setting") &&
         !s.contains("$$") && !s.contains("RETURNING") &&
         !s.matches("(?is)^WITH\\b.*\\b(UPDATE|DELETE\\s+FROM|INSERT\\s+INTO)\\b.*")
+    // r11: the users/events data-file loads the file issues through
+    // psql \set indirection now splice as direct COPY blocks, so the
+    // users_table/non_colocated_events fixtures exist ORDER-ROBUSTLY
+    // (previously ~15 statements only passed when earlier suite
+    // tests happened to leave same-named registrations behind)
+    val dataDir = new java.io.File(refDir.getParentFile, "data")
+    def fileData(n: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(dataDir, n).toPath)).trim
+    val copyCmdRe =
+      ("""(?s)\\set client_side_copy_command '\\\\copy (\w+) FROM ' """ +
+        """:'(\w+)' ' WITH CSV;'\n:client_side_copy_command""").r
+    val tr: String => String = raw => copyCmdRe.replaceAllIn(raw, m => {
+      val f = m.group(2) match {
+        case "users_table_data_file" => "users_table.data"
+        case "events_table_data_file" => "events_table.data"
+        case other => other
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
+          fileData(f) + "\n\\.")
+    })
     val (ok, ran) =
-      replayFile("query_single_shard_table.sql", "QSSFAIL", keep)
+      replayFile("query_single_shard_table.sql", "QSSFAIL", keep,
+        new ReplayState, transform = tr)
     info(s"query_single_shard_table.sql: $ok/$ran statements run")
     // denominator excludes statements PG itself rejects (.out ERROR)
     assert(ran >= 130, s"expected a large corpus, got $ran")
-    // EXACT pin at the SOLO floor: 137/165 (suite order reads 142 —
-    // five statements ride registrations earlier suite tests leave
-    // behind; the floor is the order-robust bound)
-    assert(ok >= 137, s"only ${ok}/${ran} ran — a statement regressed")
+    assert(ok >= 148, s"only ${ok}/${ran} ran — a statement regressed")
   }
 
   test("prepared-statement CTE corpora through PgSession — " +
@@ -10406,6 +10435,63 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(ok >= 15, s"only $ok/$ran ran — a statement regressed")
   }
 
+  test("sequential replay of query_single_shard_table.sql — the " +
+      "single-shard (null-distribution-key) query corpus: the full " +
+      "join matrix across single-shard/distributed/reference/citus-" +
+      "local/postgres-local tables, colocated and non-colocated " +
+      "single-shard joins, LATERAL mixes, set operations, CTEs, " +
+      "INSERT..SELECT between colocation groups, and the router " +
+      "read surface — reference-rejected combinations (66 .out " +
+      "ERRORs) are excluded by the usual positional verdicts") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val dataDir = new java.io.File(refDir.getParentFile, "data")
+    def fileData(n: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(dataDir, n).toPath)).trim
+    // the three psql \set client_side_copy_command indirections load
+    // the users/events data files — splice as direct COPY blocks
+    val copyCmdRe =
+      ("""(?s)\\set client_side_copy_command '\\\\copy (\w+) FROM ' """ +
+        """:'(\w+)' ' WITH CSV;'\n:client_side_copy_command""").r
+    val tr: String => String = raw => copyCmdRe.replaceAllIn(raw, m => {
+      val f = m.group(2) match {
+        case "users_table_data_file" => "users_table.data"
+        case "events_table_data_file" => "events_table.data"
+        case other => other
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
+          fileData(f) + "\n\\.")
+    })
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_add_local_table_to_metadata") &&
+        !s.replace("citus_local_table", "").contains("citus_") &&
+        !s.contains("master_") && !s.contains("run_command") &&
+        !s.contains("pg_dist_") && !s.contains("pg_catalog") &&
+        !s.contains("current_setting") && !s.contains("worker_") &&
+        !s.contains("pg_sleep") && !s.contains("pg_stat") &&
+        !s.contains("$$") && !s.contains("EXPLAIN") &&
+        !s.contains("create_range_partitioned_shards") &&
+        !s.contains("information_schema")
+    val st = new ReplayState
+    st.schemaAware = true
+    val (ok, ran) = replayFile("query_single_shard_table.sql",
+      "QSSTFAIL", keep, st, countDml = true, transform = tr,
+      valueCheck = keep)
+    info(s"query_single_shard_table.sql: $ok/$ran statements run " +
+      "(value-checked; schema-aware)")
+    // EXACT pin: 240/265 as of r11 — the residuals are 13 LATERAL
+    // JOIN USING statements (Spark UNSUPPORTED_FEATURE, genuine
+    // engine difference), deeply-correlated scalar-subquery shapes
+    // Catalyst cannot decorrelate (nested outer references two
+    // levels down, correlated scalar under GROUP BY) and recursive
+    // CTEs under nested WITH-level goldens tied to PG's dedup order
+    assert(ran >= 150, s"expected the single-shard corpus, got $ran")
+    assert(ok >= 240, s"only $ok/$ran ran — a statement regressed")
+  }
+
   test("schema-aware scratch repro (env-gated dev harness)") {
     assume(sys.env.contains("SPARK_GRAFT_SCHEMA_DBG"))
     val mini =
@@ -10428,6 +10514,12 @@ class ReferenceSqlSpec extends AnyFunSuite {
         |SET search_path TO test_schema_support;
         |SELECT count(*) FROM nation_hash;
         |SET search_path TO public;
+        |CREATE TABLE agg_ev (user_id int, v1 int, agg_time timestamp, UNIQUE(user_id, v1));
+        |INSERT INTO agg_ev VALUES (1, 1, '2000-01-01');
+        |CREATE TABLE raw_ev (user_id int, v1 int, time timestamp);
+        |INSERT INTO raw_ev VALUES (1, 1, '2001-01-01'), (2, 2, '2001-06-01');
+        |INSERT INTO agg_ev AS ae (user_id, v1, agg_time) SELECT user_id, v1, time FROM raw_ev ON conflict (user_id, v1) DO UPDATE SET agg_time = EXCLUDED.agg_time WHERE ae.agg_time < EXCLUDED.agg_time;
+        |SELECT count(*) FROM agg_ev;
         |DELETE from test_schema_support.nation_hash where n_nationkey = 100;
         |INSERT INTO test_schema_support.nation_hash(n_nationkey, n_name, n_regionkey) VALUES (100, 'TURKEY', 3);
         |SELECT count(*) FROM test_schema_support.nation_hash;
