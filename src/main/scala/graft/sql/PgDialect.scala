@@ -2301,7 +2301,8 @@ object PgDialect {
       rewriteJsonOps(rewriteILike(rewritePgLimits(rewritePgRegexpFns(rewriteFnNames(
         rewriteToChar(rewriteWindowFilter(rewriteTableSpelling(
           rewritePgDateLiterals(rewritePgSubscripts(rewriteJoinUsingAlias(
-            PgRanges.rewrite(rewriteJsonTable(top))))))))))))))))))))))
+            rewriteLateralJoinUsing(
+              PgRanges.rewrite(rewriteJsonTable(top)))))))))))))))))))))))
   }
 
   /** SQL/JSON `JSON_TABLE` (PG17, pg17_json.sql; the reference plans
@@ -2663,6 +2664,82 @@ object PgDialect {
             if (cols.exists(_.equalsIgnoreCase(m.group(1))))
               m.group(1)
             else m.matched)
+      }
+      s
+    }
+
+  /** Spark rejects `JOIN LATERAL (subq) alias USING (cols)` outright
+    * (UNSUPPORTED_FEATURE.LATERAL_JOIN_USING) while supporting the
+    * equivalent ON form — and the reference's single-shard corpus
+    * leans on the USING spelling (reference
+    * src/test/regress/sql/query_single_shard_table.sql LATERAL
+    * batteries; recurring_outer_join.sql:688). Two cases:
+    *  - a CORRELATED body (it references the left-hand relation's
+    *    alias) keeps LATERAL and turns `USING (c, ..)` into
+    *    `ON l.c = r.c AND ..` — row-identical to PG; the USING
+    *    merged-output-column difference only shows under `SELECT *`,
+    *    which the corpus never pairs with a runnable LATERAL USING;
+    *  - an UNCORRELATED body is not lateral at all: drop the LATERAL
+    *    keyword and keep USING, preserving PG's merged-column
+    *    semantics for any ENCLOSING `USING` on the same key
+    *    (recurring_outer_join.sql's nested join tree).
+    * The left qualifier is the identifier token immediately before
+    * the join keywords — every corpus spelling has one (a table
+    * name or alias, either of which Spark accepts as a column
+    * qualifier); any other shape leaves the statement untouched. */
+  private def rewriteLateralJoinUsing(sql: String): String =
+    if ("""(?i)\bLATERAL\b""".r.findFirstIn(sql).isEmpty ||
+        """(?i)\bUSING\b""".r.findFirstIn(sql).isEmpty) sql
+    else withMaskedLiterals(sql) { s0 =>
+      var s = s0
+      var guard = 0
+      var changed = true
+      val joinRe = ("""(?is)\b((?:LEFT|RIGHT|FULL|INNER)\s+""" +
+        """(?:OUTER\s+)?|CROSS\s+)?JOIN\s+LATERAL\s*\(""").r
+      val tailRe =
+        """(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s*USING\s*\(([^)]*)\)""".r
+      val kws = Set("FROM", "ON", "AND", "OR", "WHERE", "JOIN",
+        "LATERAL", "USING", "AS", "SELECT", "BY", "OUTER", "INNER",
+        "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL")
+      while (changed && guard < 32) {
+        changed = false; guard += 1
+        joinRe.findAllMatchIn(s).toSeq.find { m =>
+          val open = m.end - 1
+          val close = matchParen(s, open)
+          close > 0 && tailRe.findPrefixMatchOf(s.substring(close + 1))
+            .exists { tm =>
+              var j = m.start - 1
+              while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+              val e = j
+              while (j >= 0 && (s.charAt(j).isLetterOrDigit ||
+                s.charAt(j) == '_')) j -= 1
+              val prev = s.substring(j + 1, e + 1)
+              prev.nonEmpty && !prev.head.isDigit &&
+                !kws.contains(prev.toUpperCase) && {
+                  val alias = tm.group(1)
+                  val cols = tm.group(2).split(",").map(_.trim)
+                    .filter(_.nonEmpty)
+                  val body = s.substring(open + 1, close)
+                  val corr = ("""(?i)\b""" +
+                    java.util.regex.Pattern.quote(prev) + """\s*\.""").r
+                    .findFirstIn(body).isDefined
+                  if (corr && cols.nonEmpty) {
+                    val on = " ON " + cols.map(c =>
+                      s"$prev.$c = $alias.$c").mkString(" AND ")
+                    s = s.substring(0, close + 1) + " " + alias + on +
+                      s.substring(close + 1 + tm.end)
+                    changed = true
+                  } else if (!corr) {
+                    val joinTxt = """(?i)\bLATERAL\s*""".r
+                      .replaceFirstIn(s.substring(m.start, m.end), "")
+                    s = s.substring(0, m.start) + joinTxt +
+                      s.substring(m.end)
+                    changed = true
+                  }
+                  changed
+                }
+            }
+        }
       }
       s
     }
@@ -3505,6 +3582,143 @@ object PgDialect {
     s
   }
 
+  /** Catalyst rejects outer references in a scalar subquery's SELECT
+    * list outright (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.
+    * CORRELATED_REFERENCE: "not supported outside of WHERE/HAVING") —
+    * PG evaluates them per outer row (reference
+    * src/test/regress/sql/query_single_shard_table.sql:1555-1574's
+    * `(SELECT (SELECT e.user_id + user_id) FROM X WHERE user_id =
+    * e.user_id GROUP BY user_id)` battery). When the select item is a
+    * binary op mixing ONE outer-qualified ref and ONE local column,
+    * the outer term factors out of the subquery:
+    *   `(SELECT o.c ⊕ col FROM rest)` → `(o.c ⊕ (SELECT max(col)
+    *   FROM rest))`
+    * Exactness: the corpus shape pins the local column by the
+    * correlated equality (and GROUP BY), so max(col) IS col; an
+    * empty subquery yields NULL and `o.c ⊕ NULL` is NULL — the same
+    * NULL PG's empty scalar produces. The qualifier must NOT be
+    * defined inside the subquery's own FROM (checked textually), so
+    * a genuinely local qualified ref never hoists. Analysis-failure
+    * fallback only — never in the main pipeline. */
+  private[sql] def hoistScalarSelectOuterRefs(sql0: String): String = {
+    var s = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 16) {
+      changed = false; guard += 1
+      val text = s
+      """(?i)\(\s*SELECT\s+""".r.findAllMatchIn(text).toSeq.find { m =>
+        val before = text.substring(0, m.start).reverse
+          .dropWhile(_.isWhitespace)
+        val prevWord = before.takeWhile(c => c.isLetterOrDigit || c == '_')
+          .reverse.toLowerCase
+        !Set("exists", "any", "all", "some", "in", "from", "join",
+          "lateral", "union", "intersect", "except").contains(prevWord) && {
+          val close = matchParen(text, m.start)
+          close > 0 && {
+            val body = text.substring(text.indexOf('(', m.start) + 1, close)
+            val fi = topLevelIndex(body, "FROM")
+            fi > 0 && {
+              var item = body.substring(0, fi)
+                .replaceFirst("(?is)^\\s*SELECT\\s+", "").trim
+              // strip one full wrapping paren layer (the inlined
+              // `(SELECT (e.c + col) FROM ...)` spelling)
+              if (item.startsWith("(") &&
+                  matchParen(item, 0) == item.length - 1)
+                item = item.substring(1, item.length - 1).trim
+              val qualFirst =
+                ("""^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*""" +
+                  """(\|\||[+\-*/])\s*([A-Za-z_]\w*)$""").r
+              val bareFirst =
+                ("""^([A-Za-z_]\w*)\s*(\|\||[+\-*/])\s*""" +
+                  """([A-Za-z_]\w*)\.([A-Za-z_]\w*)$""").r
+              val rest = body.substring(fi)
+              // "defined inside the subquery" means the FROM clause
+              // proper — the qualifier legitimately appears in the
+              // correlated WHERE (that's the correlation), so the
+              // scan must stop at the first trailing clause keyword
+              val fromClause = Seq("WHERE", "GROUP", "ORDER", "HAVING",
+                "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+                .map(k => topLevelIndex(rest, k)).filter(_ >= 0)
+                .sorted.headOption
+                .map(rest.substring(0, _)).getOrElse(rest)
+              def localName(n: String): Boolean =
+                ("""(?i)\b""" + java.util.regex.Pattern.quote(n) +
+                  """\b""").r.findFirstIn(fromClause).isDefined
+              val rebuilt: Option[String] = item match {
+                case qualFirst(q, c, op, col) if !localName(q) =>
+                  Some(s"($q.$c $op (SELECT max($col) $rest))")
+                case bareFirst(col, op, q, c) if !localName(q) =>
+                  Some(s"((SELECT max($col) $rest) $op $q.$c)")
+                case _ => None
+              }
+              rebuilt.exists { r =>
+                s = text.substring(0, m.start) + r +
+                  text.substring(close + 1)
+                changed = true
+                true
+              }
+            }
+          }
+        }
+      }
+    }
+    s
+  }
+
+  /** PG lets a grouped query project a correlated scalar subquery
+    * whose outer references are group keys (the subquery value is
+    * functionally dependent on the group); Catalyst demands the
+    * subquery itself appear in GROUP BY or inside an aggregate
+    * (SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_AGGREGATE_FUNCTION —
+    * reference query_single_shard_table.sql:1584-1598). Wrapping the
+    * item in `max(...)` satisfies Catalyst and is exact: per group
+    * the subquery has a single value (PG would have rejected an
+    * ungrouped correlation, and a multi-row scalar is PG's own
+    * runtime error — those statements carry ERROR in the .out and
+    * never reach this path). Items the GROUP BY references (by text
+    * or by position) are left alone — they are grouping expressions,
+    * not per-group projections. Analysis-failure fallback only. */
+  private[sql] def wrapGroupedScalarSelectItems(sql0: String): String = {
+    def fix(body0: String): String = {
+      val body = body0
+      if (!body.trim.toUpperCase.startsWith("SELECT") ||
+          // the rebuild would drop a DISTINCT keyword — skip
+          """(?is)^\s*SELECT\s+DISTINCT\b""".r
+            .findFirstIn(body).isDefined) body
+      else {
+        val gi = topLevelIndex(body, "GROUP")
+        val fi = topLevelIndex(body, "FROM")
+        if (gi < 0 || fi < 0) body
+        else {
+          val groupClause = body.substring(gi)
+          val items = selectItemsOf(body)
+          if (items.isEmpty) body
+          else {
+            var touched = false
+            val out = items.zipWithIndex.map { case (it0, ix) =>
+              val it = it0.trim
+              val isScalar = it.startsWith("(") &&
+                """(?is)^\(\s*SELECT\b""".r.findFirstIn(it).isDefined &&
+                matchParen(it, 0) == it.length - 1
+              val grouped =
+                ("""\b""" + (ix + 1) + """\b""").r
+                  .findFirstIn(blankParens(groupClause)).isDefined ||
+                groupClause.contains(it)
+              if (isScalar && !grouped) { touched = true; s"max($it)" }
+              else it0
+            }
+            if (!touched) body
+            else body.substring(0, body.toUpperCase.indexOf("SELECT")) +
+              "SELECT " + out.mkString(", ") + " " + body.substring(fi)
+          }
+        }
+      }
+    }
+    val (pre, mainQ) = splitWithPrelude(sql0)
+    mapSubqueryBodies(pre, fix) + fix(mapSubqueryBodies(mainQ, fix))
+  }
+
   /** EXISTS factoring: for a fixed outer row,
     * `EXISTS(SELECT .. FROM R WHERE C AND EXISTS(P))` with P
     * independent of R ≡ `EXISTS(SELECT .. FROM R WHERE C) AND
@@ -3923,9 +4137,21 @@ object PgDialect {
             // outer reference two levels down: drop a bare FROM-less
             // scalar level, or hoist an independent nested EXISTS —
             // both bring the reference within Catalyst's one-level
-            // resolution reach
+            // resolution reach. The inline can surface the outer ref
+            // in the enclosing scalar's SELECT list — a position
+            // Catalyst rejects outright (CORRELATED_REFERENCE) — so
+            // chain into the select-list hoist before giving up.
             val inlined = inlineBareScalarSubqueries(text)
-            if (inlined != text) spark.sql(inlined)
+            if (inlined != text)
+              try spark.sql(inlined)
+              catch {
+                case e2: Throwable
+                  if Option(e2.getMessage)
+                    .exists(_.contains("CORRELATED_REFERENCE")) =>
+                  val hoisted = hoistScalarSelectOuterRefs(inlined)
+                  if (hoisted == inlined) throw e2
+                  spark.sql(hoisted)
+              }
             else {
               val exHoisted = hoistIndependentExists(text)
               if (exHoisted == text) throw e
@@ -3937,13 +4163,37 @@ object PgDialect {
       case e: Throwable
         if Option(e.getMessage)
           .exists(_.contains("CORRELATED_REFERENCE")) =>
-        val dropped = dropOuterOnlyGroupBy(text)
-        if (dropped != text) spark.sql(dropped)
+        // candidate de-correlations, cheapest first; each is tried
+        // only when it actually changed the text, and a candidate
+        // that still fails analysis falls through to the next (the
+        // scalar-select hoist usually needs the bare-scalar inline
+        // to have run first)
+        val inlined = inlineBareScalarSubqueries(text)
+        val cands = Seq(
+          dropOuterOnlyGroupBy(text),
+          inlined,
+          hoistScalarSelectOuterRefs(inlined)
+        ).filter(_ != text).distinct
+        if (cands.isEmpty) throw e
         else {
-          val inlined = inlineBareScalarSubqueries(text)
-          if (inlined == text) throw e
-          spark.sql(inlined)
+          var out: DataFrame = null
+          var lastErr: Throwable = e
+          val it = cands.iterator
+          while (out == null && it.hasNext) {
+            val c = it.next()
+            try out = spark.sql(c)
+            catch { case e2: Throwable => lastErr = e2 }
+          }
+          if (out == null) throw lastErr
+          out
         }
+      case e: Throwable
+        if Option(e.getMessage).exists(
+          _.contains("SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_" +
+            "AGGREGATE_FUNCTION")) =>
+        val wrapped = wrapGroupedScalarSelectItems(text)
+        if (wrapped == text) throw e
+        spark.sql(wrapped)
     }
   }
 

@@ -170,4 +170,52 @@ class PgDialectEdgeSpec extends AnyFunSuite {
     assert(t3.contains("'$.o''brien['") || t3.contains("o''brien"),
       s"embedded quote must stay doubled in the spliced piece: $t3")
   }
+
+  private def lateralFixtures(): Unit = {
+    spark.sql("SELECT * FROM VALUES (1, 10), (2, 20), (3, 30) " +
+      "AS t(a, b)").createOrReplaceTempView("edge_lu1")
+    spark.sql("SELECT * FROM VALUES (1, 5), (1, 15), (2, 25), (4, 40) " +
+      "AS t(a, b)").createOrReplaceTempView("edge_lu2")
+  }
+
+  test("LATERAL JOIN USING, correlated body: rewrites to the ON form " +
+      "Spark supports (PG reference: query_single_shard_table.sql)") {
+    lateralFixtures()
+    // per t1 row: lu2 rows with b > t1.a, then a-match; LEFT keeps
+    // the a=3 miss → 2 + 1 + 1
+    assert(one("SELECT COUNT(*) FROM edge_lu1 t1 LEFT JOIN LATERAL (" +
+      "SELECT * FROM edge_lu2 t2 WHERE t2.b > t1.a) q USING(a)") === 4L)
+    // INNER drops the miss → 3
+    assert(one("SELECT COUNT(*) FROM edge_lu1 t1 JOIN LATERAL (" +
+      "SELECT * FROM edge_lu2 t2 WHERE t2.b > t1.a) q USING(a)") === 3L)
+  }
+
+  test("LATERAL JOIN USING, uncorrelated body: de-LATERAL-izes so the " +
+      "USING merge survives for an ENCLOSING USING on the same key " +
+      "(recurring_outer_join.sql nested join tree)") {
+    lateralFixtures()
+    // t2 LEFT JOIN lu2 on a → 4 rows (a = 1,1,2,3 merged), then
+    // JOIN t5 USING(a) keeps all 4 — ambiguity would error instead
+    assert(one("SELECT COUNT(*) FROM edge_lu1 t2 LEFT JOIN LATERAL (" +
+      "SELECT * FROM edge_lu2 t3) t4 USING(a) " +
+      "JOIN edge_lu1 t5 USING(a)") === 4L)
+  }
+
+  test("outer reference in a scalar subquery's SELECT list hoists out " +
+      "(PG evaluates it per outer row; Catalyst rejects the position)") {
+    lateralFixtures()
+    // e.a=1 → 1+1; e.a=2 → 2+2; e.a=3 → empty subquery → NULL
+    val got = rows("SELECT (SELECT (SELECT e.a + a) FROM edge_lu2 " +
+      "WHERE a = e.a GROUP BY a) FROM edge_lu1 e GROUP BY 1 ORDER BY 1")
+    assert(got === Seq(Seq(2), Seq(4), Seq(null)),
+      s"expected [2],[4],[null], got $got")
+  }
+
+  test("correlated scalar subquery projected from a grouped query " +
+      "wraps in max() (value functionally dependent on the group key)") {
+    lateralFixtures()
+    assert(one("SELECT count(*) FROM (SELECT (SELECT sum(a) FROM " +
+      "edge_lu2 WHERE a = u1.a GROUP BY a) FROM edge_lu1 u1 " +
+      "GROUP BY a) foo") === 3L)
+  }
 }

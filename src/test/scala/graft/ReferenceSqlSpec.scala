@@ -6138,8 +6138,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
     info(s"recurring_outer_join.sql: $ok/$ran statements run")
     // denominator excludes statements PG itself rejects (.out ERROR)
     assert(ran >= 60, s"expected a sizable corpus, got $ran")
-    // EXACT pin: 74/75 as of r10 — ledger drift fails the build
-    assert(ok >= 74, s"only ${ok}/${ran} ran — a statement regressed")
+    // EXACT pin: 75/75 as of r12 (the uncorrelated LATERAL-USING
+    // nested-join residual closed by the de-LATERAL-ize rewrite)
+    assert(ok == ran, s"only ${ok}/${ran} ran — a statement regressed")
   }
 
   test("sequential replay of query_single_shard_table.sql — the " +
@@ -6167,23 +6168,30 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val copyCmdRe =
       ("""(?s)\\set client_side_copy_command '\\\\copy (\w+) FROM ' """ +
         """:'(\w+)' ' WITH CSV;'\n:client_side_copy_command""").r
-    val tr: String => String = raw => copyCmdRe.replaceAllIn(raw, m => {
-      val f = m.group(2) match {
-        case "users_table_data_file" => "users_table.data"
-        case "events_table_data_file" => "events_table.data"
-        case other => other
-      }
-      java.util.regex.Matcher.quoteReplacement(
-        s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
-          fileData(f) + "\n\\.")
-    })
+    // unwrap `EXPLAIN (ANALYZE ..) INSERT ..` — PG executes the
+    // wrapped DML; see the schema-aware replay below for the full note
+    val explDmlRe = ("""(?i)EXPLAIN\s*\(ANALYZE[^)]*\)\s*\n""" +
+      """(?=\s*(?:INSERT|UPDATE|DELETE|MERGE)\b)""").r
+    val tr: String => String = raw => explDmlRe.replaceAllIn(
+      copyCmdRe.replaceAllIn(raw, m => {
+        val f = m.group(2) match {
+          case "users_table_data_file" => "users_table.data"
+          case "events_table_data_file" => "events_table.data"
+          case other => other
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
+            fileData(f) + "\n\\.")
+      }), "")
     val (ok, ran) =
       replayFile("query_single_shard_table.sql", "QSSFAIL", keep,
         new ReplayState, transform = tr)
     info(s"query_single_shard_table.sql: $ok/$ran statements run")
-    // denominator excludes statements PG itself rejects (.out ERROR)
+    // denominator excludes statements PG itself rejects (.out ERROR);
+    // 166/166 as of r12 (LATERAL JOIN USING rewrite + EXPLAIN-ANALYZE
+    // DML unwrap + correlated-scalar flattens closed the file)
     assert(ran >= 130, s"expected a large corpus, got $ran")
-    assert(ok >= 148, s"only ${ok}/${ran} ran — a statement regressed")
+    assert(ok == ran, s"only ${ok}/${ran} ran — a statement regressed")
   }
 
   test("prepared-statement CTE corpora through PgSession — " +
@@ -10453,16 +10461,25 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val copyCmdRe =
       ("""(?s)\\set client_side_copy_command '\\\\copy (\w+) FROM ' """ +
         """:'(\w+)' ' WITH CSV;'\n:client_side_copy_command""").r
-    val tr: String => String = raw => copyCmdRe.replaceAllIn(raw, m => {
-      val f = m.group(2) match {
-        case "users_table_data_file" => "users_table.data"
-        case "events_table_data_file" => "events_table.data"
-        case other => other
-      }
-      java.util.regex.Matcher.quoteReplacement(
-        s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
-          fileData(f) + "\n\\.")
-    })
+    // `EXPLAIN (ANALYZE ..) INSERT ..` EXECUTES the wrapped DML in PG
+    // (the file wraps two INSERT..SELECTs this way only to suppress
+    // pre-PG15 debug-message diffs — query_single_shard_table.sql:621,
+    // 630, both successful in the .out); keep() excludes EXPLAIN, so
+    // without unwrapping those rows are silently LOST and every
+    // downstream aggregate drifts (the r11 HAVING/CTE-count residuals)
+    val explDmlRe = ("""(?i)EXPLAIN\s*\(ANALYZE[^)]*\)\s*\n""" +
+      """(?=\s*(?:INSERT|UPDATE|DELETE|MERGE)\b)""").r
+    val tr: String => String = raw => explDmlRe.replaceAllIn(
+      copyCmdRe.replaceAllIn(raw, m => {
+        val f = m.group(2) match {
+          case "users_table_data_file" => "users_table.data"
+          case "events_table_data_file" => "events_table.data"
+          case other => other
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"COPY ${m.group(1)} FROM STDIN WITH (format 'csv');\n" +
+            fileData(f) + "\n\\.")
+      }), "")
     val keep: String => Boolean = s =>
       !s.contains("create_distributed_table") &&
         !s.contains("create_reference_table") &&
@@ -10479,21 +10496,38 @@ class ReferenceSqlSpec extends AnyFunSuite {
     st.schemaAware = true
     val (ok, ran) = replayFile("query_single_shard_table.sql",
       "QSSTFAIL", keep, st, countDml = true, transform = tr,
-      valueCheck = keep)
+      // one underdetermined golden: `ORDER BY 1,2 LIMIT 1` where
+      // column 2 is constant NULL (no users_reference_table row has
+      // user_id = 1 AND value_1 = 1), so WHICH event_type-0 row
+      // survives is PG heap order, not semantics — the .out's third
+      // column (a bare `(SELECT e.value_2)` echo of the picked row)
+      // cannot be matched by any engine that orders only by the
+      // query's own keys. Run + count, skip the exact-value compare.
+      valueCheck = s => keep(s) && !s.contains("(SELECT e.value_2)"))
     info(s"query_single_shard_table.sql: $ok/$ran statements run " +
       "(value-checked; schema-aware)")
-    // EXACT pin: 240/265 as of r11 — the residuals are 13 LATERAL
-    // JOIN USING statements (Spark UNSUPPORTED_FEATURE, genuine
-    // engine difference), deeply-correlated scalar-subquery shapes
-    // Catalyst cannot decorrelate (nested outer references two
-    // levels down, correlated scalar under GROUP BY) and recursive
-    // CTEs under nested WITH-level goldens tied to PG's dedup order
-    assert(ran >= 150, s"expected the single-shard corpus, got $ran")
-    assert(ok >= 240, s"only $ok/$ran ran — a statement regressed")
+    // EXACT pin: 267/267 as of r12 — the file is CLOSED. The r11
+    // residuals fell to three fixes: (1) the LATERAL JOIN USING
+    // rewrite (USING → qualified ON for correlated bodies, 13
+    // statements); (2) unwrapping the two `EXPLAIN (ANALYZE ..)
+    // INSERT..SELECT`s, which PG executes — their loss drifted
+    // every downstream aggregate (4 HAVING goldens, the CTE-inlining
+    // count, the recursive-CTE-under-nested-WITH count, +2 counted
+    // inserts: denominator 265 → 267); (3) the scalar-select
+    // outer-ref hoist + grouped-scalar max() wrap for the
+    // correlated-subquery tail (5 statements). One golden is
+    // excluded from value-compare as underdetermined (see
+    // valueCheck above) but still runs and counts.
+    assert(ran == 267, s"expected the 267-statement corpus, got $ran")
+    assert(ok == 267, s"only $ok/$ran ran — a statement regressed")
   }
 
   test("schema-aware scratch repro (env-gated dev harness)") {
-    assume(sys.env.contains("SPARK_GRAFT_SCHEMA_DBG"))
+    // the clue string keeps scalatest's cancellation message from
+    // rendering the assumed EXPRESSION — `sys.env` stringifies the
+    // whole process environment into the build log otherwise
+    assume(sys.env.contains("SPARK_GRAFT_SCHEMA_DBG"),
+      "set SPARK_GRAFT_SCHEMA_DBG=1 to run the scratch harness")
     val mini =
       """CREATE SCHEMA test_schema_support;
         |CREATE TABLE public.nation_local(
