@@ -1408,16 +1408,19 @@ object PgDialect {
         parts += ((cur.toString, sawDq))
         val castT = Option(m.group(3)).map(_.toLowerCase)
         // a date[] cast normalizes PG's MM-DD-YYYY element spelling
-        // so the typed membership test compares real dates
+        // so the typed membership test compares real dates. Only the
+        // UNAMBIGUOUS spelling normalizes (first field a plausible
+        // month, r11 ADVICE): under DateStyle MDY PG REJECTS
+        // '20-05-2020' as out of range rather than swapping — leave
+        // such elements to the CAST, which surfaces NULL instead of
+        // a silently reinterpreted date
         def normEl(it: String): String = castT match {
           case Some("date") =>
             """^(\d{1,2})-(\d{1,2})-(\d{4})$""".r
-              .findFirstMatchIn(it).map { dm =>
-                val (f1, f2) =
-                  (dm.group(1).toInt, dm.group(2).toInt)
-                val (mo, dy) = if (f1 > 12 && f2 <= 12) (f2, f1)
-                  else (f1, f2)
-                f"${dm.group(3)}-$mo%02d-$dy%02d"
+              .findFirstMatchIn(it).collect {
+                case dm if dm.group(1).toInt <= 12 =>
+                  f"${dm.group(3)}-${dm.group(1).toInt}%02d-" +
+                    f"${dm.group(2).toInt}%02d"
               }.getOrElse(it)
           case _ => it
         }
@@ -2018,14 +2021,31 @@ object PgDialect {
     """(?i)\b(min|max)\s*\(\s*((?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*))\s*\)""".r
       .replaceAllIn(sql, m => {
         val colName = m.group(3).toLowerCase
-        // fire only when a registered owner table of this column is
-        // actually referenced by the statement (word match covers
-        // `FROM t`, `FROM t alias`, `schema.t`); otherwise the
-        // same-named column belongs to an unrelated table
-        val owner = enumCols.collectFirst {
-          case ((tbl, c), ty) if c == colName &&
-            ("""(?i)\b""" + java.util.regex.Pattern.quote(tbl) +
-              """\b""").r.findFirstIn(sql).isDefined => ty
+        // when the column is QUALIFIED, the qualifier must resolve to
+        // the registered owner table itself or to an alias OF that
+        // table (`FROM owner [AS] q`) — `min(w.m)` where w aliases an
+        // unrelated table must keep native min/max even if the owner
+        // table also appears in the statement (r11 ADVICE). An
+        // unqualified column still needs the owner table referenced
+        // somewhere (word match covers `FROM t`, `FROM t alias`,
+        // `schema.t`). Candidates scan in sorted order so two owner
+        // tables sharing a column name resolve deterministically.
+        val qual = m.group(2).indexOf('.') match {
+          case -1 => None
+          case i => Some(m.group(2).substring(0, i).toLowerCase)
+        }
+        val owner = enumCols.toSeq.sortBy(_._1._1).collectFirst {
+          case ((tbl, c), ty) if c == colName && (qual match {
+            case Some(q) =>
+              q == tbl ||
+                ("""(?i)\b""" + java.util.regex.Pattern.quote(tbl) +
+                  """\s+(?:AS\s+)?""" +
+                  java.util.regex.Pattern.quote(q) + """\b""").r
+                  .findFirstIn(sql).isDefined
+            case None =>
+              ("""(?i)\b""" + java.util.regex.Pattern.quote(tbl) +
+                """\b""").r.findFirstIn(sql).isDefined
+          }) => ty
         }
         owner.flatMap(enumTypes.get) match {
           case Some(labels) =>
@@ -2275,7 +2295,7 @@ object PgDialect {
     // statement then REFERENCES that name (anonymous_columns.sql's
     // `ORDER BY "?column?"`), alias the single anonymous item so the
     // reference resolves
-    if (sql.contains("\"?column?\""))
+    if (sql.contains("\"?column?\"")) {
       sql = ("""(?is)(\(\s*SELECT\s+)""" +
         """((?:[^(),']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))+?)""" +
         """(\s+FROM\b)""").r.replaceAllIn(sql, m => {
@@ -2286,6 +2306,28 @@ object PgDialect {
         else java.util.regex.Matcher.quoteReplacement(
           m.group(1) + item + " AS \"?column?\"" + m.group(3))
       })
+      // ... and the UNPARENTHESIZED top-level spelling (r11 ADVICE):
+      // `SELECT a+b FROM t ORDER BY "?column?"`. Aliasing a single
+      // anonymous item AS "?column?" is PG's own default name, so
+      // the rewrite is semantics-preserving wherever it fires.
+      locally {
+        val (pre, mq) = splitWithPrelude(sql)
+        val items = selectItemsOf(mq)
+        val fi = topLevelIndex(mq, "FROM")
+        if (items.size == 1 && fi > 0 &&
+            """(?is)^\s*SELECT\s+DISTINCT\b""".r
+              .findFirstIn(mq).isEmpty) {
+          val item = items.head.trim
+          if (item != "*" && item.nonEmpty &&
+              """(?is)\bAS\s+\S+$""".r.findFirstIn(item).isEmpty &&
+              !item.contains("\"?column?\"")) {
+            val selIdx = mq.toUpperCase.indexOf("SELECT")
+            sql = pre + mq.substring(0, selIdx) + "SELECT " + item +
+              " AS \"?column?\" " + mq.substring(fi)
+          }
+        }
+      }
+    }
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>

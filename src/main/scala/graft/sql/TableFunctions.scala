@@ -254,7 +254,18 @@ object TableFunctions {
             val intParams = ps.nonEmpty && ps.forall(p =>
               """(?i)\b(int(eger|[248])?|smallint|bigint|serial)\b""".r
                 .findFirstIn(p).isDefined)
-            if (intParams && e.contains("/") && !e.contains(".") &&
+            // every identifier in the expression must BE a declared
+            // integer parameter (r11 ADVICE): a DECLAREd numeric
+            // local or any other name passes the charset check but
+            // is not integer-typed — truncating it would be wrong
+            val paramNames = ps.flatMap { p =>
+              val toks = p.trim.split("\\s+")
+              if (toks.length >= 2) Some(toks(0).toLowerCase) else None
+            }.toSet
+            val idents = """[A-Za-z_]\w*""".r.findAllIn(e)
+              .map(_.toLowerCase).toSet
+            if (intParams && idents.subsetOf(paramNames) &&
+                e.contains("/") && !e.contains(".") &&
                 """^[A-Za-z0-9_\s+\-*/%()]*$""".r.findFirstIn(e)
                   .contains(e))
               e = e.replace("/", " div ")
@@ -467,11 +478,58 @@ object TableFunctions {
     * `FROM fn(args) [AS] alias [(cols)]` / `JOIN fn(args) ...` and
     * `ROWS FROM (fn1(...), fn2(...)) AS a(c1, c2)` positions. Leaves
     * everything else byte-identical. */
+  /** PG evaluates aggregates BEFORE applying a called function:
+    * `SELECT fn(count(*)) FROM t` aggregates t to one row, then
+    * applies fn to that value (reference nested_execution.sql:17,41
+    * — Citus runs the aggregate on the coordinator and pushes only
+    * the constant into the nested call). The macro inliner would
+    * instead splice `count(*)` into the function BODY's WHERE, which
+    * is both wrong and unanalyzable — so when the sole select item
+    * is a registered scalar call whose single argument contains an
+    * aggregate, hoist the argument into a pre-aggregation derived
+    * table: `SELECT fn(x) FROM (SELECT <arg> AS x FROM <tail>) p`.
+    * Conservative: single select item, single argument, no GROUP BY
+    * in the tail (a grouped query returns multiple rows — different
+    * contract, untouched). */
+  private def hoistAggArgs(sql0: String): String = {
+    val aggRe =
+      """(?i)\b(count|sum|avg|min|max|bool_and|bool_or)\s*\(""".r
+    if (aggRe.findFirstIn(maskLiterals(sql0)).isEmpty) return sql0
+    val masked = maskLiterals(sql0)
+    val head = ("""(?is)^\s*(INSERT\s+INTO\s+[A-Za-z_][\w.]*\s+)?""" +
+      """SELECT\s+([A-Za-z_]\w*)\s*\(""").r
+    val m = head.findPrefixMatchOf(masked).getOrElse(return sql0)
+    var d = 1; var i = m.end
+    while (d > 0 && i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (d > 0) return sql0
+    val close = i - 1
+    val args = sql0.substring(m.end, close)
+    val fromM = """(?is)^\s*FROM\s""".r
+      .findPrefixMatchOf(masked.substring(close + 1))
+      .getOrElse(return sql0)
+    val tail = sql0.substring(close + 1 + fromM.end)
+    if (splitTop(args).length != 1 ||
+        aggRe.findFirstIn(maskLiterals(args)).isEmpty ||
+        resolve(m.group(2).toLowerCase, 1).isEmpty ||
+        """(?i)\bGROUP\s+BY\b""".r
+          .findFirstIn(maskLiterals(tail)).isDefined) return sql0
+    Option(m.group(1)).getOrElse("") +
+      s"SELECT ${m.group(2)}(__nx_agg) FROM " +
+      s"(SELECT ($args) AS __nx_agg FROM $tail) __nx_pre"
+  }
+
   def expand(sql: String): String = {
     // fast path: nothing registered → nothing can expand (the builtin
     // JOIN-wrap only matters for corpora that also register functions)
     if (fns.isEmpty || !sql.contains("(")) return sql
-    var out = sql
+    var out = hoistAggArgs(sql)
     var guard = 0
     var changed = true
     while (changed && guard < 20) {

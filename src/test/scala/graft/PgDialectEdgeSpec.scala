@@ -218,4 +218,59 @@ class PgDialectEdgeSpec extends AnyFunSuite {
       "edge_lu2 WHERE a = u1.a GROUP BY a) FROM edge_lu1 u1 " +
       "GROUP BY a) foo") === 3L)
   }
+
+  test("enum min/max owner-table rewrite is qualifier-AWARE: a " +
+      "qualified column of an unrelated table keeps native min/max " +
+      "even when the enum owner table appears in the statement") {
+    spark.sql("SELECT * FROM VALUES ('zebra'), ('alpha') AS t(m)")
+      .createOrReplaceTempView("edge_words")
+    spark.sql("SELECT * FROM VALUES ('happy'), ('ok') AS t(m)")
+      .createOrReplaceTempView("edge_moods")
+    PgDialect.registerEnum("edge_mood", Seq("sad", "ok", "happy"))
+    PgDialect.registerEnumColumn("edge_moods", "m", "edge_mood")
+    // w qualifies edge_words — native string min, NOT label ordinals
+    assert(one("SELECT min(w.m) FROM edge_words w, edge_moods") ===
+      "alpha")
+    // the owner table itself still folds through label order:
+    // sad < ok < happy, so min({happy, ok}) = 'ok' (string min
+    // would give 'happy')
+    assert(one("SELECT min(m) FROM edge_moods") === "ok")
+    // an alias OF the owner table resolves to it
+    assert(one("SELECT min(q.m) FROM edge_moods q") === "ok")
+  }
+
+  test("plpgsql integer-division: `/` compiles to integral div when " +
+      "every identifier is a declared integer parameter") {
+    graft.sql.TableFunctions.registerFromCreate(
+      "CREATE FUNCTION edge_div(thevalue integer) RETURNS integer " +
+        "AS $fn$ BEGIN RETURN thevalue * 3 / 2 + 1; END; $fn$ " +
+        "LANGUAGE plpgsql")
+    // PG: 3*3/2+1 with integer division = 4+1 = 5 (double would be 5.5)
+    assert(one("SELECT edge_div(3)").toString === "5")
+  }
+
+  test("date[] element normalization only fires on the unambiguous " +
+      "MM-DD-YYYY spelling — PG REJECTS '20-05-2020' under MDY " +
+      "rather than swapping fields") {
+    spark.sql("SELECT CAST('2020-05-20' AS DATE) AS d")
+      .createOrReplaceTempView("edge_dt")
+    assert(one("SELECT d = ANY('{05-20-2020}'::date[]) FROM edge_dt")
+      === true)
+    // first field 20 is no month: the element must NOT silently
+    // become May 20 — the untouched element reaches the CAST, which
+    // rejects it (ANSI), exactly PG's own out-of-range error
+    val ex = intercept[Throwable] {
+      one("SELECT d = ANY('{20-05-2020}'::date[]) FROM edge_dt")
+    }
+    assert(Option(ex.getMessage)
+        .exists(_.contains("CAST_INVALID_INPUT")),
+      s"expected the cast reject, got: ${ex.getMessage}")
+  }
+
+  test("\"?column?\" reference aliasing covers the UNPARENTHESIZED " +
+      "top-level SELECT too") {
+    val got = one(
+      "SELECT a + b FROM edge_gs ORDER BY \"?column?\" LIMIT 1")
+    assert(got === 11, s"min anonymous sum must be 11: $got")
+  }
 }

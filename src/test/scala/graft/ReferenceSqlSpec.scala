@@ -344,6 +344,60 @@ class ReferenceSqlSpec extends AnyFunSuite {
     assert(byFile("multi_tpch_query3.sql") > 0)
   }
 
+  test("every SELECT in the reference's multi_mx_tpch_query*.sql " +
+      "mirrors runs verbatim — the same TPC-H queries over the MX " +
+      "(metadata-synced) fixture names, replayed once per psql " +
+      "connection block (the files re-run each query from the " +
+      "coordinator and both workers)") {
+    assume(refDir.isDirectory, "reference tree not present")
+    registerTpchCompat()
+    // the MX fixtures are the same TPC-H relations under _mx names
+    // (reference multi_mx_create_table.sql / multi_mx_copy_data.sql)
+    Seq("lineitem", "orders", "customer", "nation", "part", "supplier")
+      .foreach(t =>
+        spark.table(t).createOrReplaceTempView(t + "_mx"))
+    val mxFiles = Seq("multi_mx_tpch_query1.sql",
+      "multi_mx_tpch_query3.sql", "multi_mx_tpch_query6.sql",
+      "multi_mx_tpch_query7.sql", "multi_mx_tpch_query7_nested.sql",
+      "multi_mx_tpch_query10.sql", "multi_mx_tpch_query12.sql",
+      "multi_mx_tpch_query14.sql", "multi_mx_tpch_query19.sql")
+    var ok = 0; var ran = 0
+    val rowsByFile = scala.collection.mutable.Map[String, Long]()
+    mxFiles.foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(refDir, f).toPath))
+      text.linesIterator
+        // psql \c reconnects carry no semicolon and would glom onto
+        // the following SELECT — drop all backslash meta lines
+        .filterNot(l => l.trim.startsWith("--") ||
+          l.trim.startsWith("\\"))
+        .mkString("\n").split(";").map(_.trim)
+        .filter(s => s.toUpperCase.startsWith("SELECT") ||
+          s.toUpperCase.startsWith("WITH"))
+        .foreach { stmt =>
+          ran += 1
+          try {
+            val n = PgDialect.sql(spark, stmt).count()
+            rowsByFile(f) = rowsByFile.getOrElse(f, 0L) + n
+            ok += 1
+          } catch { case e: Throwable =>
+            if (sys.env.contains("SPARK_GRAFT_REF_DEBUG"))
+              println("MXTPCHFAIL[" + f + "]: " +
+                stmt.split('\n').map(_.trim).mkString(" ").take(160) +
+                " => " + Option(e.getMessage).getOrElse("?")
+                  .linesIterator.take(1).mkString.take(140))
+          }
+        }
+    }
+    info(s"multi_mx_tpch_query*.sql: $ok/$ran statements run")
+    // 3 runs per file (coordinator + 2 workers), 9 files; query7 and
+    // query7_nested carry one statement per connection block too
+    assert(ran >= 27, s"expected the 9-file MX mirror corpus, got $ran")
+    assert(ok == ran, s"only $ok/$ran ran — a statement regressed")
+    assert(rowsByFile("multi_mx_tpch_query1.sql") > 0)
+    assert(rowsByFile("multi_mx_tpch_query3.sql") > 0)
+  }
+
   test("multi_single_relation_subquery.sql runs verbatim — single-" +
       "relation subquery aggregate patterns (avg-of-grouped-count, " +
       "HAVING vs outer WHERE, count(distinct) over a grouped derived " +
@@ -3767,6 +3821,19 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // nextval on a non-empty distributed table)
       if (state.sequences.nonEmpty && !pgRejected(stmt) &&
         """(?i)\b(nextval|currval)\s*\(""".r.findFirstIn(stmt).isDefined) {
+        // a sequence function SCAN (`FROM/JOIN nextval('s') n ON ..`,
+        // multi_function_in_join.sql:30,87): the reference
+        // materializes the call ONCE as a 1-row subplan (the .out's
+        // XXX_1 "generating subplan ... SELECT n FROM nextval(...)"),
+        // NOT per joined row — wrap as the equivalent 1-row derived
+        // table so the literal splice below lands inside
+        // `(SELECT <v> AS n) n`
+        stmt = ("""(?i)\b(FROM|JOIN)\s+(nextval|currval)\s*\(\s*""" +
+          """('[^']+'(?:\s*::\s*regclass)?)\s*\)\s+(?:AS\s+)?""" +
+          """([A-Za-z_]\w*)\b""").r.replaceAllIn(stmt, mm =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${mm.group(1)} (SELECT ${mm.group(2)}(${mm.group(3)}) " +
+              s"AS ${mm.group(4)}) ${mm.group(4)}"))
         stmt = """(?i)\b(nextval|currval)\s*\(\s*'([^']+)'\s*(?:::\s*regclass\s*)?\)""".r
           .replaceAllIn(stmt, mm => {
             val sn = strip(mm.group(2))
@@ -6641,13 +6708,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allTotal >= 40, s"expected a sizable corpus, got $allTotal")
-    assert(okTotal.toDouble / allTotal >= 0.7,
-      s"only $okTotal/$allTotal ran")
-    // function-scan macro expansion (function_call_delegation.c):
-    // the named file moves from 1/10 to ≥8/10
-    val (_, fOk, fAll) = perFile(1)
-    assert(fAll >= 9, s"multi_function_in_join: expected ≥9, got $fAll")
-    assert(fOk >= 8, s"multi_function_in_join: only $fOk/$fAll ran")
+    // EXACT pin as of r12: 38/38 + 12/12 — the `JOIN nextval('s') n`
+    // residual pair closed by the 1-row-derived-table wrap (the
+    // reference's own once-per-statement subplan semantics, .out
+    // "generating subplan ... SELECT n FROM nextval(...)")
+    assert(okTotal == allTotal, s"only $okTotal/$allTotal ran")
   }
 
   test("EXPLAIN-shape corpus: plan pins derived from the reference's " +
@@ -7490,7 +7555,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val (okTotal, allTotal) =
       (perFile.map(_._2).sum, perFile.map(_._3).sum)
     assert(allTotal >= 100, s"expected a sizable corpus, got $allTotal")
-    assert(okTotal.toDouble / allTotal >= 0.75,
+    // EXACT pin as of r12: all five files at 100% (63+2+18+1+75 —
+    // the aggregate-as-function-argument pre-aggregation closed
+    // nested_execution's last two statements)
+    assert(okTotal == allTotal,
       s"only $okTotal/$allTotal statements ran")
   }
 
