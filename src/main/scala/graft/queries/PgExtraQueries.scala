@@ -653,10 +653,75 @@ object PgExtraQueries extends QueryModule {
         AS DECIMAL(18,2)) AS DOUBLE) AS pct
       FROM h ORDER BY k"""))
 
+  /** LATERAL JOIN USING through the dialect front end (reference
+    * query_single_shard_table.sql LATERAL batteries) — Spark rejects
+    * the spelling outright (UNSUPPORTED_FEATURE.LATERAL_JOIN_USING);
+    * the dialect rewrites a correlated body to the qualified ON
+    * form. The oracle runs the manually decorrelated equivalent —
+    * an INDEPENDENT derivation of the same semantics. */
+  private val lateralJoinUsing = GraftQuery(
+    "pg_lateral_join_using",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT COUNT(*) AS n
+           FROM (SELECT * FROM events WHERE event_type = 'signup') e1
+           LEFT JOIN LATERAL (
+             SELECT * FROM events e2
+             WHERE e2.event_type = 'purchase' AND e2.value > e1.value
+           ) q USING(user_id)""")
+    },
+    Some("""SELECT COUNT(*) AS n
+      FROM (SELECT * FROM events WHERE event_type = 'signup') e1
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') q
+        ON e1.user_id = q.user_id AND q.value > e1.value"""))
+
+  /** Outer reference in a scalar subquery's SELECT list (reference
+    * query_single_shard_table.sql:1555-1574) — PG evaluates it per
+    * outer row; Catalyst rejects the position, so the dialect
+    * factors the outer term out of the subquery. The oracle runs
+    * the already-factored form DuckDB accepts natively. */
+  private val scalarSelectOuterRef = GraftQuery(
+    "pg_scalar_select_outer_ref",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT (SELECT (SELECT e.user_id + c_custkey)
+                   FROM customer WHERE c_custkey = e.user_id
+                   GROUP BY c_custkey) AS v
+           FROM events e
+           WHERE e.user_id BETWEEN 1 AND 100
+           GROUP BY 1 ORDER BY 1 LIMIT 5""")
+    },
+    Some("""SELECT v FROM (
+        SELECT e.user_id +
+          (SELECT c_custkey FROM customer
+           WHERE c_custkey = e.user_id) AS v
+        FROM events e WHERE e.user_id BETWEEN 1 AND 100) t
+      GROUP BY v ORDER BY v LIMIT 5"""))
+
+  /** A grouped query projecting a correlated scalar subquery whose
+    * outer refs are group keys (reference
+    * query_single_shard_table.sql:1584-1598) — the dialect wraps the
+    * functionally-dependent item in max() for Catalyst. The oracle
+    * counts the groups directly. */
+  private val groupedScalarSubquery = GraftQuery(
+    "pg_grouped_scalar_subquery",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT COUNT(*) AS n FROM (
+             SELECT (SELECT sum(c_nationkey) FROM customer
+                     WHERE c_custkey = u.user_id GROUP BY c_custkey)
+             FROM events u GROUP BY user_id) foo""")
+    },
+    Some("SELECT COUNT(DISTINCT user_id) AS n FROM events"))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
       histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
       jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap,
-      jsonbSubscript, pg16JsonAggs, isJsonShapes, pctPerGroupFraction)
+      jsonbSubscript, pg16JsonAggs, isJsonShapes, pctPerGroupFraction,
+      lateralJoinUsing, scalarSelectOuterRef, groupedScalarSubquery)
 }

@@ -349,6 +349,52 @@ object PgDialect {
           } else {
             val (f, t) = splitTail(fromPart0); ("", t, f)
           }
+        // `DISTINCT ON (keys) *` — the star cannot take an alias
+        // (recurring_outer_join.sql:631's DELETE..USING source).
+        // Keep the star and EXCEPT the helper columns back out
+        // (Spark supports `SELECT * EXCEPT (cols)`); ORDER BY may
+        // reference the excluded helpers — Spark resolves sort keys
+        // against the child plan.
+        val slTrim = selectList.trim
+        if (slTrim == "*" ||
+            slTrim.matches("""(?s)^[A-Za-z_]\w*\s*\.\s*\*$""")) {
+          val hidden =
+            scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          def h(tok: String): String = {
+            val t = tok.trim
+            hidden.find(_._1.equalsIgnoreCase(t)) match {
+              case Some((_, a)) => a
+              case None =>
+                val a = s"__k${hidden.size + 1}"
+                hidden += ((t, a)); a
+            }
+          }
+          val sDirRe =
+            """(?is)^(.*?)((\s+(ASC|DESC))?(\s+NULLS\s+(FIRST|LAST))?)\s*$""".r
+          def hOrd(tok: String): String = tok.trim match {
+            case sDirRe(e, suffix, _, _, _, _) if suffix.trim.nonEmpty =>
+              h(e) + " " + suffix.trim.toUpperCase
+            case e => h(e)
+          }
+          val partKeys = splitTopLevel(keys).map(h)
+          val windowOrder =
+            (if (ob.nonEmpty) splitTopLevel(ob).map(hOrd)
+             else partKeys).mkString(", ")
+          val outerOb =
+            if (ob.isEmpty) ""
+            else " ORDER BY " + splitTopLevel(ob).map(hOrd)
+              .mkString(", ")
+          val hiddenSel =
+            hidden.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+          return s"SELECT * EXCEPT " +
+            s"(${(hidden.map(_._2) :+ "__rn").mkString(", ")}) FROM " +
+            s"(SELECT *, row_number() OVER " +
+            s"(PARTITION BY ${partKeys.mkString(", ")} " +
+            s"ORDER BY $windowOrder) AS __rn FROM " +
+            s"(SELECT $slTrim, $hiddenSel FROM $fromPart)) " +
+            s"WHERE __rn = 1" + outerOb +
+            (if (tail.nonEmpty) " " + tail else "")
+        }
         // alias every select item so the outer query can re-project
         final case class Item(expr: String, alias: String)
         val identRe = """[A-Za-z_][\w.]*"""
@@ -412,6 +458,24 @@ object PgDialect {
       case _ => sql
     }
   }
+
+  /** PG allows `SELECT [DISTINCT] * FROM t GROUP BY 1, 2, ..., N`;
+    * Spark rejects star select lists with ordinal grouping
+    * (STAR_GROUP_BY_POS — reference multi_select_distinct.sql:28).
+    * A PG-VALID statement's ordinals must cover every output column
+    * (PG errors on any ungrouped column), so the exact translation
+    * is `GROUP BY ALL`. Fires only when the ordinals are exactly
+    * 1..N consecutive and the select list is a bare star. */
+  def rewriteStarOrdinalGroupBy(sql: String): String =
+    if (!sql.contains("*")) sql
+    else ("""(?is)\b(SELECT\s+(?:DISTINCT\s+)?\*\s+""" +
+      """FROM\s+[A-Za-z_][\w.]*\s+GROUP\s+BY\s+)""" +
+      """((?:\d+\s*,\s*)*\d+)(?![\w,])""").r.replaceAllIn(sql, m => {
+      val nums = m.group(2).split(",").map(_.trim.toInt)
+      if (nums.zipWithIndex.forall { case (n, i) => n == i + 1 })
+        java.util.regex.Matcher.quoteReplacement(m.group(1) + "ALL")
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
 
   /** PG limit/offset forms Spark doesn't parse: `LIMIT NULL` /
     * `LIMIT ALL` (no limit) drop, `OFFSET n LIMIT m` reorders. */
@@ -2330,6 +2394,7 @@ object PgDialect {
     }
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
+    sql = rewriteStarOrdinalGroupBy(sql)
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
     // ... and on the main query, which may sit after a WITH prelude.
@@ -2756,6 +2821,36 @@ object PgDialect {
               while (j >= 0 && (s.charAt(j).isLetterOrDigit ||
                 s.charAt(j) == '_')) j -= 1
               val prev = s.substring(j + 1, e + 1)
+              // under a bare `SELECT *` the USING form MERGES the
+              // join column while ON keeps both sides — rewriting
+              // would silently change the output column set, so the
+              // enclosing select list must not star-expand (qualified
+              // stars like `t1.*` expand identically under both
+              // forms and pass). The enclosing SELECT is found by a
+              // depth-tracked backward walk; no enclosing SELECT or
+              // FROM → rewrite as before.
+              def bareStarSelect: Boolean = {
+                var depth = 0; var k = m.start - 1; var selIdx = -1
+                def w(c: Char) = c.isLetterOrDigit || c == '_'
+                while (k >= 0 && selIdx < 0) {
+                  val c = s.charAt(k)
+                  if (c == ')') depth += 1
+                  else if (c == '(') { if (depth > 0) depth -= 1 }
+                  else if (depth == 0 &&
+                    (k == 0 || !w(s.charAt(k - 1))) &&
+                    s.regionMatches(true, k, "SELECT", 0, 6) &&
+                    (k + 6 >= s.length || !w(s.charAt(k + 6))))
+                    selIdx = k
+                  k -= 1
+                }
+                selIdx >= 0 && {
+                  val sub = s.substring(selIdx)
+                  val fi = topLevelIndex(sub, "FROM")
+                  fi > 0 && """(?<![\w.])\*""".r
+                    .findFirstIn(blankParens(sub.substring(6, fi)))
+                    .isDefined
+                }
+              }
               prev.nonEmpty && !prev.head.isDigit &&
                 !kws.contains(prev.toUpperCase) && {
                   val alias = tm.group(1)
@@ -2765,7 +2860,9 @@ object PgDialect {
                   val corr = ("""(?i)\b""" +
                     java.util.regex.Pattern.quote(prev) + """\s*\.""").r
                     .findFirstIn(body).isDefined
-                  if (corr && cols.nonEmpty) {
+                  // the star guard only constrains the ON branch —
+                  // de-LATERAL-izing keeps USING and its merge
+                  if (corr && cols.nonEmpty && !bareStarSelect) {
                     val on = " ON " + cols.map(c =>
                       s"$prev.$c = $alias.$c").mkString(" AND ")
                     s = s.substring(0, close + 1) + " " + alias + on +

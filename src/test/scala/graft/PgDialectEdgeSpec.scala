@@ -201,6 +201,19 @@ class PgDialectEdgeSpec extends AnyFunSuite {
       "JOIN edge_lu1 t5 USING(a)") === 4L)
   }
 
+  test("LATERAL JOIN USING under a bare SELECT * does NOT rewrite — " +
+      "the ON form would silently change the star-expanded column " +
+      "set (USING merges the join column), so the loud error stays") {
+    lateralFixtures()
+    val ex = intercept[Throwable] {
+      rows("SELECT * FROM edge_lu1 t1 LEFT JOIN LATERAL (" +
+        "SELECT * FROM edge_lu2 t2 WHERE t2.b > t1.a) q USING(a)")
+    }
+    assert(Option(ex.getMessage)
+        .exists(_.contains("LATERAL_JOIN_USING")),
+      s"expected the unsupported-feature reject, got: ${ex.getMessage}")
+  }
+
   test("outer reference in a scalar subquery's SELECT list hoists out " +
       "(PG evaluates it per outer row; Catalyst rejects the position)") {
     lateralFixtures()
@@ -217,6 +230,16 @@ class PgDialectEdgeSpec extends AnyFunSuite {
     assert(one("SELECT count(*) FROM (SELECT (SELECT sum(a) FROM " +
       "edge_lu2 WHERE a = u1.a GROUP BY a) FROM edge_lu1 u1 " +
       "GROUP BY a) foo") === 3L)
+  }
+
+  test("DISTINCT ON (k) * keeps the star (no alias) and EXCEPTs the " +
+      "helper columns back out — first row per key, original schema") {
+    lateralFixtures()
+    // per a: first row by b asc → (1,5), (2,25), (4,40)
+    val got = rows("SELECT DISTINCT ON (a) * FROM edge_lu2 " +
+      "ORDER BY a, b")
+    assert(got === Seq(Seq(1, 5), Seq(2, 25), Seq(4, 40)),
+      s"expected first-per-key rows with 2 columns, got $got")
   }
 
   test("enum min/max owner-table rewrite is qualifier-AWARE: a " +
