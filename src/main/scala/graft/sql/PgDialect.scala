@@ -459,6 +459,95 @@ object PgDialect {
     }
   }
 
+  /** Spark's recursive CTEs accept only UNION ALL between the anchor
+    * and the recursive term; PG also allows UNION, whose per-step
+    * dedup doubles as cycle protection (multi_router_planner.sql's
+    * company_employees hierarchy walks). On ACYCLIC recursion — every
+    * corpus use; the hierarchies are single-parent trees — UNION ALL
+    * produces the identical row set, so the spelling rewrites.
+    * Cyclic inputs that PG terminates via the dedup would not
+    * terminate here: a genuine engine difference, traded consciously
+    * for the whole acyclic surface. */
+  def rewriteRecursiveUnion(sql: String): String =
+    if ("""(?i)\bWITH\s+RECURSIVE\b""".r.findFirstIn(sql).isEmpty) sql
+    else {
+      var s = sql
+      var changed = true
+      var guard = 0
+      val cteRe = ("""(?is)\bRECURSIVE\s+[A-Za-z_]\w*\s*""" +
+        """(?:\([^)]*\)\s*)?AS\s+(?:NOT\s+)?(?:MATERIALIZED\s+)?\(""").r
+      while (changed && guard < 8) {
+        changed = false; guard += 1
+        cteRe.findAllMatchIn(s).toSeq.find { m =>
+          val open = m.end - 1
+          val close = matchParen(s, open)
+          close > 0 && {
+            val body = s.substring(open + 1, close)
+            val flat = blankParens(body)
+            """(?i)\bUNION\s+(?!ALL\b)""".r.findFirstMatchIn(flat)
+              .exists { um =>
+                s = s.substring(0, open + 1) +
+                  body.substring(0, um.start) + "UNION ALL " +
+                  body.substring(um.start).replaceFirst(
+                    """(?is)^UNION\s+""", "") +
+                  s.substring(close)
+                changed = true
+                true
+              }
+          }
+        }
+      }
+      s
+    }
+
+  /** A set-returning `generate_series` inside a VALUES tuple — PG
+    * expands the tuple to one row per element
+    * (multi_router_planner_fast_path.sql's `INSERT .. VALUES
+    * (generate_series(1, 10), repeat(..))`); Spark has no SRF-in-
+    * VALUES, but the equivalent SELECT over an exploded sequence
+    * does the same expansion. */
+  def rewriteSrfValues(sql: String): String =
+    if ("""(?i)\bVALUES\b""".r.findFirstIn(sql).isEmpty ||
+        """(?i)\bgenerate_series\s*\(""".r.findFirstIn(sql).isEmpty) sql
+    else {
+      var s = sql
+      var changed = true
+      var guard = 0
+      val re = """(?is)\(\s*VALUES\s*\(""".r
+      val gsRe =
+        """(?is)^generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)$""".r
+      while (changed && guard < 8) {
+        changed = false; guard += 1
+        re.findAllMatchIn(s).toSeq.find { m =>
+          val outerOpen = m.start
+          val vOpen = m.end - 1
+          val vClose = matchParen(s, vOpen)
+          val outerClose = matchParen(s, outerOpen)
+          vClose > 0 && outerClose > vClose && {
+            val items = splitTopLevel(s.substring(vOpen + 1, vClose))
+              .map(_.trim)
+            // exactly ONE series item (PG zips multiple SRFs — not a
+            // corpus shape); it may sit at any tuple position
+            val gsIdx = items.indexWhere(gsRe.findFirstIn(_).isDefined)
+            gsIdx >= 0 &&
+              items.count(gsRe.findFirstIn(_).isDefined) == 1 && {
+                val gsRe(a, b) = items(gsIdx): @unchecked
+                val sel = items.zipWithIndex.map { case (it, ix) =>
+                  if (ix == gsIdx) "__gs" else it
+                }.mkString(", ")
+                s = s.substring(0, outerOpen) +
+                  s"(SELECT $sel FROM (SELECT " +
+                  s"explode(sequence($a, $b)) AS __gs))" +
+                  s.substring(outerClose + 1)
+                changed = true
+                true
+              }
+          }
+        }
+      }
+      s
+    }
+
   /** PG allows `SELECT [DISTINCT] * FROM t GROUP BY 1, 2, ..., N`;
     * Spark rejects star select lists with ordinal grouping
     * (STAR_GROUP_BY_POS — reference multi_select_distinct.sql:28).
@@ -521,6 +610,14 @@ object PgDialect {
     * untouched. */
   def rewriteFnNames(sql: String): String = withMaskedLiterals(sql) { sql =>
     var s = """(?i)\bstrpos\s*\(""".r.replaceAllIn(sql, "instr(")
+    // PG array_fill(v, ARRAY[n]) — an n-element array of v
+    // (insert_select_repartition.sql:589's dist_func body) →
+    // array_repeat; only the 1-D spelling maps
+    s = ("""(?i)\barray_fill\s*\(\s*((?:[^(),]|\([^()]*\))+)\s*,""" +
+      """\s*ARRAY\s*\[\s*((?:[^\[\],]|\([^()]*\))+)\s*\]\s*\)""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"array_repeat(${m.group(1).trim}, " +
+          s"CAST(${m.group(2).trim} AS INT))"))
     // PG17 range randoms (pg_proc.dat random(min,max) overloads):
     // random(a, b) draws an integer uniformly in [a, b];
     // random_normal(mean, stddev) is a Gaussian draw — both map to
@@ -637,7 +734,12 @@ object PgDialect {
     s = """(?is)\btrunc\s*\(((?:[^(),]|\([^()]*\))+)\)""".r
       .replaceAllIn(s, m =>
         if (volatileRe.findFirstIn(m.group(1)).isDefined)
-          java.util.regex.Matcher.quoteReplacement(m.matched)
+          // a volatile operand must evaluate ONCE — the bigint cast
+          // truncates toward zero in a single evaluation (the type
+          // narrows, which is fine for the corpus's integer-valued
+          // uses: trunc(10 * random()) feeding int columns)
+          java.util.regex.Matcher.quoteReplacement(
+            s"CAST((${m.group(1)}) AS BIGINT)")
         else java.util.regex.Matcher.quoteReplacement(
           s"((${m.group(1)}) - ((${m.group(1)}) % 1))"))
     s = """(?is)\bextract\s*\(\s*epoch\s+from\s+((?:[^()]|\([^()]*\))*)\)""".r
@@ -749,6 +851,36 @@ object PgDialect {
     // generic unnest→explode pass but matches both spellings (an
     // inlined macro body may arrive already explode-spelled).
     s = rewriteArraySubqueryIdiom(s)
+    // PG multi-array UNNEST zips the arrays row-wise with NULL
+    // padding (with_modifying.sql's `UNNEST((ARRAY[..]), (ARRAY[..]))
+    // AS ids(o_id, d_id)`); Spark's explode is single-array, but
+    // inline(arrays_zip(..)) is the exact equivalent — arrays_zip
+    // NULL-pads the shorter arrays too, and a trailing
+    // `AS alias(c1, c2)` re-labels the struct fields as derived-table
+    // column aliases.
+    locally {
+      var out = s
+      var changed = true
+      var guard = 0
+      while (changed && guard < 16) {
+        changed = false; guard += 1
+        """(?i)\bunnest\s*\(""".r.findAllMatchIn(out).toSeq.find { m =>
+          val close = matchParen(out, m.start)
+          close > 0 && {
+            val open = out.indexOf('(', m.start)
+            val args = splitTopLevel(out.substring(open + 1, close))
+            args.size >= 2 && {
+              out = out.substring(0, m.start) +
+                "(SELECT inline(arrays_zip(" +
+                args.map(_.trim).mkString(", ") + ")))" +
+                out.substring(close + 1)
+              changed = true; true
+            }
+          }
+        }
+      }
+      s = out
+    }
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
     // PG row_to_json(row(...)) → to_json(struct(...)) (the row→struct
@@ -1164,6 +1296,33 @@ object PgDialect {
           else m.matched
         })
     }
+    // ... and as a bare SELECT ITEM (`SELECT y, t FROM t` —
+    // columnar_chunk_filtering.sql:270): the whole row renders as a
+    // composite. Conservative: the item must EQUAL a name the
+    // statement's FROM/JOIN clause introduces (PG prefers a COLUMN of
+    // that name if one exists, which textual rewriting can't see —
+    // but a table whose column shadows its own name never appears in
+    // the corpora).
+    locally {
+      val src = s
+      // single-relation statements only: with joins present, a
+      // select item equal to one table's name could legitimately be
+      // a COLUMN of another — too ambiguous for a textual pass
+      val froms = """(?i)\bfrom\s+([A-Za-z_]\w*)\s*(?:;|$|\bwhere\b|\border\b|\bgroup\b|\blimit\b)""".r
+        .findAllMatchIn(src).map(_.group(1).toLowerCase).toSet
+      if (froms.size == 1 &&
+          """(?i)\bjoin\b|,\s*[A-Za-z_]\w*\s*(?:;|$|\bwhere\b)""".r
+            .findFirstIn(src).isEmpty)
+        s = ("""(?is)(SELECT\s+|,\s*)([A-Za-z_]\w*)""" +
+          """(?=\s*(?:,|\bFROM\b))""").r.replaceAllIn(s, m => {
+          val n = m.group(2)
+          if (froms.contains(n.toLowerCase) &&
+              !n.equalsIgnoreCase("DISTINCT"))
+            java.util.regex.Matcher.quoteReplacement(
+              s"${m.group(1)}struct($n.*)")
+          else java.util.regex.Matcher.quoteReplacement(m.matched)
+        })
+    }
     // PG permits GROUPING() under a plain GROUP BY (constant 0 — the
     // row is always fully grouped); Spark only under
     // rollup/cube/grouping sets
@@ -1439,12 +1598,54 @@ object PgDialect {
       literals += m.matched
       s"__GRAFT_LIT_${literals.size - 1}__"
     })
+    // PG 2-D array literals `ARRAY[[a],[b]]` (row_types.sql:42) — the
+    // inner bracket groups are sub-arrays; convert them to array(..)
+    // FIRST so the flat-literal regex below never truncates at the
+    // inner `]`
+    var masked2 = masked
+    locally {
+      def brkClose(s: String, open: Int): Int = {
+        var d = 0; var i = open
+        while (i < s.length) {
+          s.charAt(i) match {
+            case '[' => d += 1
+            case ']' => d -= 1; if (d == 0) return i
+            case _ => ()
+          }
+          i += 1
+        }
+        -1
+      }
+      var changed = true
+      var guard = 0
+      while (changed && guard < 16) {
+        changed = false; guard += 1
+        """(?i)(?<![\w."])ARRAY\s*\[\s*\[""".r
+          .findFirstMatchIn(masked2).foreach { mm =>
+            val open = masked2.indexOf('[', mm.start)
+            val close = brkClose(masked2, open)
+            if (close > 0) {
+              val conv = splitTopLevel(
+                masked2.substring(open + 1, close)).map { el =>
+                val t = el.trim
+                if (t.startsWith("[") && t.endsWith("]"))
+                  "array(" + t.substring(1, t.length - 1) + ")"
+                else t
+              }
+              masked2 = masked2.substring(0, mm.start) +
+                "array(" + conv.mkString(", ") + ")" +
+                masked2.substring(close + 1)
+              changed = true
+            }
+          }
+      }
+    }
     // case-insensitive: the corpora spell both ARRAY[..] and array[..]
     // (aggregate_support.sql:663); `array` is a PG reserved word, so
     // no subscripted column can collide — but a column NAMED
     // `..._array[i]` is a subscript, hence the lookbehind
     val lit = """(?i)(?<![\w."])ARRAY\s*\[([^\]]*)\]""".r
-      .replaceAllIn(masked, m =>
+      .replaceAllIn(masked2, m =>
         java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
     // PG array-literal strings in quantifier position
     // (`ANY ('{1,2,3}')`, optionally `::int[]`-cast) → array(...)
@@ -1584,7 +1785,11 @@ object PgDialect {
     // them (pg16.sql: `js::jsonb` over `{ "a": 1, "a": null }` →
     // `{"a": null}`). Literal::jsonb casts keep their text path (the
     // corpus literals are already canonical).
-    sql1 = """([A-Za-z_][\w.]*)\s*::\s*jsonb\b""".r
+    // the (?<!:) guard keeps a CHAIN's intermediate type name from
+    // being taken as the base (`a::TEXT::jsonb` must not normalize
+    // "TEXT" — the chain goes to rewriteCasts, where ::jsonb is a
+    // typed no-op; multi_update_select.sql's jsonb-subscript UPDATEs)
+    sql1 = """(?<!:)\b([A-Za-z_][\w.]*)\s*::\s*jsonb\b""".r
       .replaceAllIn(sql1, m => java.util.regex.Matcher.quoteReplacement(
         s"__jsonb_norm(${m.group(1)})"))
     // PG17 SQL/JSON function family (pg17_json.sql), mapped onto the
@@ -2252,6 +2457,34 @@ object PgDialect {
           java.util.regex.Matcher.quoteReplacement(
             els.mkString("array(", ", ", ")"))
         })
+    // `(expr::comp).field` — an EXPLICIT composite cast both names
+    // the type (field index + type known from the registry) and
+    // marks the operand as the PG TEXT carrier `(v1,v2)`
+    // (insert_select_repartition.sql:601's mapped_key): extract the
+    // CSV element and cast it to the field's declared type. Corpus
+    // values are unquoted; an empty element reads as NULL.
+    s = ("""\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)""" +
+      """\s*\.\s*([A-Za-z_]\w*)""").r.replaceAllIn(s, m =>
+      compositeTypes.get(m.group(2).toLowerCase) match {
+        case Some(fields)
+            if fields.exists(_._1.equalsIgnoreCase(m.group(3))) =>
+          val i = fields.indexWhere(_._1.equalsIgnoreCase(m.group(3)))
+          val col = m.group(1)
+          java.util.regex.Matcher.quoteReplacement(
+            s"CAST(nullif(element_at(split(substring($col, 2, " +
+              s"length($col) - 2), ','), ${i + 1}), '') AS " +
+              s"${mapType(fields(i)._2)})")
+        case _ => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+    // PG composite FIELD read `(col).field` (multi_reference_table
+    // .sql:966) — over a struct-typed column (the registered-type
+    // named_struct rendering) this is plain qualified access; the
+    // paren wrapper is PG syntax only. A table alias in the parens
+    // resolves identically (`(t).x` ≡ `t.x`). The lookahead excludes
+    // `(x).*` star expansion, which has its own pass.
+    s = """\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*(?!\*)([A-Za-z_]\w*)""".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}.${m.group(2)}"))
     var go = true
     while (go) {
       go = false
@@ -2394,7 +2627,8 @@ object PgDialect {
     }
     // statement-scoped rewrites (named windows, DISTINCT ON, PG
     // default column names) apply inside every subquery body too
-    sql = rewriteStarOrdinalGroupBy(sql)
+    sql = rewriteSrfValues(
+      rewriteRecursiveUnion(rewriteStarOrdinalGroupBy(sql)))
     val scoped = mapSubqueryBodies(rewriteQuotedIdents(sql), b =>
       rewriteDefaultAggAliases(rewriteDistinctOn(rewriteNamedWindows(b))))
     // ... and on the main query, which may sit after a WITH prelude.
@@ -2896,10 +3130,49 @@ object PgDialect {
       // masked string literal here) → the member's canonical jsonb
       // text, NULL when absent (pg14.sql test_jsonb_subscript WHERE
       // probes compare against jsonb literals like '"value"')
-      val s1 =
+      var s1 =
         """(?i)\b((?!ARRAY\b)[A-Za-z_][\w.]*)\s*\[\s*(__GRAFT_LIT_\d+__)\s*\]""".r
           .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
             s"__jsonb_get(${m.group(1)}, ${m.group(2)})"))
+      // CHAINED jsonb subscripts — `j['a']['c']`, `j['a'][0]`
+      // (multi_update_select.sql's nested jsonb updates): after the
+      // pass above the base is a __jsonb_get(..) call; fold each
+      // trailing subscript into another __jsonb_get (the UDF reads
+      // numeric keys as array indexes, PG's jsonb subscript rule)
+      locally {
+        var changed = true
+        var guard = 0
+        while (changed && guard < 16) {
+          changed = false; guard += 1
+          """\)\s*\[\s*(__GRAFT_LIT_\d+__|\d+)\s*\]""".r
+            .findAllMatchIn(s1).toSeq.find { m =>
+              var d = 0; var k = m.start; var open = -1
+              while (k >= 0 && open < 0) {
+                s1.charAt(k) match {
+                  case ')' => d += 1
+                  case '(' => d -= 1; if (d == 0) open = k
+                  case _ => ()
+                }
+                k -= 1
+              }
+              open > 0 && {
+                var b = open - 1
+                while (b >= 0 && (s1.charAt(b).isLetterOrDigit ||
+                  s1.charAt(b) == '_')) b -= 1
+                s1.substring(b + 1, open) == "__jsonb_get" && {
+                  val call = s1.substring(b + 1, m.start + 1)
+                  val key = m.group(1)
+                  val keyExpr =
+                    if (key.matches("\\d+")) s"'$key'" else key
+                  s1 = s1.substring(0, b + 1) +
+                    s"__jsonb_get($call, $keyExpr)" +
+                    s1.substring(m.end)
+                  changed = true; true
+                }
+              }
+            }
+        }
+      }
       """(?i)\b((?!ARRAY\b)[A-Za-z_][\w.]*)\s*\[\s*(\d+)\s*\]""".r
         .replaceAllIn(s1, m => java.util.regex.Matcher.quoteReplacement(
           s"try_element_at(${m.group(1)}, ${m.group(2)})"))
@@ -3039,7 +3312,11 @@ object PgDialect {
                   val named = splitTopLevel(inner).zipWithIndex
                     .map { case (e, ix) => s"'f${ix + 1}', ${e.trim}" }
                     .mkString("named_struct(", ", ", ")")
-                  s = s.substring(0, i) + named + s.substring(j)
+                  // leading space: the site may abut a keyword with
+                  // no whitespace (`DISTINCT(a, b)`, data_types.sql's
+                  // count(DISTINCT(..)) — gluing produced the bogus
+                  // routine name DISTINCTnamed_struct)
+                  s = s.substring(0, i) + " " + named + s.substring(j)
                   go = true
                 }
               }
@@ -3835,17 +4112,26 @@ object PgDialect {
           if (items.isEmpty) body
           else {
             var touched = false
+            val aliasRe = """(?is)^(.*\))\s+AS\s+([A-Za-z_"]\w*"?)$""".r
             val out = items.zipWithIndex.map { case (it0, ix) =>
               val it = it0.trim
-              val isScalar = it.startsWith("(") &&
-                """(?is)^\(\s*SELECT\b""".r.findFirstIn(it).isDefined &&
-                matchParen(it, 0) == it.length - 1
+              // the scalar may carry an output alias (`(SELECT ..)
+              // AS c_id`, with_modifying.sql's olu battery) — wrap
+              // the subquery, keep the alias outside the max()
+              val (core, aliasSuf) = it match {
+                case aliasRe(c, al) => (c.trim, " AS " + al)
+                case _ => (it, "")
+              }
+              val isScalar = core.startsWith("(") &&
+                """(?is)^\(\s*SELECT\b""".r.findFirstIn(core).isDefined &&
+                matchParen(core, 0) == core.length - 1
               val grouped =
                 ("""\b""" + (ix + 1) + """\b""").r
                   .findFirstIn(blankParens(groupClause)).isDefined ||
-                groupClause.contains(it)
-              if (isScalar && !grouped) { touched = true; s"max($it)" }
-              else it0
+                groupClause.contains(core)
+              if (isScalar && !grouped) {
+                touched = true; s"max($core)$aliasSuf"
+              } else it0
             }
             if (!touched) body
             else body.substring(0, body.toUpperCase.indexOf("SELECT")) +

@@ -271,6 +271,36 @@ object TableFunctions {
               e = e.replace("/", " div ")
             "SELECT (" + e + ")"
           })
+          .orElse {
+            // plpgsql OUT-parameter assignment bodies (row_types.sql's
+            // `record_returner(INOUT id int, OUT name text)` with
+            // `id := id + 1; name := 'returned';`): every statement
+            // assigns an OUT/INOUT param — the composite result is
+            // the OUT params in declaration order; an unassigned
+            // INOUT keeps its input value (the param name, which
+            // substitute() splices with the argument)
+            val allAsgRe = ("""(?is)^\s*BEGIN\s+""" +
+              """((?:[A-Za-z_]\w*\s*:=\s*[^;]+;\s*)+)END\s*;?\s*$""").r
+            allAsgRe.findFirstMatchIn(bodyClean).flatMap { mm =>
+              val asg = """(?s)([A-Za-z_]\w*)\s*:=\s*([^;]+);""".r
+                .findAllMatchIn(mm.group(1))
+                .map(a => a.group(1).toLowerCase -> a.group(2).trim)
+                .toList
+              val byVar = asg.groupBy(_._1).view
+                .mapValues(_.last._2).toMap
+              if (outNames.nonEmpty &&
+                  byVar.keySet.subsetOf(outNames.map(_.toLowerCase).toSet))
+                Some(
+                  if (outNames.size == 1)
+                    "SELECT (" +
+                      byVar.getOrElse(outNames.head.toLowerCase,
+                        outNames.head) + ")"
+                  else "SELECT struct(" + outNames.map(o =>
+                    byVar.getOrElse(o.toLowerCase, o))
+                    .mkString(", ") + ")")
+              else None
+            }
+          }
           .getOrElse(return false)
       }
 
@@ -424,7 +454,13 @@ object TableFunctions {
           val i = closeParen(cm.end)
           val nA = splitTop(out.substring(cm.end, i - 1)).length
           resolve(cm.group(1).toLowerCase, nA).exists { fd =>
-            fd.scalar &&
+            // a NON-scalar (TABLE/record-returning) function with a
+            // FROM-less SELECT body is a single composite row — PG
+            // renders it as one composite value per call site
+            // (row_types.sql's table_returner/record_returner in the
+            // select list); the paren-wrapped inline becomes a row
+            // constructor, which the dialect turns into a struct
+            (fd.scalar || !hasTopLevelFrom(fd.body)) &&
               """(?is)^SELECT\s""".r.findPrefixMatchOf(fd.body).isDefined &&
               volatileRe.findFirstIn(fd.body).isEmpty
           } && """(?is)^\s*WITH\s+ORDINALITY""".r

@@ -240,8 +240,27 @@ class ReferenceSqlSpec extends AnyFunSuite {
     * are excluded — they are negative tests in the reference, not
     * supported surface. */
   private def selectsOf(file: String): Seq[String] = {
-    val text = new String(java.nio.file.Files.readAllBytes(
+    val text0 = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, file).toPath))
+    // `SELECT public.explain_with_pg17_initplan_format($Q$ EXPLAIN
+    // (..) <query>; $Q$) as "QUERY PLAN"` — the plan-diff wrapper's
+    // body carries its own ';', which would otherwise SPLIT the
+    // statement into two garbage fragments
+    // (multi_reference_table.sql:996). pg_regress only PLANS the
+    // wrapped query (its golden is plan text, never rows), and the
+    // selectsOf tests load fixtures once with no state evolution —
+    // running the inner query against end-state data is not the
+    // tested surface, so the wrapper drops whole.
+    val text1 = ("""(?is)SELECT\s+[^;()]*?\b(?:""" +
+      """explain_with_pg17_initplan_format|""" +
+      """coordinator_plan(?:_with_subplans)?)\s*""" +
+      """\(\s*\$Q\$(.*?)\$Q\$\s*\)\s*(?:as\s+"[^"]*")?\s*;""").r
+      .replaceAllIn(text0, _ => " ")
+    // the single-quoted `explain_filter('EXPLAIN ...')` spelling is
+    // the same plan-probe class (multi_subquery_window_functions.sql)
+    val text = ("""(?is)SELECT\s+[^;()]*?\bexplain_filter\s*""" +
+      """\(\s*'(?:[^']|'')*'\s*(?:,\s*\w+\s*)?\)\s*;""").r
+      .replaceAllIn(text1, _ => " ")
     val pgErrs = pgExpectedErrors(file)
     text.linesIterator
       .filterNot(_.trim.startsWith("--"))
@@ -564,7 +583,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
     }
     def sparkType(pg: String): String = {
       val t = pg.trim.toLowerCase
-      if (t.contains("[")) // PG array column (`text[]`)
+      // a REGISTERED composite column keeps its struct shape (the
+      // named_struct rendering) instead of flattening to STRING —
+      // `(data).key` then reads as native field access
+      val comp = graft.sql.PgDialect.compositeFields(t)
+      if (comp.isDefined)
+        comp.get.map { case (n, ct) => s"$n: $ct" }
+          .mkString("STRUCT<", ", ", ">")
+      else if (t.contains("[")) // PG array column (`text[]`)
         "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
       else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
@@ -903,6 +929,24 @@ class ReferenceSqlSpec extends AnyFunSuite {
           } else None
         }.toSeq
     }
+    // the files' own non-SELECT fixtures this SELECT-only replay
+    // needs: the `subq` window VIEW
+    // (multi_subquery_window_functions.sql:5) and the
+    // sql_subquery_test SQL function (multi_subquery_misc.sql)
+    locally {
+      val wtxt = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(refDir,
+          "multi_subquery_window_functions.sql").toPath))
+      """(?is)CREATE\s+VIEW\s+subq\s+AS\s+(.*?);""".r
+        .findFirstMatchIn(wtxt).foreach(m =>
+          PgDialect.sql(spark, m.group(1))
+            .createOrReplaceTempView("subq"))
+      val mtxt = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(refDir, "multi_subquery_misc.sql").toPath))
+      """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION.*?\$\$.*?\$\$[^;]*""".r
+        .findAllIn(mtxt)
+        .foreach(graft.sql.TableFunctions.registerFromCreate(_))
+    }
     val perFile = Seq("multi_outer_join.sql",
       "multi_subquery_union.sql",
       "multi_subquery_window_functions.sql",
@@ -921,6 +965,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
           s.contains("create_reference_table") ||
           s.contains("events_regular_table") ||
           s.contains("users_regular_table") ||
+          // the explain_filter('EXPLAIN ..') plan probe — its golden
+          // is plan text, never rows
+          s.contains("explain_filter") ||
           // plpgsql / UDF fixtures and result-staging reads
           s.contains("plpgsql") || s.contains("_udf") ||
           s.contains("read_intermediate_result") ||
@@ -1196,6 +1243,17 @@ class ReferenceSqlSpec extends AnyFunSuite {
       (1 to 3).toDF("user_id").createOrReplaceTempView("reference_table")
       Seq(("key-1", 1), ("key-2", 2)).toDF("key", "value")
         .createOrReplaceTempView("insert_select_varchar_test")
+      // the file's own mid-file fixtures whose DDL this SELECT-only
+      // replay does not process: "CaseSensitiveTable" (quoted
+      // mixed-case name + generate_series load,
+      // multi_insert_select.sql:1959) and the ref1/ref2
+      // reference-table pair (:2091)
+      (1 to 10).map(i => (i, i)).toDF("UserID", "Value1")
+        .createOrReplaceTempView("CaseSensitiveTable")
+      Seq(java.sql.Timestamp.valueOf("2017-10-31 00:00:00"))
+        .toDF("d").createOrReplaceTempView("ref1")
+      Seq(java.sql.Date.valueOf("2017-10-31"))
+        .toDF("d").createOrReplaceTempView("ref2")
     }
     val text = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(refDir, "multi_insert_select.sql").toPath))
@@ -1894,6 +1952,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
       "intermediate_result_pruning_queries_1/2.sql over the shared " +
       "_create fixtures — MATERIALIZED CTE subplan distribution)") {
     assume(refDir.isDirectory, "reference tree not present")
+    // the file's own CREATE TYPE — registering it BEFORE the fixture
+    // load makes the `::reference_comp_key` inserts render as
+    // named_structs, so `(data).key` reads as struct field access
+    graft.sql.PgDialect.registerCompositeType("reference_comp_key",
+      Seq("key" -> "STRING", "value" -> "STRING"))
     registerInlineFixtures("multi_reference_table.sql")
     registerInlineFixtures("intermediate_result_pruning_create.sql")
     // (intermediate_result_pruning_queries_2.sql is the DATA-MODIFYING
@@ -2711,23 +2774,40 @@ class ReferenceSqlSpec extends AnyFunSuite {
         // object/array/NULL-source semantics live in JsonbOps.set
         case assigns
             if assigns.exists { a =>
-              """^([a-z_]\w*)\[\s*(?:'[^']*'|\d+)\s*\]$""".r
+              """^([a-z_]\w*)((?:\[\s*(?:'[^']*'|\d+)\s*\])+)$""".r
                 .findFirstMatchIn(a._1).exists(m =>
                   a._1.contains("'") || jsonbCols.contains(m.group(1)))
             } =>
-          val jsubRe = """^([a-z_]\w*)\[\s*(?:'([^']*)'|(\d+))\s*\]$""".r
+          // the subscript path may be NESTED (multi_update_select
+          // .sql's `SET data['a']['c'] = v`, `data['a'][0] = v`):
+          // each level reads the current container with __jsonb_get
+          // and writes back with __jsonb_set, PG's jsonb_set path
+          // semantics (missing intermediates materialize)
+          val jsubRe =
+            """^([a-z_]\w*)((?:\[\s*(?:'[^']*'|\d+)\s*\])+)$""".r
+          val keyRe = """\[\s*(?:'([^']*)'|(\d+))\s*\]""".r
           val out = collection.mutable.LinkedHashMap[String, String]()
           assigns.foreach { case (k, v) =>
             jsubRe.findFirstMatchIn(k) match {
               case Some(m)
-                  if m.group(2) != null ||
+                  if k.contains("'") ||
                     jsonbCols.contains(m.group(1)) =>
                 val c = m.group(1)
-                val key = Option(m.group(2)).getOrElse(m.group(3))
+                val keys = keyRe.findAllMatchIn(m.group(2))
+                  .map(km => Option(km.group(1)).getOrElse(km.group(2)))
+                  .toList
                 val cur = out.getOrElse(c, c)
                 val vx = if (v.trim.equalsIgnoreCase("NULL"))
                   "CAST(NULL AS STRING)" else v
-                out(c) = s"__jsonb_set($cur, '$key', $vx)"
+                def setPath(src: String, ks: List[String]): String =
+                  ks match {
+                    case k1 :: Nil => s"__jsonb_set($src, '$k1', $vx)"
+                    case k1 :: rest =>
+                      s"__jsonb_set($src, '$k1', " +
+                        setPath(s"__jsonb_get($src, '$k1')", rest) + ")"
+                    case Nil => vx
+                  }
+                out(c) = setPath(cur, keys)
               case _ => out(k) = v
             }
           }
@@ -7695,6 +7775,9 @@ class ReferenceSqlSpec extends AnyFunSuite {
     val keep: String => Boolean = s =>
       !s.contains("create_distributed_table") &&
         !s.contains("create_reference_table") &&
+        // function-DELEGATION management UDF (distribution metadata,
+        // same class as create_distributed_table)
+        !s.contains("create_distributed_function") &&
         !s.contains("citus_") && !s.contains("master_") &&
         !s.contains("run_command") && !s.contains("pg_dist_") &&
         !s.contains("pg_catalog") && !s.contains("current_setting") &&
@@ -7716,7 +7799,11 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("verify_shard_placement") &&
         !s.contains("recover_prepared_transactions") &&
         !s.contains("coordinated_transaction_should_use_2PC") &&
-        !s.contains("pg_constraint") && !s.contains("function_delegation")
+        !s.contains("pg_constraint") &&
+        !s.contains("function_delegation") &&
+        // index-existence probe over the pg_indexes catalog — index
+        // metadata scope, like the other pg_* probes above
+        !s.contains("pg_indexes")
     val tr: String => String = raw => raw
       .replaceAll(
         """\(([^()']+),\s*'([^']*)'\)::new_type""",
