@@ -1257,10 +1257,24 @@ object PgDialect {
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"(CASE WHEN (${m.group(1)}) IS NULL THEN NULL ELSE 1 END)"))
     // PG to_json over a bare scalar column renders the value's JSON
-    // text — for scalars that's the plain text form
-    s = """(?i)\bto_json\s*\(\s*([A-Za-z_][\w.]*)\s*\)""".r
-      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-        s"CAST(${m.group(1)} AS STRING)"))
+    // text — for scalars that's the plain text form. A bare name that
+    // IS the statement's FROM relation (or its alias) is a WHOLE-ROW
+    // reference instead (columnar_query.sql's `to_json(v) FROM
+    // contestant v`) — that renders the row as a JSON object.
+    locally {
+      val src = s
+      s = """(?i)\bto_json\s*\(\s*([A-Za-z_][\w.]*)\s*\)""".r
+        .replaceAllIn(s, m => {
+          val n = m.group(1)
+          val wholeRow = !n.contains(".") &&
+            ("""(?i)\bfrom\s+(?:[A-Za-z_]\w*\s+(?:as\s+)?)?""" +
+              java.util.regex.Pattern.quote(n) + """\b""").r
+              .findFirstIn(src).isDefined
+          java.util.regex.Matcher.quoteReplacement(
+            if (wholeRow) s"to_json(struct($n.*))"
+            else s"CAST($n AS STRING)")
+        })
+    }
     // json_build_array: heterogeneous elements ride as their text form
     s = """(?is)\bjson_build_array\s*\(([^()]*)\)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
@@ -1307,12 +1321,22 @@ object PgDialect {
       val src = s
       // single-relation statements only: with joins present, a
       // select item equal to one table's name could legitimately be
-      // a COLUMN of another — too ambiguous for a textual pass
-      val froms = """(?i)\bfrom\s+([A-Za-z_]\w*)\s*(?:;|$|\bwhere\b|\border\b|\bgroup\b|\blimit\b)""".r
-        .findAllMatchIn(src).map(_.group(1).toLowerCase).toSet
-      if (froms.size == 1 &&
+      // a COLUMN of another — too ambiguous for a textual pass. The
+      // relation's ALIAS is whole-row-referencable too
+      // (columnar_query.sql's `SELECT to_json(v) FROM contestant v`).
+      val fromM = ("""(?i)\bfrom\s+([A-Za-z_]\w*)""" +
+        """(?:\s+(?!where\b|order\b|group\b|limit\b|offset\b|as\b)""" +
+        """([A-Za-z_]\w*)|\s+as\s+([A-Za-z_]\w*))?""").r
+        .findAllMatchIn(src).toSeq
+      val froms: Set[String] = fromM match {
+        case Seq(one) =>
+          (Seq(one.group(1)) ++ Option(one.group(2)) ++
+            Option(one.group(3))).map(_.toLowerCase).toSet
+        case _ => Set.empty
+      }
+      if (froms.nonEmpty &&
           """(?i)\bjoin\b|,\s*[A-Za-z_]\w*\s*(?:;|$|\bwhere\b)""".r
-            .findFirstIn(src).isEmpty)
+            .findFirstIn(src).isEmpty) {
         s = ("""(?is)(SELECT\s+|,\s*)([A-Za-z_]\w*)""" +
           """(?=\s*(?:,|\bFROM\b))""").r.replaceAllIn(s, m => {
           val n = m.group(2)
@@ -1322,6 +1346,7 @@ object PgDialect {
               s"${m.group(1)}struct($n.*)")
           else java.util.regex.Matcher.quoteReplacement(m.matched)
         })
+      }
     }
     // PG permits GROUPING() under a plain GROUP BY (constant 0 — the
     // row is always fully grouped); Spark only under

@@ -10244,7 +10244,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("worker_") && !s.contains("$$") &&
         !s.contains("my_volatile_fn") && !s.contains("EXPLAIN") &&
         !s.contains("pg_sleep") && !s.contains("8000001") &&
-        !s.contains("pg_stat")
+        !s.contains("pg_stat") &&
+        // shard-placement management UDF (replication plumbing, the
+        // same class as master_*/citus_* calls)
+        !s.contains("replicate_reference_tables(")
     val tr: String => String = raw =>
       """(?is)\bEXPLAIN\s*\([^)]*\)[^;]*;""".r.replaceAllIn(raw, ";")
     val (ok, ran) = replayFile(
