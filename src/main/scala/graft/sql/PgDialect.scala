@@ -462,12 +462,17 @@ object PgDialect {
   /** Spark's recursive CTEs accept only UNION ALL between the anchor
     * and the recursive term; PG also allows UNION, whose per-step
     * dedup doubles as cycle protection (multi_router_planner.sql's
-    * company_employees hierarchy walks). On ACYCLIC recursion — every
-    * corpus use; the hierarchies are single-parent trees — UNION ALL
-    * produces the identical row set, so the spelling rewrites.
-    * Cyclic inputs that PG terminates via the dedup would not
-    * terminate here: a genuine engine difference, traded consciously
-    * for the whole acyclic surface. */
+    * company_employees hierarchy walks). The guarantee is
+    * TREE-SHAPED recursion only — every corpus use is a
+    * single-parent hierarchy, where each row is derived exactly once
+    * and UNION ALL produces the identical row set. On a DAG a node
+    * reachable via multiple paths (or a duplicate-producing step) is
+    * deduplicated per step by PG's UNION but emitted once per path
+    * here; cyclic inputs that PG terminates via the dedup would not
+    * terminate at all. Both are genuine engine differences, traded
+    * consciously for the whole tree-shaped surface. An explicit
+    * `UNION DISTINCT` spelling rewrites identically (the DISTINCT
+    * keyword is stripped with the UNION it modifies). */
   def rewriteRecursiveUnion(sql: String): String =
     if ("""(?i)\bWITH\s+RECURSIVE\b""".r.findFirstIn(sql).isEmpty) sql
     else {
@@ -489,7 +494,7 @@ object PgDialect {
                 s = s.substring(0, open + 1) +
                   body.substring(0, um.start) + "UNION ALL " +
                   body.substring(um.start).replaceFirst(
-                    """(?is)^UNION\s+""", "") +
+                    """(?is)^UNION\s+(?:DISTINCT\s+)?""", "") +
                   s.substring(close)
                 changed = true
                 true
@@ -505,7 +510,11 @@ object PgDialect {
     * (multi_router_planner_fast_path.sql's `INSERT .. VALUES
     * (generate_series(1, 10), repeat(..))`); Spark has no SRF-in-
     * VALUES, but the equivalent SELECT over an exploded sequence
-    * does the same expansion. */
+    * does the same expansion. A multi-tuple list keeps its plain
+    * tuples: each branch becomes a SELECT (exploded where its tuple
+    * holds the series, literal otherwise) joined by UNION ALL, so
+    * `(VALUES (generate_series(1,3),'x'), (5,'y'))` yields all four
+    * rows. */
   def rewriteSrfValues(sql: String): String =
     if ("""(?i)\bVALUES\b""".r.findFirstIn(sql).isEmpty ||
         """(?i)\bgenerate_series\s*\(""".r.findFirstIn(sql).isEmpty) sql
@@ -521,27 +530,63 @@ object PgDialect {
         re.findAllMatchIn(s).toSeq.find { m =>
           val outerOpen = m.start
           val vOpen = m.end - 1
-          val vClose = matchParen(s, vOpen)
           val outerClose = matchParen(s, outerOpen)
-          vClose > 0 && outerClose > vClose && {
-            val items = splitTopLevel(s.substring(vOpen + 1, vClose))
-              .map(_.trim)
-            // exactly ONE series item (PG zips multiple SRFs — not a
-            // corpus shape); it may sit at any tuple position
-            val gsIdx = items.indexWhere(gsRe.findFirstIn(_).isDefined)
-            gsIdx >= 0 &&
-              items.count(gsRe.findFirstIn(_).isDefined) == 1 && {
-                val gsRe(a, b) = items(gsIdx): @unchecked
-                val sel = items.zipWithIndex.map { case (it, ix) =>
-                  if (ix == gsIdx) "__gs" else it
-                }.mkString(", ")
+          outerClose > vOpen && {
+            // walk EVERY tuple of the list: `( ... ) , ( ... ) ...`
+            // must consume the span exactly to outerClose, else the
+            // shape isn't a plain tuple list — don't fire
+            var pos = vOpen
+            var ok = true
+            val tuples = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Int)]
+            while (ok && pos < outerClose && s.charAt(pos) == '(') {
+              val tClose = matchParen(s, pos)
+              if (tClose < 0 || tClose >= outerClose) ok = false
+              else {
+                tuples += ((pos, tClose))
+                var p = tClose + 1
+                while (p < outerClose && s.charAt(p).isWhitespace) p += 1
+                if (p == outerClose) pos = outerClose
+                else if (s.charAt(p) == ',') {
+                  pos = p + 1
+                  while (pos < outerClose &&
+                    s.charAt(pos).isWhitespace) pos += 1
+                  if (pos >= outerClose || s.charAt(pos) != '(')
+                    ok = false
+                } else ok = false
+              }
+            }
+            ok && pos == outerClose && tuples.nonEmpty && {
+              val parsed = tuples.map { case (tOpen, tClose) =>
+                splitTopLevel(s.substring(tOpen + 1, tClose)).map(_.trim)
+              }
+              // each series tuple carries exactly ONE series item (PG
+              // zips multiple SRFs — not a corpus shape); it may sit
+              // at any tuple position. At least one tuple must carry
+              // one, and none may carry more.
+              val counts =
+                parsed.map(_.count(gsRe.findFirstIn(_).isDefined))
+              counts.exists(_ == 1) && counts.forall(_ <= 1) && {
+                val branches = parsed.map { items =>
+                  val gsIdx =
+                    items.indexWhere(gsRe.findFirstIn(_).isDefined)
+                  if (gsIdx < 0) "SELECT " + items.mkString(", ")
+                  else {
+                    val gsRe(a, b) = items(gsIdx): @unchecked
+                    val sel = items.zipWithIndex.map { case (it, ix) =>
+                      if (ix == gsIdx) "__gs" else it
+                    }.mkString(", ")
+                    s"SELECT $sel FROM (SELECT " +
+                      s"explode(sequence($a, $b)) AS __gs)"
+                  }
+                }
                 s = s.substring(0, outerOpen) +
-                  s"(SELECT $sel FROM (SELECT " +
-                  s"explode(sequence($a, $b)) AS __gs))" +
+                  branches.mkString("(", " UNION ALL ", ")") +
                   s.substring(outerClose + 1)
                 changed = true
                 true
               }
+            }
           }
         }
       }
@@ -1325,7 +1370,8 @@ object PgDialect {
       // relation's ALIAS is whole-row-referencable too
       // (columnar_query.sql's `SELECT to_json(v) FROM contestant v`).
       val fromM = ("""(?i)\bfrom\s+([A-Za-z_]\w*)""" +
-        """(?:\s+(?!where\b|order\b|group\b|limit\b|offset\b|as\b)""" +
+        """(?:\s+(?!where\b|order\b|group\b|limit\b|offset\b|as\b""" +
+        """|having\b|union\b|window\b|except\b|intersect\b)""" +
         """([A-Za-z_]\w*)|\s+as\s+([A-Za-z_]\w*))?""").r
         .findAllMatchIn(src).toSeq
       val froms: Set[String] = fromM match {
@@ -1334,18 +1380,31 @@ object PgDialect {
             Option(one.group(3))).map(_.toLowerCase).toSet
         case _ => Set.empty
       }
-      if (froms.nonEmpty &&
+      // the rewrite only ever looks at the span between the leading
+      // SELECT and the statement's single top-level FROM, split at
+      // TOP-LEVEL commas — a name inside a call's argument list, an
+      // IN list, or any clause after FROM (GROUP BY, ORDER BY) is
+      // never a whole-row select item and must not match
+      val selM = """(?is)\bSELECT\s+""".r.findFirstMatchIn(src)
+      val fromIdx = fromM.headOption.map(_.start).getOrElse(-1)
+      if (froms.nonEmpty && selM.exists(_.end <= fromIdx) &&
           """(?i)\bjoin\b|,\s*[A-Za-z_]\w*\s*(?:;|$|\bwhere\b)""".r
             .findFirstIn(src).isEmpty) {
-        s = ("""(?is)(SELECT\s+|,\s*)([A-Za-z_]\w*)""" +
-          """(?=\s*(?:,|\bFROM\b))""").r.replaceAllIn(s, m => {
-          val n = m.group(2)
-          if (froms.contains(n.toLowerCase) &&
-              !n.equalsIgnoreCase("DISTINCT"))
-            java.util.regex.Matcher.quoteReplacement(
-              s"${m.group(1)}struct($n.*)")
-          else java.util.regex.Matcher.quoteReplacement(m.matched)
-        })
+        val selEnd = selM.get.end
+        val list = src.substring(selEnd, fromIdx)
+        val items = splitTopLevel(list).map { it0 =>
+          val it = it0.trim
+          val bare = """(?is)^(DISTINCT\s+)?([A-Za-z_]\w*)$""".r
+          it match {
+            case bare(d, n) if froms.contains(n.toLowerCase) &&
+                !n.equalsIgnoreCase("DISTINCT") =>
+              Option(d).getOrElse("") + s"struct($n.*)"
+            case _ => it
+          }
+        }
+        if (items.mkString(", ") != list.trim)
+          s = src.substring(0, selEnd) + items.mkString(", ") + " " +
+            src.substring(fromIdx)
       }
     }
     // PG permits GROUPING() under a plain GROUP BY (constant 0 — the
@@ -2438,7 +2497,7 @@ object PgDialect {
     // record TEXT (see below), so field access parses the cell with
     // the type's DECLARED (possibly ALTER TYPE-evolved) field schema
     // and extracts (distributed_types.sql:98 `(e::tc6).d`)
-    s = """(?is)\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)\s*\.\s*([A-Za-z_]\w*)""".r
+    s = """(?is)(?<![\w)])\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)\s*\.\s*([A-Za-z_]\w*)""".r
       .replaceAllIn(s, m => compositeTypes.get(m.group(2).toLowerCase)
         match {
           case Some(fs) =>
@@ -2488,7 +2547,7 @@ object PgDialect {
     // (insert_select_repartition.sql:601's mapped_key): extract the
     // CSV element and cast it to the field's declared type. Corpus
     // values are unquoted; an empty element reads as NULL.
-    s = ("""\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)""" +
+    s = ("""(?<![\w)])\(\s*([A-Za-z_][\w.]*)\s*::\s*([A-Za-z_]\w*)\s*\)""" +
       """\s*\.\s*([A-Za-z_]\w*)""").r.replaceAllIn(s, m =>
       compositeTypes.get(m.group(2).toLowerCase) match {
         case Some(fields)
@@ -2506,8 +2565,11 @@ object PgDialect {
     // named_struct rendering) this is plain qualified access; the
     // paren wrapper is PG syntax only. A table alias in the parens
     // resolves identically (`(t).x` ≡ `t.x`). The lookahead excludes
-    // `(x).*` star expansion, which has its own pass.
-    s = """\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*(?!\*)([A-Za-z_]\w*)""".r
+    // `(x).*` star expansion, which has its own pass; the lookbehind
+    // excludes a call's argument list — `fn(x).field` is PG's
+    // composite-returning-function access, NOT a paren-wrapped
+    // column, and must not collapse to the mangled `fnx.field`.
+    s = """(?<![\w)])\(\s*([A-Za-z_][\w.]*)\s*\)\s*\.\s*(?!\*)([A-Za-z_]\w*)""".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}.${m.group(2)}"))
     var go = true
@@ -4037,7 +4099,16 @@ object PgDialect {
     * Exactness: the corpus shape pins the local column by the
     * correlated equality (and GROUP BY), so max(col) IS col; an
     * empty subquery yields NULL and `o.c ⊕ NULL` is NULL — the same
-    * NULL PG's empty scalar produces. The qualifier must NOT be
+    * NULL PG's empty scalar produces. Multi-row semantics: PG raises
+    * "more than one row returned by a subquery used as an
+    * expression" at runtime when rest yields >1 row. With a GROUP BY
+    * in rest the rewritten subquery still returns one row per group,
+    * so Spark's own SCALAR_SUBQUERY_TOO_MANY_ROWS check raises
+    * exactly where PG would; WITHOUT one, a bare max() would
+    * silently fold the rows, so the ungrouped rewrite guards with
+    * `if(count(*) > 1, raise_error(..), max(col))` — the PG error is
+    * reproduced, not converted to a value (PgDialectEdgeSpec pins
+    * both branches). The qualifier must NOT be
     * defined inside the subquery's own FROM (checked textually), so
     * a genuinely local qualified ref never hoists. Analysis-failure
     * fallback only — never in the main pipeline. */
@@ -4086,11 +4157,23 @@ object PgDialect {
               def localName(n: String): Boolean =
                 ("""(?i)\b""" + java.util.regex.Pattern.quote(n) +
                   """\b""").r.findFirstIn(fromClause).isDefined
+              // grouped rest: one row per group — Spark's own
+              // multi-row scalar check raises where PG would, so a
+              // bare max() is exact. Ungrouped rest: max() would
+              // silently fold a multi-row result PG rejects, so
+              // reproduce PG's runtime error with a count guard.
+              val grouped = topLevelIndex(rest, "GROUP") >= 0 ||
+                topLevelIndex(rest, "HAVING") >= 0
+              def agg(col: String): String =
+                if (grouped) s"max($col)"
+                else s"if(count(*) > 1, raise_error('more than one " +
+                  s"row returned by a subquery used as an " +
+                  s"expression'), max($col))"
               val rebuilt: Option[String] = item match {
                 case qualFirst(q, c, op, col) if !localName(q) =>
-                  Some(s"($q.$c $op (SELECT max($col) $rest))")
+                  Some(s"($q.$c $op (SELECT ${agg(col)} $rest))")
                 case bareFirst(col, op, q, c) if !localName(q) =>
-                  Some(s"((SELECT max($col) $rest) $op $q.$c)")
+                  Some(s"((SELECT ${agg(col)} $rest) $op $q.$c)")
                 case _ => None
               }
               rebuilt.exists { r =>
