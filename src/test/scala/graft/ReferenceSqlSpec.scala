@@ -3545,16 +3545,22 @@ class ReferenceSqlSpec extends AnyFunSuite {
               s"JOIN __graft_ocu_x excluded ON $onKeys")
           // null-safe anti joins under NND (a name-list join would
           // let NULL-keyed rows through as "new")
+          // the name-list join MOVES the join columns to the front of
+          // the output; re-select the declared order, or the later
+          // POSITIONAL unionAll with the schema-ordered update items
+          // silently coerces mismatched columns (a composite-text key
+          // against an int — insert_select_repartition.sql's
+          // composite-key and dist_func upserts)
           def antiK(l: org.apache.spark.sql.DataFrame,
               r: org.apache.spark.sql.DataFrame) =
-            if (!nnd) l.join(r.select(conflictCols.map(col): _*),
+            (if (!nnd) l.join(r.select(conflictCols.map(col): _*),
               conflictCols, "left_anti")
             else {
               val rk = r.select(conflictCols.map(c =>
                 col(c).as(s"__k_$c")): _*)
               l.join(rk, conflictCols.map(c =>
                 l(c) <=> rk(s"__k_$c")).reduce(_ && _), "left_anti")
-            }
+            }).select(schema.map(p => col(p._1)): _*)
           val missExisting = antiK(existing, b2)
           val newRows = antiK(b2, existing)
           val affected =
