@@ -725,6 +725,16 @@ object PgDialect {
     // call spelling intact
     s = """(?i)\bISNULL\b(?!\s*\()""".r.replaceAllIn(s, "IS NULL")
     s = """(?i)\bNOTNULL\b(?!\s*\()""".r.replaceAllIn(s, "IS NOT NULL")
+    // PG's starts-with operator `a ^@ b` (text_starts_with;
+    // subquery_in_where.sql's sqlsmith probe) — operands are simple
+    // refs, literals, or parenthesized expressions
+    locally {
+      val operand =
+        """(?:[A-Za-z_][\w.]*|'[^']*'|\((?:[^()]|\([^()]*\))*\))"""
+      s = (s"""(?is)($operand)\\s*\\^@\\s*($operand)""").r
+        .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+          s"startswith(${m.group(1)}, ${m.group(2)})"))
+    }
     // inet masklen(): /n suffix if present, else the host mask 32
     // (the corpus only uses IPv4 literals)
     s = """(?is)\bmasklen\s*\(([^()]*)\)""".r.replaceAllIn(s, m =>
@@ -1362,8 +1372,7 @@ object PgDialect {
     // that name if one exists, which textual rewriting can't see —
     // but a table whose column shadows its own name never appears in
     // the corpora).
-    locally {
-      val src = s
+    def wholeRowBareItems(src: String): String = {
       // single-relation statements only: with joins present, a
       // select item equal to one table's name could legitimately be
       // a COLUMN of another — too ambiguous for a textual pass. The
@@ -1403,10 +1412,18 @@ object PgDialect {
           }
         }
         if (items.mkString(", ") != list.trim)
-          s = src.substring(0, selEnd) + items.mkString(", ") + " " +
-            src.substring(fromIdx)
+          return src.substring(0, selEnd) + items.mkString(", ") +
+            " " + src.substring(fromIdx)
       }
+      src
     }
+    // a SUBQUERY body is its own single-relation scope, so the
+    // whole-row item rewrite applies per body too — PG's
+    // `SELECT (SELECT u FROM users u WHERE ..) FROM e`
+    // (subquery_in_targetlist.sql) returns the matched row as a
+    // composite
+    s = mapSubqueryBodies(s, wholeRowBareItems)
+    s = wholeRowBareItems(s)
     // PG permits GROUPING() under a plain GROUP BY (constant 0 — the
     // row is always fully grouped); Spark only under
     // rollup/cube/grouping sets
@@ -2654,8 +2671,9 @@ object PgDialect {
     * TIMESTAMP (session is pinned to UTC). PG's MDY DateStyle falls
     * back to day-first when the leading field exceeds 12
     * (`date '19-10-2000'` is 2000-10-19), so mirror that swap. */
-  def rewritePgDateLiterals(sql: String): String =
-    """(?i)\b(timestamp(?:tz)?|date)\s+'(\d{1,2})-(\d{1,2})-(\d{4})((?:[ T][^']*)?)'""".r
+  def rewritePgDateLiterals(sql: String): String = {
+    var s =
+      """(?i)\b(timestamp(?:tz)?|date)\s+'(\d{1,2})-(\d{1,2})-(\d{4})((?:[ T][^']*)?)'""".r
       .replaceAllIn(sql, m => {
         val kind =
           if (m.group(1).toLowerCase.startsWith("timestamp")) "TIMESTAMP"
@@ -2665,6 +2683,21 @@ object PgDialect {
         java.util.regex.Matcher.quoteReplacement(
           f"$kind '${m.group(4)}-$mo%02d-$dy%02d${m.group(5)}'")
       })
+    // PG's VERBOSE timestamp text ('Thu Nov 23 09:26:42.145043 2017',
+    // the pg_regress .out rendering — subquery_in_targetlist.sql
+    // compares against it in-query) → ISO, which Spark's cast reads
+    val months = Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec")
+    s = ("""(?i)'(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) """ +
+      """(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) """ +
+      """(\d{1,2}) (\d{2}:\d{2}:\d{2}(?:\.\d+)?) (\d{4})'""").r
+      .replaceAllIn(s, m => {
+        val mo = months.indexOf(m.group(1).toLowerCase) + 1
+        java.util.regex.Matcher.quoteReplacement(
+          f"'${m.group(4)}-$mo%02d-${m.group(2).toInt}%02d ${m.group(3)}'")
+      })
+    s
+  }
 
   // `IS [NOT] DISTINCT FROM` needs no rewrite: Spark's parser accepts
   // it natively at the same (predicate-level) precedence as PG, which
@@ -4328,6 +4361,80 @@ object PgDialect {
     })
   }
 
+  /** Wrap every depth-0 `(SELECT ..)` span of an expression in
+    * `max(..)` — the per-group-constant wrap for scalar subqueries
+    * embedded in a compound select item. Spans inside any other
+    * parens (function/aggregate arguments) are untouched. */
+  private def wrapTopLevelScalarSubqueries(e: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var changed = false
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (c == '\'') {
+        val j = e.indexOf('\'', i + 1)
+        val stop = if (j < 0) e.length else j + 1
+        sb.append(e.substring(i, stop)); i = stop
+      } else if (c == '(') {
+        val close = matchParen(e, i)
+        if (close < 0) { sb.append(e.substring(i)); i = e.length }
+        else {
+          val span = e.substring(i, close + 1)
+          if ("""(?is)^\(\s*SELECT\b""".r.findFirstIn(span).isDefined) {
+            sb.append("max(").append(span).append(")")
+            changed = true
+          } else sb.append(span)
+          i = close + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    if (changed) sb.toString else e
+  }
+
+  /** PG groups by a scalar-subquery select item via its ordinal
+    * (`SELECT (SELECT ..) FROM e GROUP BY 1` —
+    * subquery_in_targetlist.sql); Catalyst's
+    * SCALAR_SUBQUERY_IS_IN_GROUP_BY check does not resolve the
+    * ordinal back to the item. Pushing the item into a derived table
+    * evaluates the subquery pre-grouping (exactly PG's order) and
+    * leaves the outer a plain GROUP BY over a materialized column.
+    * Fires only on the single-item `GROUP BY 1` shape.
+    * Analysis-failure fallback only. */
+  private[sql] def pushGroupedScalarIntoDerived(sql0: String): String = {
+    def fix(body: String): String = {
+      if (!body.trim.toUpperCase.startsWith("SELECT")) return body
+      val gi = topLevelIndex(body, "GROUP BY")
+      val fi = topLevelIndex(body, "FROM")
+      if (gi < 0 || fi < 0 || fi > gi) return body
+      val items = selectItemsOf(body)
+      if (items.size != 1) return body
+      val it = items.head.trim
+      val aliasRe = """(?is)^(.*\))\s+AS\s+([A-Za-z_"]\w*"?)$""".r
+      val (core, alias) = it match {
+        case aliasRe(c, a) => (c.trim, Some(a))
+        case _             => (it, None)
+      }
+      val isScalar = core.startsWith("(") &&
+        """(?is)^\(\s*SELECT\b""".r.findFirstIn(core).isDefined &&
+        matchParen(core, 0) == core.length - 1
+      if (!isScalar) return body
+      val gbTail = body.substring(gi)
+        .replaceFirst("(?is)^GROUP\\s+BY\\s*", "")
+      if (!gbTail.startsWith("1") ||
+          (gbTail.length > 1 &&
+            (gbTail.charAt(1).isDigit || gbTail.charAt(1) == ',')))
+        return body
+      val after = gbTail.substring(1)
+      val fromPart = body.substring(fi, gi)
+      val selHead = body.substring(0, body.toUpperCase.indexOf("SELECT"))
+      selHead + "SELECT __g1" + alias.map(a => s" AS $a").getOrElse("") +
+        s" FROM (SELECT $core AS __g1 $fromPart) __gp GROUP BY __g1" +
+        after
+    }
+    val (pre, mainQ) = splitWithPrelude(sql0)
+    mapSubqueryBodies(pre, fix) + fix(mapSubqueryBodies(mainQ, fix))
+  }
+
   private[sql] def wrapGroupedScalarSelectItems(sql0: String): String = {
     def fix(body0: String): String = {
       val body = body0
@@ -4340,7 +4447,16 @@ object PgDialect {
         val fi = topLevelIndex(body, "FROM")
         if (gi < 0 || fi < 0) body
         else {
-          val groupClause = body.substring(gi)
+          // the GROUP BY clause PROPER — an ORDER BY ordinal after it
+          // must not mark item 1 as grouped
+          val groupClause = {
+            val tail = body.substring(gi)
+            val gb = tail.replaceFirst("(?is)^GROUP\\s+BY\\s*", "")
+            val end = Seq("HAVING", "ORDER", "LIMIT", "OFFSET")
+              .map(k => topLevelIndex(gb, k)).filter(_ >= 0)
+              .sorted.headOption.getOrElse(gb.length)
+            tail.substring(0, (tail.length - gb.length) + end)
+          }
           val items = selectItemsOf(body)
           if (items.isEmpty) body
           else {
@@ -4364,6 +4480,15 @@ object PgDialect {
                 groupClause.contains(core)
               if (isScalar && !grouped) {
                 touched = true; s"max($core)$aliasSuf"
+              } else if (!grouped) {
+                // a COMPOUND item embedding scalar subqueries at its
+                // own top level (`sum(e.user_id) + (SELECT ..)` —
+                // subquery_in_targetlist.sql): wrap each embedded
+                // subquery; spans inside a call's parens (already
+                // under an aggregate) are at depth > 0 and stay
+                val w = wrapTopLevelScalarSubqueries(core)
+                if (w != core) { touched = true; w + aliasSuf }
+                else it0
               } else it0
             }
             if (!touched) body
@@ -4535,11 +4660,50 @@ object PgDialect {
     result
   }
 
+  /** A correlated subquery's GROUP BY whose every key is an OUTER
+    * reference groups by a value that is CONSTANT for the outer row:
+    * one group when the subquery has rows, zero when it doesn't.
+    * Replacing the keys with a literal constant is therefore EXACT in
+    * every context — the 0-groups-on-empty behavior is preserved (the
+    * drop variant above is not safe under IN/EXISTS/ANY, where empty
+    * set vs {NULL} is observable) — and it removes the outer
+    * reference Catalyst rejects (CORRELATED_REFERENCE; reference
+    * subquery_in_where.sql's `GROUP BY e.value_2` battery, including
+    * the HAVING form). Self-correcting: a select list that PROJECTS
+    * the outer key still fails analysis and the next candidate runs.
+    * Analysis-failure fallback only. */
+  private[sql] def constOuterOnlyGroupBy(sql0: String): String = {
+    var result = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 10) {
+      changed = false
+      guard += 1
+      val text = result
+      """(?i)\(\s*SELECT\b""".r.findAllMatchIn(text).find { m =>
+        val close = matchParen(text, m.start)
+        close > 0 && {
+          val body = text.substring(m.start + 1, close)
+          groupByDropSpan(body, requireAggHead = false).exists {
+            case (from, until) =>
+              result = text.substring(0, m.start + 1) +
+                body.substring(0, from) + "GROUP BY 'g' " +
+                body.substring(until) + text.substring(close)
+              changed = true
+              true
+          }
+        }
+      }
+    }
+    result
+  }
+
   /** The [from, until) span of a droppable outer-only GROUP BY inside
     * one subquery body, if any: the select list is a single aggregate,
     * and every identifier in the GROUP BY expressions is a qualified
     * reference whose qualifier is NOT a name from this body's FROM. */
-  private def groupByDropSpan(body: String): Option[(Int, Int)] = {
+  private def groupByDropSpan(body: String,
+      requireAggHead: Boolean = true): Option[(Int, Int)] = {
     val gi = topLevelIndex(body, "GROUP BY")
     if (gi < 0) return None
     val fi = topLevelIndex(body, "FROM")
@@ -4550,8 +4714,10 @@ object PgDialect {
     // count is NOT droppable: ungrouped count over empty input returns
     // 0, not NULL, so 0-groups (comparison vs NULL) and one-row
     // (comparison vs 0) ARE distinguishable — only the NULL-on-empty
-    // aggregates preserve the equivalence
-    if (!"""(?is)^\s*(sum|min|max|avg)\s*\(""".r
+    // aggregates preserve the equivalence. (The constant-group
+    // REPLACEMENT keeps the 0-groups behavior, so it skips this
+    // check via requireAggHead = false.)
+    if (requireAggHead && !"""(?is)^\s*(sum|min|max|avg)\s*\(""".r
         .findPrefixMatchOf(selList).isDefined) return None
     // FROM-clause identifiers (tables + aliases, permissive)
     val fromEnd = Seq("WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
@@ -4828,6 +4994,7 @@ object PgDialect {
         // to have run first)
         val inlined = inlineBareScalarSubqueries(text)
         val cands = Seq(
+          constOuterOnlyGroupBy(text),
           dropOuterOnlyGroupBy(text),
           inlined,
           hoistScalarSelectOuterRefs(inlined)
@@ -4849,9 +5016,21 @@ object PgDialect {
         if Option(e.getMessage).exists(
           _.contains("SCALAR_SUBQUERY_IS_IN_GROUP_BY_OR_" +
             "AGGREGATE_FUNCTION")) =>
-        val wrapped = wrapGroupedScalarSelectItems(text)
-        if (wrapped == text) throw e
-        spark.sql(wrapped)
+        val cands = Seq(wrapGroupedScalarSelectItems(text),
+          pushGroupedScalarIntoDerived(text)).filter(_ != text).distinct
+        if (cands.isEmpty) throw e
+        else {
+          var out: DataFrame = null
+          var lastErr: Throwable = e
+          val it = cands.iterator
+          while (out == null && it.hasNext) {
+            val c = it.next()
+            try out = spark.sql(c)
+            catch { case e2: Throwable => lastErr = e2 }
+          }
+          if (out == null) throw lastErr
+          out
+        }
       case e: Throwable
         if Option(e.getMessage)
           .exists(_.contains("MISSING_ATTRIBUTES")) =>

@@ -789,6 +789,36 @@ class ReferenceSqlSpec extends AnyFunSuite {
           "SELECT i AS id FROM generate_series(50,150) i")
           .createOrReplaceTempView("local")
       }),
+      // subquery_in_where.sql:1061-1071 creates the sqlsmith crash-
+      // repro fixtures in-file (issue #8548 probe) — all empty; the
+      // probe's expected output is zero rows
+      "subquery_in_where.sql" -> (() => {
+        Seq(
+          "t4" -> ("CAST(NULL AS INT) vkey, CAST(NULL AS INT) pkey, " +
+            "CAST(NULL AS INT) c30, CAST(NULL AS INT) c31, " +
+            "CAST(NULL AS STRING) c32"),
+          "t5" -> ("CAST(NULL AS INT) vkey, CAST(NULL AS INT) pkey, " +
+            "CAST(NULL AS STRING) c33, CAST(NULL AS INT) c34, " +
+            "CAST(NULL AS INT) c35, CAST(NULL AS TIMESTAMP) c36"),
+          "t2" -> ("CAST(NULL AS INT) vkey, CAST(NULL AS INT) pkey, " +
+            "CAST(NULL AS DECIMAL(20,4)) c15, " +
+            "CAST(NULL AS TIMESTAMP) c16, CAST(NULL AS STRING) c17, " +
+            "CAST(NULL AS STRING) c18, CAST(NULL AS TIMESTAMP) c19, " +
+            "CAST(NULL AS TIMESTAMP) c20, CAST(NULL AS INT) c21"),
+          "t22" -> ("CAST(NULL AS INT) vkey, CAST(NULL AS INT) pkey, " +
+            "CAST(NULL AS DECIMAL(20,4)) c37, CAST(NULL AS STRING) c38, " +
+            "CAST(NULL AS DECIMAL(20,4)) c39, " +
+            "CAST(NULL AS DECIMAL(20,4)) c40, " +
+            "CAST(NULL AS DECIMAL(20,4)) c41, CAST(NULL AS INT) c42, " +
+            "CAST(NULL AS TIMESTAMP) c43, " +
+            "CAST(NULL AS DECIMAL(20,4)) c44, " +
+            "CAST(NULL AS DECIMAL(20,4)) colocated_key"),
+          "t7" -> "CAST(NULL AS INT) vkey, CAST(NULL AS INT) pkey"
+        ).foreach { case (n, cols) =>
+          spark.sql(s"SELECT $cols WHERE 1 = 0")
+            .createOrReplaceTempView(n)
+        }
+      }),
       "subquery_in_targetlist.sql" -> (() => {
         // CREATE TEMP VIEW view_2 (subquery_in_targetlist.sql:211);
         // users_reference_table is the users fixture replicated
