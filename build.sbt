@@ -32,6 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dialect regex recursion depth scales with statement length; the
+  // reference's 5KB kitchen-sink INSERTs (data_types.sql) overflow
+  // the JVM's default thread stack
+  "-Xss16m",
 )
 // Suites share one SparkSession and a mutable DistributionCatalog —
 // keep them sequential.

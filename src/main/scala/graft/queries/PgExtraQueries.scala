@@ -717,11 +717,67 @@ object PgExtraQueries extends QueryModule {
     },
     Some("SELECT COUNT(DISTINCT user_id) AS n FROM events"))
 
+  /** PG admits an ungrouped select item functionally dependent on a
+    * grouped PRIMARY KEY (reference
+    * multi_repartition_join_planning.sql); Catalyst raises
+    * MISSING_AGGREGATION, so the dialect wraps the item in
+    * any_value() — exact under the dependency. The oracle spells the
+    * any_value() form directly (DuckDB has no FD inference either). */
+  private val fdGroupedProjection = GraftQuery(
+    "pg_fd_grouped_projection",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT o_orderkey, o_orderpriority, count(*) AS n
+           FROM lineitem, orders WHERE l_orderkey = o_orderkey
+           GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 20""")
+    },
+    Some("""SELECT o_orderkey, any_value(o_orderpriority) AS o_orderpriority,
+        count(*) AS n
+      FROM lineitem, orders WHERE l_orderkey = o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 20"""))
+
+  /** PG's lexicographic ARRAY ordering (`arr > '{..}'`, reference
+    * multi_partition_pruning.sql's range-pruning probe) — Spark has
+    * no array comparison operator, so the dialect compiles the exact
+    * first-differing-pair form over zip_with/get (NULL pad = length
+    * tiebreak). DuckDB compares lists natively with the same
+    * element-then-length semantics — an independent oracle. */
+  private val arrayLexCompare = GraftQuery(
+    "pg_array_lexicographic_compare",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT count(*) AS n FROM (
+             SELECT ARRAY[c_mktsegment, c_name] AS arr FROM customer
+           ) t WHERE arr > '{BUILDING, Customer#000000500}'""")
+    },
+    Some("""SELECT count(*) AS n FROM (
+        SELECT [c_mktsegment, c_name] AS arr FROM customer
+      ) t WHERE arr > ['BUILDING', 'Customer#000000500']"""))
+
+  /** SRF-in-VALUES row expansion with PLAIN tuples in the same list
+    * (reference multi_router_planner_fast_path.sql; the r13 advisory
+    * multi-tuple hardening): the series tuple explodes, the literal
+    * tuple survives as a UNION ALL branch. The oracle is the
+    * hand-expanded row set. */
+  private val srfValuesMultiTuple = GraftQuery(
+    "pg_srf_values_multi_tuple",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT a, b FROM (VALUES (generate_series(1, 3), 'x'),
+             (5, 'y')) v(a, b) ORDER BY a""")
+    },
+    Some("""SELECT a, b FROM (VALUES (1, 'x'), (2, 'x'), (3, 'x'),
+        (5, 'y')) v(a, b) ORDER BY a"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
       histogram, refVerbatim, refVerbatimWin, refVerbatimQuant,
       jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap,
       jsonbSubscript, pg16JsonAggs, isJsonShapes, pctPerGroupFraction,
-      lateralJoinUsing, scalarSelectOuterRef, groupedScalarSubquery)
+      lateralJoinUsing, scalarSelectOuterRef, groupedScalarSubquery,
+      fdGroupedProjection, arrayLexCompare, srfValuesMultiTuple)
 }

@@ -939,7 +939,14 @@ object PgDialect {
     // PG unnest in the select list multiplies rows like explode
     s = """(?i)\bunnest\s*\(""".r.replaceAllIn(s, "explode(")
     // PG row_to_json(row(...)) → to_json(struct(...)) (the row→struct
-    // rewrite below converts the operand)
+    // rewrite below converts the operand). The optional 2-arg form's
+    // boolean is PRETTY-PRINT whitespace only
+    // (create_single_shard_table.sql's `row_to_json(row(1,1), true)`)
+    // — drop the flag; Spark's to_json second arg is an options map
+    s = ("""(?i)\b(row_to_json|to_json)\s*\((\s*(?:row|struct)\s*""" +
+      """\((?:[^()]|\([^()]*\))*\))\s*,\s*(?:true|false)\s*\)""").r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(${m.group(2)})"))
     s = """(?i)\brow_to_json\s*\(""".r.replaceAllIn(s, "to_json(")
     // PG postfix null tests: `expr ISNULL` / `expr NOTNULL`
     s = """(?i)\bISNULL\b""".r.replaceAllIn(s, "IS NULL")
@@ -1739,6 +1746,23 @@ object PgDialect {
               changed = true
             }
           }
+      }
+    }
+    // NESTED keyword form `ARRAY[ARRAY[..], ..]` (data_types.sql's
+    // kitchen-sink multidim literals): convert innermost-first — each
+    // pass rewrites every bracket-free ARRAY[..] span, turning its
+    // brackets to parens so the enclosing level becomes bracket-free
+    // for the next pass (3 levels in the corpus; 8 is headroom)
+    locally {
+      var again = true
+      var g2 = 0
+      while (again && g2 < 8) {
+        again = false; g2 += 1
+        val next = """(?i)(?<![\w."])ARRAY\s*\[([^\[\]]*)\]""".r
+          .replaceAllIn(masked2, m =>
+            java.util.regex.Matcher.quoteReplacement(
+              s"array(${m.group(1)})"))
+        if (next != masked2) { masked2 = next; again = true }
       }
     }
     // case-insensitive: the corpora spell both ARRAY[..] and array[..]
@@ -2672,9 +2696,18 @@ object PgDialect {
     * back to day-first when the leading field exceeds 12
     * (`date '19-10-2000'` is 2000-10-19), so mirror that swap. */
   def rewritePgDateLiterals(sql: String): String = {
+    var s0 = sql
+    // PG bit-string literals `b'0101'` ride as their text form (the
+    // bit/varbit carrier is STRING; data_types.sql's kitchen-sink
+    // INSERT), and INET/MACADDR/CIDR typed literals are plain text
+    // carriers — strip the type keyword
+    s0 = """(?i)(?<![\w'])[bB]'([01]*)'""".r.replaceAllIn(s0, m =>
+      java.util.regex.Matcher.quoteReplacement(s"'${m.group(1)}'"))
+    s0 = """(?i)\b(INET|MACADDR8|MACADDR|CIDR)\s+'""".r
+      .replaceAllIn(s0, "'")
     var s =
       """(?i)\b(timestamp(?:tz)?|date)\s+'(\d{1,2})-(\d{1,2})-(\d{4})((?:[ T][^']*)?)'""".r
-      .replaceAllIn(sql, m => {
+      .replaceAllIn(s0, m => {
         val kind =
           if (m.group(1).toLowerCase.startsWith("timestamp")) "TIMESTAMP"
           else m.group(1).toUpperCase
@@ -4435,6 +4468,70 @@ object PgDialect {
     mapSubqueryBodies(pre, fix) + fix(mapSubqueryBodies(mainQ, fix))
   }
 
+  /** PG compares arrays lexicographically (element by element, then
+    * by length); Spark has no array ordering operator
+    * (DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES). For `col OP '{..}'`
+    * against an array LITERAL, emit the exact equivalent over the
+    * first differing pair: zip_with pads the shorter side with NULL,
+    * so a NULL right element means the column is longer (greater) and
+    * a NULL left element means shorter (less); no differing pair
+    * means equal (multi_partition_pruning.sql's range-pruning probe).
+    * Analysis-failure fallback only. */
+  private[sql] def rewriteArrayLiteralComparisons(sql0: String): String = {
+    val re = ("""(?is)([A-Za-z_][\w.]*)\s*(<=|>=|<|>)\s*""" +
+      """'\{([^{}']*)\}'""").r
+    re.replaceAllIn(sql0, m => {
+      val (col, op, lit) = (m.group(1), m.group(2), m.group(3))
+      val els = lit.split(",").map(_.trim)
+        .map(e => if (e.startsWith("\"") && e.endsWith("\"") &&
+          e.length > 1) e.substring(1, e.length - 1) else e)
+        .map(e => "'" + e.replace("'", "''") + "'")
+      val arr = els.mkString("array(", ", ", ")")
+      val d = s"get(filter(zip_with($col, $arr, (x, y) -> " +
+        s"struct(x AS x, y AS y)), s -> NOT (s.x <=> s.y)), 0)"
+      val (onEq, onLonger, onShorter, strict) = op match {
+        case ">"  => ("false", "true", "false", ">")
+        case "<"  => ("false", "false", "true", "<")
+        case ">=" => ("true", "true", "false", ">")
+        case "<=" => ("true", "false", "true", "<")
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"(CASE WHEN $d IS NULL THEN $onEq " +
+          s"WHEN $d.y IS NULL THEN $onLonger " +
+          s"WHEN $d.x IS NULL THEN $onShorter " +
+          s"ELSE $d.x $strict $d.y END)")
+    })
+  }
+
+  /** PG admits an ungrouped select item when it is FUNCTIONALLY
+    * DEPENDENT on a grouped primary key (`GROUP BY o_orderkey` with
+    * `o_shippriority` projected — multi_repartition_join_planning
+    * .sql); Catalyst has no functional-dependency analysis and
+    * raises MISSING_AGGREGATION. Wrapping the item in any_value() is
+    * exact under the dependency PG itself verified when it accepted
+    * the statement (every row of a group carries the same value).
+    * Analysis-failure fallback only. */
+  private[sql] def anyValueUngroupedItem(sql0: String,
+      exprText: String): String = {
+    val fi = topLevelIndex(sql0, "FROM")
+    val selM = """(?is)\bSELECT\s+""".r.findFirstMatchIn(sql0)
+    if (fi < 0 || !selM.exists(_.end <= fi)) return sql0
+    val selEnd = selM.get.end
+    val list = sql0.substring(selEnd, fi)
+    val lastIdent = """[A-Za-z_]\w*$""".r.findFirstIn(exprText.trim)
+      .getOrElse("__fd")
+    var touched = false
+    val items = splitTopLevel(list).map { it0 =>
+      val it = it0.trim
+      if (it == exprText.trim) {
+        touched = true; s"any_value($it) AS $lastIdent"
+      } else it0
+    }
+    if (!touched) sql0
+    else sql0.substring(0, selEnd) + items.mkString(", ") + " " +
+      sql0.substring(fi)
+  }
+
   private[sql] def wrapGroupedScalarSelectItems(sql0: String): String = {
     def fix(body0: String): String = {
       val body = body0
@@ -5031,6 +5128,42 @@ object PgDialect {
           if (out == null) throw lastErr
           out
         }
+      case e: Throwable
+        if Option(e.getMessage)
+          .exists(_.contains("BINARY_OP_DIFF_TYPES")) =>
+        val rewritten = rewriteArrayLiteralComparisons(text)
+        if (rewritten == text) throw e
+        try spark.sql(rewritten)
+        catch { case _: Throwable => throw e }
+      case e: Throwable
+        if Option(e.getMessage)
+          .exists(_.contains("MISSING_AGGREGATION")) =>
+        // iterate: Catalyst reports ONE ungrouped expression per
+        // analysis round
+        var cur = text
+        var out: DataFrame = null
+        var err: Throwable = e
+        var guard = 0
+        while (out == null && guard < 6) {
+          guard += 1
+          val exprOpt =
+            """non-aggregating expression "([^"]+)"""".r
+              .findFirstMatchIn(Option(err.getMessage).getOrElse(""))
+              .map(_.group(1))
+          val next = exprOpt.map(x => anyValueUngroupedItem(cur, x))
+            .getOrElse(cur)
+          if (next == cur) throw e
+          cur = next
+          try out = spark.sql(cur)
+          catch {
+            case e2: Throwable
+              if Option(e2.getMessage)
+                .exists(_.contains("MISSING_AGGREGATION")) => err = e2
+            case _: Throwable => throw e
+          }
+        }
+        if (out == null) throw e
+        out
       case e: Throwable
         if Option(e.getMessage)
           .exists(_.contains("MISSING_ATTRIBUTES")) =>

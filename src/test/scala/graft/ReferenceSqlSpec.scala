@@ -2453,8 +2453,15 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // types only expression-level row literals (with_basics' xy)
       if ("""^(date|num|int[48]|ts|tstz)range\b""".r.findFirstIn(t)
         .isDefined) "STRING" // PG range types ride as range text
-      else if (t.contains("[")) // PG array column (`text[]`)
-        "ARRAY<" + sparkType(t.substring(0, t.indexOf('['))) + ">"
+      else if (t.contains("[")) {
+        // PG array column (`text[]`); multidim declarations (`int
+        // [][]`, data_types.sql) carry nested-array DATA even though
+        // PG's type system flattens them — nest one ARRAY per
+        // bracket pair so the literal rows cast cleanly
+        val dims = t.count(_ == '[')
+        val base = sparkType(t.substring(0, t.indexOf('[')))
+        (1 to dims).foldLeft(base)((acc, _) => s"ARRAY<$acc>")
+      }
       else if (t.startsWith("bigint") || t.startsWith("int8") ||
         t.startsWith("bigserial")) "BIGINT"
       else if (t.startsWith("smallint") || t.startsWith("int2")) "SMALLINT"
@@ -4061,9 +4068,13 @@ class ReferenceSqlSpec extends AnyFunSuite {
       // 4213604`, distributed_intermediate_results.sql's per-worker
       // replica probes): the modeled shard is the base table filtered
       // to the shard's range
+      // (6-12 digits: a citus shard id — a longer digit tail is just
+      // a table NAME, e.g. single_shard_table_udfs' 63-char
+      // "nullKeyTable.1!?!90123..." whose sanitized form would
+      // overflow toLong)
       if (state.shardModel.nonEmpty &&
-        """_\d{6,}\b""".r.findFirstIn(stmt).isDefined)
-        stmt = """(?i)\bFROM\s+([A-Za-z_]\w*?)_(\d{6,})\b""".r
+        """_\d{6,12}\b""".r.findFirstIn(stmt).isDefined)
+        stmt = """(?i)\bFROM\s+([A-Za-z_]\w*?)_(\d{6,12})\b""".r
           .replaceAllIn(stmt, m => {
             val b0 = m.group(1).toLowerCase
             val sid = m.group(2).toLong
@@ -4983,13 +4994,14 @@ class ReferenceSqlSpec extends AnyFunSuite {
                   .substring(1, parts0(0).length - 1).replace("\"\"", "\""))
               else parts0
             // `UNIQUE(cols)` spells the keyword WITHOUT a space
-            // before the paren — test the letter prefix, not the
-            // whitespace token (query_single_shard_table.sql's
-            // UNIQUE(user_id, value_1) tables)
+            // before the paren — test the keyword-glued-to-paren
+            // form, NOT a bare letter prefix: a COLUMN named
+            // `unique_col` must survive
+            // (insert_select_single_shard_table.sql's upsert_test_1)
             if (parts.length < 2 ||
               constraintKw.contains(parts(0).toLowerCase) ||
-              constraintKw.contains(
-                parts(0).toLowerCase.takeWhile(_.isLetter))) None
+              constraintKw.exists(k =>
+                parts(0).toLowerCase.startsWith(k + "("))) None
             else {
               defaultRe.findFirstMatchIn(parts(1)).foreach(m =>
                 state.colDefaults(
@@ -5095,21 +5107,34 @@ class ReferenceSqlSpec extends AnyFunSuite {
           // update-path constraint — no read-side meaning here
           val body = body0.replaceAll(
             "(?is)\\s+WITH\\s+(?:LOCAL\\s+|CASCADED\\s+)?CHECK\\s+OPTION\\s*$", "")
-          state.viewNames += strip(name)
+          // in schema-aware mode resolveSchemaRefs' pass A has
+          // ALREADY applied creation semantics to the object name
+          // (bare → searchPath.head flat; `public.v1` → `v1`,
+          // create_single_shard_table.sql:698) — re-resolving here
+          // via strip() would push an explicitly-public name back
+          // into the search path. Take the planted name verbatim
+          // (last segment for any remaining qualifier).
+          val vn = {
+            val raw = name.substring(name.lastIndexOf('.') + 1)
+              .toLowerCase
+            if (raw.contains("\"")) sanitizeIdent(unquoteIdent(raw))
+            else raw
+          }
+          state.viewNames += vn
           val vCounted = countViews && countable && keep(stmt) &&
             !pgRejected(stmt)
           if (vCounted) ran += 1
           try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
-            s"${strip(name)} AS ${PgDialect.translate(body)}")
+            s"$vn AS ${PgDialect.translate(body)}")
           catch { case _: Throwable =>
             try PgDialect.sql(spark, body)
-              .createOrReplaceTempView(strip(name))
-            catch { case _: Throwable => () }
+              .createOrReplaceTempView(vn)
+            catch { case e: Throwable => dbgFail(stmt, e) }
           }
           if (vCounted) {
             // surface check: the registered view must be queryable
             try {
-              spark.sql(s"SELECT * FROM ${strip(name)} LIMIT 1").collect()
+              spark.sql(s"SELECT * FROM $vn LIMIT 1").collect()
               ok += 1
             } catch { case e: Throwable => dbgFail(stmt, e) }
           }
@@ -7282,6 +7307,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
         !s.contains("current_setting") && !s.contains("$$") &&
         !s.contains("RETURNING") && !s.contains("EXPLAIN") &&
         !s.contains("PREPARE") && !s.contains("EXECUTE") &&
+        // node-management metadata sync — the same excluded class as
+        // master_*/citus_* (the MX file's one call carries a psql
+        // :worker_1_port variable, not query surface)
+        !s.contains("metadata_sync_to_node") &&
         !s.contains("clear_and_init_test_tables")
     val perFile = Seq("citus_local_tables_queries.sql",
       // metadata-synced sibling: same query surface, MX is a
@@ -10727,6 +10756,84 @@ class ReferenceSqlSpec extends AnyFunSuite {
     // valueCheck above) but still runs and counts.
     assert(ran == 267, s"expected the 267-statement corpus, got $ran")
     assert(ok == 267, s"only $ok/$ran ran — a statement regressed")
+  }
+
+  test("sequential replay of the single-shard DDL/UDF files' query " +
+      "slivers — create_single_shard_table.sql (the null-dist-key " +
+      "creation corpus: its INSERT/SELECT batteries over quoted " +
+      "mixed-case tables, composite/enum columns, partitioned " +
+      "sensors) and single_shard_table_udfs.sql (the UDF file's " +
+      "plain DML/SELECT surface) — node-management/metadata probes " +
+      "(citus_*/master_*/pg_dist_*/pg_class/rebalancer UDFs) are the " +
+      "documented excluded class") {
+    assume(refDir.isDirectory, "reference tree not present")
+    val keep: String => Boolean = s =>
+      !s.contains("create_distributed_table") &&
+        !s.contains("create_reference_table") &&
+        !s.contains("citus_") && !s.contains("master_") &&
+        !s.contains("run_command") && !s.contains("pg_dist_") &&
+        !s.contains("pg_catalog") && !s.contains("current_setting") &&
+        !s.contains("worker_") && !s.contains("pg_sleep") &&
+        !s.contains("pg_stat") && !s.contains("$$") &&
+        !s.contains("EXPLAIN") && !s.contains("information_schema") &&
+        !s.contains("pg_class") && !s.contains("pg_locks") &&
+        !s.contains("pg_constraint") && !s.contains("pg_trigger") &&
+        !s.contains("pg_index") && !s.contains("pg_seclabel") &&
+        !s.contains("pg_total_relation_size") &&
+        !s.contains("pg_size_pretty") && !s.contains("regclass") &&
+        // the UDF file's subject matter: shard/colocation/rebalancer
+        // management calls — the same excluded class the rebalancer
+        // model covers in catalog/Rebalancer (CatalogSpec)
+        !s.contains("truncate_local_data_after_distributing_table") &&
+        !s.contains("lock_relation_if_exists") &&
+        !s.contains("column_to_column_name") &&
+        !s.contains("column_name_to_column") &&
+        !s.contains("get_colocated_shard_array") &&
+        !s.contains("relation_is_a_known_shard") &&
+        !s.contains("alter_distributed_table") &&
+        !s.contains("alter_table_set_access_method") &&
+        !s.contains("undistribute_table") &&
+        !s.contains("rebalance_table_shards") &&
+        !s.contains("get_rebalance_table_shards_plan") &&
+        !s.contains("shards_colocated") &&
+        !s.contains("update_distributed_table_colocation") &&
+        !s.contains("colocation_id") && !s.contains("shardid") &&
+        !s.contains("isolate_tenant_to_new_shard") &&
+        !s.contains("replicate_table_shards") &&
+        !s.contains("drop_old_time_partitions") &&
+        !s.contains("get_missing_time_partition_ranges") &&
+        // columnar/time-partition management UDFs — modeled by
+        // catalog/DistributionCatalog.setColumnarOptions and
+        // createTimePartitionedTable (CatalogSpec/TpchLayoutSpec)
+        !s.contains("alter_columnar_table") &&
+        !s.contains("columnar_storage_info") &&
+        !s.contains("columnar.options") &&
+        !s.contains("time_partition") &&
+        !s.contains("replicate_reference_tables") &&
+        // distributed-transaction-clock probes (2PC metadata; the
+        // :txnclock/:logseq psql variables are client state)
+        !s.contains("transaction_id") &&
+        !s.contains("cluster_clock") && !s.contains(":logseq")
+    val perFile = Seq("create_single_shard_table.sql",
+      "single_shard_table_udfs.sql").map { f =>
+      val st = new ReplayState
+      st.schemaAware = true
+      val (ok, ran) = replayFile(f, "SSDDLFAIL", keep, st,
+        countDml = true)
+      info(s"$f: $ok/$ran statements run (schema-aware)")
+      (f, ok, ran)
+    }
+    val (okTotal, allTotal) =
+      (perFile.map(_._2).sum, perFile.map(_._3).sum)
+    // EXACT pin (r13): 28 + 4 = 32 counted statements — the files
+    // are ~90% node-management/metadata DDL probes (the documented
+    // excluded class); this is the whole countable query sliver, and
+    // the uncounted VALUES-bodied inserts replay too (they feed the
+    // counted SELECTs). Ledger drift fails the build.
+    assert(allTotal == 32, s"expected the 32-statement sliver, got " +
+      s"$allTotal")
+    assert(okTotal == allTotal,
+      s"only $okTotal/$allTotal statements ran — a statement regressed")
   }
 
   test("schema-aware scratch repro (env-gated dev harness)") {
