@@ -772,6 +772,75 @@ object PgExtraQueries extends QueryModule {
     Some("""SELECT a, b FROM (VALUES (1, 'x'), (2, 'x'), (3, 'x'),
         (5, 'y')) v(a, b) ORDER BY a"""))
 
+  /** LATERAL correlation into an aggregated derived table whose
+    * no-op ORDER BY repeats the aggregate (reference
+    * multi_subquery_complex_queries.sql:1990) — Catalyst trips
+    * MISSING_ATTRIBUTES; the dialect drops the semantics-free sort.
+    * DuckDB runs the statement VERBATIM — the strongest oracle. */
+  private val lateralAggOrderBy = GraftQuery(
+    "pg_lateral_agg_orderby",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT sub.user_id, mx FROM (
+             SELECT user_id, max(value) AS mx FROM events
+             WHERE user_id <= 50
+             GROUP BY user_id ORDER BY max(value) DESC) sub
+           JOIN LATERAL (
+             SELECT c_custkey FROM customer
+             WHERE c_custkey = sub.user_id LIMIT 1) q ON true
+           ORDER BY mx DESC, user_id LIMIT 10""")
+    },
+    Some("""SELECT sub.user_id, mx FROM (
+        SELECT user_id, max(value) AS mx FROM events
+        WHERE user_id <= 50
+        GROUP BY user_id ORDER BY max(value) DESC) sub
+      JOIN LATERAL (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey = sub.user_id LIMIT 1) q ON true
+      ORDER BY mx DESC, user_id LIMIT 10"""))
+
+  /** A correlated subquery grouping by an OUTER column (reference
+    * subquery_in_where.sql's `GROUP BY e.value_2` battery) —
+    * Catalyst rejects the outer reference; the dialect replaces the
+    * per-outer-row-constant keys with a literal group (exact:
+    * 0-rows → 0-groups preserved). DuckDB runs it VERBATIM. */
+  private val correlatedGroupByOuter = GraftQuery(
+    "pg_correlated_groupby_outer",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT count(*) AS n FROM events e WHERE value IN
+           (SELECT min(value) FROM events u
+            WHERE u.user_id = e.user_id GROUP BY e.event_type)""")
+    },
+    Some("""SELECT count(*) AS n FROM events e WHERE value IN
+      (SELECT min(value) FROM events u
+       WHERE u.user_id = e.user_id GROUP BY e.event_type)"""))
+
+  /** An unreferenced random() select item inside a LATERAL body
+    * (reference union_pushdown.sql's pushdown probes) — Catalyst
+    * rejects any nondeterministic lateral; the dialect prunes the
+    * unreferencable item, leaving row counts and referenced columns
+    * intact. The oracle is the random-free equivalent join. */
+  private val lateralRandomPrune = GraftQuery(
+    "pg_lateral_random_prune",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.sql.PgDialect.sql(s,
+        """SELECT count(*) AS n
+           FROM (SELECT * FROM events WHERE event_type = 'signup') e1
+           JOIN LATERAL (
+             SELECT e1.user_id, random() FROM events e2
+             WHERE e2.user_id = e1.user_id
+               AND e2.event_type = 'purchase') bar ON (true)""")
+    },
+    Some("""SELECT count(*) AS n
+      FROM (SELECT * FROM events WHERE event_type = 'signup') e1
+      JOIN (SELECT user_id FROM events
+            WHERE event_type = 'purchase') bar
+        ON bar.user_id = e1.user_id"""))
+
   override val queries: Seq[GraftQuery] =
     Seq(stringAgg, medianAgg, pctRank, pgStrings, corrCovar, orderedAgg,
       dialectRoundtrip, jsonOps, createAggregate, stringAggDistinct,
@@ -779,5 +848,6 @@ object PgExtraQueries extends QueryModule {
       jsonTableShred, jsonExistsFilter, rangeContains, rangeOverlap,
       jsonbSubscript, pg16JsonAggs, isJsonShapes, pctPerGroupFraction,
       lateralJoinUsing, scalarSelectOuterRef, groupedScalarSubquery,
-      fdGroupedProjection, arrayLexCompare, srfValuesMultiTuple)
+      fdGroupedProjection, arrayLexCompare, srfValuesMultiTuple,
+      lateralAggOrderBy, correlatedGroupByOuter, lateralRandomPrune)
 }

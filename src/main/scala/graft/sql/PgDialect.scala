@@ -4310,16 +4310,16 @@ object PgDialect {
   /** Catalyst rejects any nondeterministic expression inside a
     * LATERAL subquery (UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.
     * NON_DETERMINISTIC_LATERAL_SUBQUERIES); PG evaluates it per
-    * lateral row. When the nondeterministic select item is an
-    * UNALIASED bare `random()` call, nothing outside the subquery
-    * can reference it (PG names it "random" but the corpus never
-    * does), so dropping the item changes neither the lateral's row
-    * count nor any referenced column — the statements are
-    * union_pushdown.sql's `JOIN LATERAL (SELECT u1.user_id,
-    * random() ...)` pushdown probes. Self-correcting: if anything
-    * DID reference the column, the rewritten statement fails
-    * analysis and the original error is rethrown. Analysis-failure
-    * fallback only. */
+    * lateral row. Two droppable shapes, both value- and
+    * row-count-neutral when nothing references their output:
+    * an UNALIASED bare `random()` SELECT item (union_pushdown.sql's
+    * `JOIN LATERAL (SELECT u1.user_id, random() ...)` probes), and a
+    * cross-joined ONE-ROW derived table whose body is a FROM-less
+    * SELECT over random() (`, (SELECT random()::int AS x) f` —
+    * multi_insert_select_non_pushable_queries.sql). Self-correcting:
+    * if anything DID reference the dropped output, the rewritten
+    * statement fails analysis and the original error is rethrown.
+    * Analysis-failure fallback only. */
   private[sql] def pruneLateralNondeterministicItems(
       sql0: String): String = {
     var s = sql0
@@ -4345,13 +4345,47 @@ object PgDialect {
                 """(?is)^(?:random|rand)\s*\(\s*\)(?:\s+AS\s+\w+)?$""".r
               val kept = items.filterNot(i =>
                 rndRe.findFirstIn(i.trim).isDefined)
-              kept.size < items.size && kept.nonEmpty && {
-                s = text.substring(0, open + 1) +
-                  body.substring(0, selEnd) + " " +
-                  kept.map(_.trim).mkString(", ") + " " +
-                  body.substring(fi) + text.substring(close)
-                changed = true
-                true
+              val selPruned =
+                kept.size < items.size && kept.nonEmpty && {
+                  s = text.substring(0, open + 1) +
+                    body.substring(0, selEnd) + " " +
+                    kept.map(_.trim).mkString(", ") + " " +
+                    body.substring(fi) + text.substring(close)
+                  changed = true
+                  true
+                }
+              selPruned || {
+                // cross-joined 1-row random() derived table in the
+                // lateral's FROM list
+                val fromEnd = Seq("WHERE", "GROUP", "HAVING", "ORDER",
+                  "LIMIT", "OFFSET")
+                  .map(k => topLevelIndex(body.substring(fi + 4), k))
+                  .filter(_ >= 0).sorted.headOption.map(_ + fi + 4)
+                  .getOrElse(body.length)
+                val fromItems =
+                  splitTopLevel(body.substring(fi + 4, fromEnd))
+                def isRandomScalar(it0: String): Boolean = {
+                  val it = it0.trim
+                  it.startsWith("(") && {
+                    val c2 = matchParen(it, 0)
+                    c2 > 0 && {
+                      val b2 = it.substring(1, c2)
+                      b2.trim.toUpperCase.startsWith("SELECT") &&
+                        topLevelIndex(b2, "FROM") < 0 &&
+                        """(?i)\b(random|rand)\s*\(\s*\)""".r
+                          .findFirstIn(b2).isDefined
+                    }
+                  }
+                }
+                val keptFrom = fromItems.filterNot(isRandomScalar)
+                keptFrom.size < fromItems.size && keptFrom.nonEmpty && {
+                  s = text.substring(0, open + 1) +
+                    body.substring(0, fi + 4) + " " +
+                    keptFrom.map(_.trim).mkString(", ") + " " +
+                    body.substring(fromEnd) + text.substring(close)
+                  changed = true
+                  true
+                }
               }
             }
           }
