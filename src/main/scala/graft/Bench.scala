@@ -65,16 +65,18 @@ object Bench {
       .getOrElse(SparkEntry.benchQueries)
     val qmap = SparkEntry.queries
     // Plan pin: the forced-shuffle entry must actually BE the shuffle
-    // join it claims to time. The merge hint should survive any config
-    // or Spark-version drift, but if it ever degrades to a broadcast
-    // join the bench would silently time the wrong plan — fail loudly
-    // instead (the recorded number is a per-round tracked artifact).
+    // join it claims to time. The shuffle_hash hint (r13: was merge
+    // through r12 — guide §3.1, same dual-exchange shape without the
+    // sorts) should survive any config or Spark-version drift, but if
+    // it ever degrades to a broadcast join the bench would silently
+    // time the wrong plan — fail loudly instead (the recorded number
+    // is a per-round tracked artifact).
     if (names.contains("join_shuffle_fact")) {
       val df = qmap("join_shuffle_fact")(spark, sfDir)
-      if (!graft.plans.PlanChecks.hasSortMergeJoin(df) ||
+      if (!graft.plans.PlanChecks.hasShuffledHashJoin(df) ||
           graft.plans.PlanChecks.hasBroadcastHashJoin(df)) {
         System.err.println("BENCH ABORT: join_shuffle_fact plan " +
-          "degraded — expected SortMergeJoin with no " +
+          "degraded — expected ShuffledHashJoin with no " +
           "BroadcastHashJoin, got:\n" + df.queryExecution.executedPlan)
         spark.stop()
         sys.exit(1)
@@ -83,15 +85,16 @@ object Bench {
     // Same pin for the expression-key entry: the supplier link hashes
     // on pmod(l_partkey*l_suppkey,100) — colocation is impossible, so
     // at scale this join ALWAYS repartitions the fact side on the
-    // computed key (the reference's single-hash repartition join). The
-    // merge hint must hold as a SortMergeJoin; the dim joins are
-    // SUPPOSED to broadcast, so only the SMJ presence is asserted.
+    // computed key (the reference's single-hash repartition join,
+    // which is itself a hash join per fragment pair). The shuffle_hash
+    // hint must hold as a ShuffledHashJoin; the dim joins are SUPPOSED
+    // to broadcast, so only the SHJ presence is asserted.
     if (names.contains("ch_market_share_repartition")) {
       val df = qmap("ch_market_share_repartition")(spark, sfDir)
-      if (!graft.plans.PlanChecks.hasSortMergeJoin(df)) {
+      if (!graft.plans.PlanChecks.hasShuffledHashJoin(df)) {
         System.err.println("BENCH ABORT: ch_market_share_repartition " +
-          "plan degraded — expected the expression-key SortMergeJoin, " +
-          "got:\n" + df.queryExecution.executedPlan)
+          "plan degraded — expected the expression-key " +
+          "ShuffledHashJoin, got:\n" + df.queryExecution.executedPlan)
         spark.stop()
         sys.exit(1)
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Plan-shape assertions — the engine's analogue of the reference's
   * EXPLAIN-diff regression tests (citus `sql/multi_explain.sql`,
@@ -42,6 +42,9 @@ object PlanChecks {
 
   def hasSortMergeJoin(df: DataFrame): Boolean =
     collectAll(executedPlan(df)).exists(_.isInstanceOf[SortMergeJoinExec])
+
+  def hasShuffledHashJoin(df: DataFrame): Boolean =
+    collectAll(executedPlan(df)).exists(_.isInstanceOf[ShuffledHashJoinExec])
 
   /** Scan-level pushdown check: every parquet scan's pushed filters. */
   def pushedFilters(df: DataFrame): Seq[String] = {

@@ -43,7 +43,9 @@ object ChBenchQueries extends QueryModule {
     "ch_having_subquery",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val qty = round(col("l_quantity")).cast(LongType)
+      // floor(x+0.5) ≡ round-half-up for integer-valued doubles (see
+      // Dsl.cents) without Round's per-row BigDecimal in codegen.
+      val qty = floor(col("l_quantity") + 0.5).cast(LongType)
       // where-threshold: 0.9 × mean quantity; having-threshold: 2 × max.
       // Exact in double: integer-valued sums stay below 2^53.
       val scal = li.agg(
@@ -225,9 +227,9 @@ object ChBenchQueries extends QueryModule {
       GROUP BY l_year ORDER BY l_year"""))
 
   /** The timed-bench variant of CH Q8: identical semantics, with a
-    * MERGE hint on the supplier link so the expression-key join's
-    * REPARTITION path is what gets timed. The hashed computed key
-    * (`pmod(l_partkey*l_suppkey,100)`) can never be colocated — at
+    * SHUFFLE_HASH hint on the supplier link so the expression-key
+    * join's REPARTITION path is what gets timed. The hashed computed
+    * key (`pmod(l_partkey*l_suppkey,100)`) can never be colocated — at
     * cluster scale this join always repartitions lineitem on the
     * expression (the reference's single-hash repartition join,
     * `multi_physical_planner.h:160-170` MapMergeJob: one side
@@ -235,11 +237,28 @@ object ChBenchQueries extends QueryModule {
     * would broadcast the tiny supplier side and the bench would time
     * the wrong shape. The hint scopes the forcing to this one entry —
     * `ch_market_share` stays stats-driven for correctness runs.
-    * Bench.scala asserts the SortMergeJoin before timing. */
+    * Bench.scala asserts the ShuffledHashJoin before timing.
+    *
+    * r13 optimization (guide §2.3/§2.4/§3.1), measured interleaved
+    * in one JVM (JoinTune): median 1.37 → 0.74 s, min 0.88 → 0.71 s,
+    * value-checked identical results:
+    *  - the colocated fact pair (lineitem⋈orders on the distribution
+    *    key — zero-movement in the reference's layout) joins BEFORE
+    *    the computed-key repartition, so the date filter and the
+    *    Europe-customer semi-filtering cut the exchanged rows ~4×;
+    *  - the exchange carries (link_key, rev4, l_year) — three longs +
+    *    an int — instead of five raw fact columns (project early,
+    *    compute the money product map-side);
+    *  - customer⋈n1⋈region collapse into one European-customer build
+    *    and nation pre-joins into the tiny supplier side, so the probe
+    *    path pays 3 broadcast builds instead of 5;
+    *  - the repartition join itself is shuffled-hash (build = the
+    *    ~dim-sized supplier side), not sort-merge: same dual-exchange
+    *    shape, no sort of the fact side (the reference's repartition
+    *    join is a hash join per fragment pair). */
   private val chMarketShareRepartition = chMarketShare.copy(
     name = "ch_market_share_repartition",
     run = (s, dir) => {
-      val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate").between(ts("1995-01-01"), ts("1996-12-31")))
       val n1 = broadcast(t(s, dir, "nation").select(
@@ -247,18 +266,32 @@ object ChBenchQueries extends QueryModule {
       val n2 = broadcast(t(s, dir, "nation").select(
         col("n_nationkey").as("n2_key"), col("n_name").as("n2_name")))
       val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE"))
-      val rev = cents(col("l_extendedprice")) * oneMinusCents(col("l_discount"))
-      li.hint("merge")
-        .join(t(s, dir, "supplier"),
-          pmod(col("l_partkey") * col("l_suppkey"), lit(100L)) === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      // explicit broadcast: the join-inflated size estimate of the
+      // customer⋈nation⋈region result otherwise blocks auto-broadcast
+      // and costs a second full exchange of the fact rows (measured:
+      // the 182k-row o_custkey exchange disappears with the hint).
+      // The real row count is a region's customers — dim-sized; the
+      // stats-driven ch_market_share keeps the planner's own choice.
+      val custEur = broadcast(t(s, dir, "customer")
         .join(n1, col("c_nationkey") === col("n1_key"))
         .join(reg, col("n1_region") === col("r_regionkey"))
+        .select(col("c_custkey")))
+      val suppGer = t(s, dir, "supplier")
         .join(n2, col("s_nationkey") === col("n2_key"))
-        .groupBy(year(col("o_orderdate")).as("l_year"))
-        .agg((sum(when(col("n2_name") === "GERMANY", rev).otherwise(lit(0L)))
-          .cast(DoubleType) / sum(rev).cast(DoubleType)).as("mkt_share"))
+        .select(col("s_suppkey"), (col("n2_name") === "GERMANY").as("is_ger"))
+      val liOrd = t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custEur, col("o_custkey") === col("c_custkey"))
+        .select(
+          pmod(col("l_partkey") * col("l_suppkey"), lit(100L)).as("link_key"),
+          (cents(col("l_extendedprice")) *
+            oneMinusCents(col("l_discount"))).as("rev4"),
+          year(col("o_orderdate")).as("l_year"))
+      liOrd.join(suppGer.hint("shuffle_hash"),
+          col("link_key") === col("s_suppkey"))
+        .groupBy(col("l_year"))
+        .agg((sum(when(col("is_ger"), col("rev4")).otherwise(lit(0L)))
+          .cast(DoubleType) / sum(col("rev4")).cast(DoubleType)).as("mkt_share"))
         .orderBy(col("l_year"))
     },
     bench = true)

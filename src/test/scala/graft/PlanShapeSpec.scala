@@ -51,11 +51,20 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("join_shuffle_fact: the bench's forced-shuffle entry IS a " +
-      "SortMergeJoin with no broadcast (Bench aborts if this degrades)") {
+      "ShuffledHashJoin with no broadcast (Bench aborts if this degrades)") {
     val df = SparkEntry.queries("join_shuffle_fact")(spark, TestSpark.sf)
-    assert(PlanChecks.hasSortMergeJoin(df) &&
+    assert(PlanChecks.hasShuffledHashJoin(df) &&
       !PlanChecks.hasBroadcastHashJoin(df),
       "join_shuffle_fact must stay a plan-forced shuffle join")
+  }
+
+  test("ch_market_share_repartition: the expression-key supplier link " +
+      "stays a ShuffledHashJoin (the timed repartition path) and the " +
+      "colocated fact pair joins below the computed-key exchange") {
+    val df = SparkEntry.queries("ch_market_share_repartition")(
+      spark, TestSpark.sf)
+    assert(PlanChecks.hasShuffledHashJoin(df),
+      "the supplier link must stay the forced repartition join")
   }
 
   test("q21: EXISTS/NOT EXISTS plan as semi + anti joins, no subquery re-execution") {
