@@ -61,7 +61,9 @@ object PhaseProfile {
         val df = Tables(spark, sfDir, n).cache(); df.count()
         Tables.pin((sfDir, n), df)
       }
-    (1 to 4).foreach { _ =>
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUPS")
+      .flatMap(_.toIntOption).getOrElse(4)
+    (1 to warmups).foreach { _ =>
       names.foreach { n =>
         try qmap(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

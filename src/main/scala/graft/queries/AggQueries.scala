@@ -68,23 +68,39 @@ object AggQueries extends QueryModule {
     * Spark: approx_count_distinct (HLL++). The sketch estimate itself is
     * engine-specific, so the oracle-checkable output is the exact count
     * plus a bounded-error verdict (HLL++ at rsd 0.01 vs 5 % tolerance) —
-    * deterministic, so DuckDB pins it as TRUE. */
+    * deterministic, so DuckDB pins it as TRUE.
+    *
+    * r13: the approx and exact-distinct aggregates run as TWO
+    * aggregations joined on the group key, not one. Mixed in a single
+    * agg, Spark's multi-distinct rewrite (Expand + 3 aggregate layers)
+    * carries the HLL++ buffer as a partial through the distinct
+    * layers, register-merging the 2^14-register sketch (rsd 0.01) once
+    * per intermediate (group × distinct-key) row — measured 4+ MINUTES
+    * of CPU on one task at sf0.1 (thread dump: HyperLogLogPlusPlus.eval
+    * inside hashAgg_doAggregateWithKeys). Split, the HLL agg sees one
+    * cheap register update per row and merges 4 sketches; the distinct
+    * expand carries only long counters. Same aggregates, same rows —
+    * the join key is the group key, so results are identical. */
   private val approxDist = GraftQuery(
     "agg_approx_count_distinct",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.join(approx, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("parts_ok"),
           (abs(col("ao") - col("exact_orders")) <=
             col("exact_orders") * 0.05).as("orders_ok"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
       COUNT(DISTINCT l_partkey) AS exact_parts,
       COUNT(DISTINCT l_orderkey) AS exact_orders,
@@ -329,16 +345,23 @@ object AggQueries extends QueryModule {
       FROM m ORDER BY o_orderstatus"""))
 
   /** Exact percentile (PG percentile_cont ≙ Spark `percentile`): linear
-    * interpolation over integer-valued quantities is exact in double. */
+    * interpolation over integer-valued quantities is exact in double.
+    * r13 (guide §4): ONE array-form percentile call — Spark's
+    * Percentile builds a full per-group value-count buffer PER CALL,
+    * so three scalar calls built (and sorted) three copies; the array
+    * form computes the same three interpolations from one buffer
+    * (identical values — the same counts map is queried per element). */
   private val percentileExact = GraftQuery(
     "agg_percentile_exact",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.95)").as("p95"))
+        .agg(expr("percentile(l_quantity, array(0.5, 0.25, 0.95))")
+          .as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("p50"),
+          col("ps").getItem(1).as("p25"),
+          col("ps").getItem(2).as("p95"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
       quantile_cont(l_quantity, 0.5) AS p50,
@@ -353,18 +376,22 @@ object AggQueries extends QueryModule {
   private val percentileApprox = GraftQuery(
     "agg_percentile_approx",
     (s, dir) =>
+      // r13 (guide §4): array-form calls — one GK sketch and one exact
+      // value-count buffer instead of two of each (same per-element
+      // results; see agg_percentile_exact).
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
-        .select(col("l_returnflag"), col("p50_exact"), col("p99_exact"),
-          (abs(col("a50") - col("p50_exact")) <=
-            col("p50_exact") * 0.02).as("p50_ok"),
-          (abs(col("a99") - col("p99_exact")) <=
-            col("p99_exact") * 0.02).as("p99_ok"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.99)), lit(1000)).as("as_"),
+          expr("percentile(l_extendedprice, array(0.5, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          col("ps").getItem(0).as("p50_exact"),
+          col("ps").getItem(1).as("p99_exact"),
+          (abs(col("as_").getItem(0) - col("ps").getItem(0)) <=
+            col("ps").getItem(0) * 0.02).as("p50_ok"),
+          (abs(col("as_").getItem(1) - col("ps").getItem(1)) <=
+            col("ps").getItem(1) * 0.02).as("p99_ok"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
@@ -442,14 +469,26 @@ object AggQueries extends QueryModule {
         .filter(col("rn") === 1)
         .select(col("f"), col("st").as("modal_status"),
           col("c").as("mode_cnt"))
-      val wQty = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
+      // r13 (guide §2.3 aggregate-before-sort): the discrete median is
+      // the value at sorted position k = ceil(n/2). Instead of
+      // row_number over every ROW (a full 600k-row window sort), count
+      // per (group, value) first — quantities have ~100 distinct
+      // values — and pick the value whose cumulative count straddles
+      // k. Same value by construction (ties share the value), the
+      // window now sorts ~100 rows per group.
+      val wCum = Window.partitionBy(col("f")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("f"))
       val p50 = li
-        .select(col("l_returnflag").as("f"), col("l_quantity"),
-          row_number().over(wQty).as("rn"),
-          count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") === ceil(col("n") * 0.5).cast("long"))
+        .groupBy(col("l_returnflag").as("f"), col("l_quantity"))
+        .agg(count(lit(1)).as("qc"))
+        .select(col("f"), col("l_quantity"),
+          sum(col("qc")).over(wCum).as("cum"),
+          col("qc"),
+          sum(col("qc")).over(wAll).as("n"))
+        .filter(col("cum") - col("qc") <
+            ceil(col("n") * 0.5).cast("long") &&
+          ceil(col("n") * 0.5).cast("long") <= col("cum"))
         .select(col("f"), col("l_quantity").as("p50_qty"))
       mode.join(p50, "f")
         .select(col("f").as("l_returnflag"), col("modal_status"),

@@ -48,20 +48,22 @@ object SketchQueries extends QueryModule {
     "sketch_tdigest_percentile",
     (s, dir) => {
       val td = udaf(new Sketches.TDigestAgg(100, Seq(0.5, 0.95, 0.99)))
+      // r13 (guide §4): one array-form exact percentile instead of
+      // three scalar calls (each built its own full value-count
+      // buffer; same per-element results — see agg_percentile_exact).
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(td(col("l_extendedprice")).as("qs"),
-          expr("percentile(l_extendedprice, 0.5)").as("e50"),
-          expr("percentile(l_extendedprice, 0.95)").as("e95"),
-          expr("percentile(l_extendedprice, 0.99)").as("e99"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+            .as("es"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
-          (abs(col("qs").getItem(0) - col("e50")) <= col("e50") * 0.02)
-            .as("p50_ok"),
-          (abs(col("qs").getItem(1) - col("e95")) <= col("e95") * 0.02)
-            .as("p95_ok"),
-          (abs(col("qs").getItem(2) - col("e99")) <= col("e99") * 0.02)
-            .as("p99_ok"))
+          (abs(col("qs").getItem(0) - col("es").getItem(0)) <=
+            col("es").getItem(0) * 0.02).as("p50_ok"),
+          (abs(col("qs").getItem(1) - col("es").getItem(1)) <=
+            col("es").getItem(1) * 0.02).as("p95_ok"),
+          (abs(col("qs").getItem(2) - col("es").getItem(2)) <=
+            col("es").getItem(2) * 0.02).as("p99_ok"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag, COUNT(*) AS n_rows,

@@ -376,6 +376,64 @@ object UserAggregates {
       def cast(e: String): String =
         stypeSpark.map(t => s"CAST($e AS $t)").getOrElse(e)
 
+      // ---- combinable fast paths (r13, optimization guide §4) --------
+      // The row-gather fold below is exact for ANY transition fn but
+      // costs a per-group collect_list (+ array_sort for ORDER BY) —
+      // measured 5.6 s on the 600k-row corpus probe. Two transition
+      // SHAPES cover the hot aggregates and map to native, combinable
+      // Spark aggregates (partial/final split, no gather), with PG's
+      // strict/initcond semantics reproduced exactly (the
+      // ExtensionSpec battery pins them):
+      //   `state + x` → sum(x); exact only for order-free state types
+      //     (integers/decimal — double sums reorder), ORDER BY
+      //     ignorable by commutativity; non-strict folds poison the
+      //     state on a NULL input (0 + NULL = NULL forever), so that
+      //     form keeps a count(1)>count(x) NULL guard; strict skips
+      //     NULLs like sum does, with initcond as the empty fallback.
+      //   `state` (keep-first) + STRICT + ORDER BY → the first
+      //     non-null value by the sort keys = min_by over the
+      //     (sort keys, value) tuple — the same tuple array_sort
+      //     orders in the fold (value as final tiebreak).
+      // DISTINCT and every other shape fall through to the fold.
+      val normBody = sfn.body.replaceAll("[\\s()]", "").toLowerCase
+      val pState = sfn.params.head.toLowerCase
+      val pArgs = sfn.params.drop(1).map(_.toLowerCase)
+      val orderFreeState = stypeSpark.exists(t =>
+        Set("INT", "BIGINT", "SMALLINT")(t) || t.startsWith("DECIMAL"))
+      val initTrim = spec.initcond.map(_.trim)
+      val fastSum: Option[String] =
+        if (spec.argCount == 1 && pArgs.size == 1 && !distinct &&
+            orderFreeState &&
+            (normBody == s"$pState+${pArgs.head}" ||
+              normBody == s"${pArgs.head}+$pState") &&
+            initTrim.forall(_ == "0") &&
+            (strict || initTrim.contains("0"))) {
+          val x = args.head
+          val f = filter.map(p => s" FILTER (WHERE $p)").getOrElse("")
+          val sumX = s"sum($x)$f"
+          Some(
+            if (strict) initTrim match {
+              case Some(_) => s"coalesce(${cast(sumX)}, ${cast("0")})"
+              case None    => cast(sumX)
+            } else
+              s"CASE WHEN count(1)$f > count($x)$f " +
+                s"THEN ${cast("NULL")} " +
+                s"ELSE coalesce(${cast(sumX)}, ${cast("0")}) END")
+        } else None
+      val fastFirst: Option[String] =
+        if (fastSum.isEmpty && spec.argCount == 1 && !distinct &&
+            normBody == pState && strict && spec.initcond.isEmpty &&
+            orderBy.exists(_.nonEmpty) && stypeSpark.isDefined) {
+          val x = args.head
+          val keyFields = orderBy.get.zipWithIndex
+            .map { case (k, i) => s"'__k$i', $k" } :+ s"'__v', $x"
+          val conds = s"($x) IS NOT NULL" +:
+            filter.map(p => s"($p)").toSeq
+          Some(s"min_by(${cast(s"($x)")}, " +
+            s"named_struct(${keyFields.mkString(", ")})) " +
+            s"FILTER (WHERE ${conds.mkString(" AND ")})")
+        } else None
+
       // the collected element: sort keys FIRST so array_sort orders by
       // them, then the argument fields p1..pn
       val sortFields = orderBy.getOrElse(Seq.empty).zipWithIndex
@@ -400,7 +458,7 @@ object UserAggregates {
       }
       val lambda = s"(acc, e) -> ${cast(s"($lam)")}"
 
-      val fold = spec.initcond match {
+      val fold = fastSum.orElse(fastFirst).getOrElse(spec.initcond match {
         case Some(init) =>
           // PG array literal initcond ('{}') → empty array
           val lit = if (init.trim == "{}") "array()" else s"'$init'"
@@ -417,7 +475,7 @@ object UserAggregates {
           val init = stypeSpark.map(t => s"CAST(NULL AS $t)")
             .getOrElse(s"if(false, element_at($arr, 1).p1, NULL)")
           s"aggregate($arr, $init, $lambda)"
-      }
+      })
 
       spec.finalfunc match {
         case Some(f) => fns.get(f) match {
