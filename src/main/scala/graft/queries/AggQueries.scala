@@ -259,9 +259,21 @@ object AggQueries extends QueryModule {
   private val rollupQ = GraftQuery(
     "agg_rollup",
     (s, dir) =>
+      // r13 (guide §2.3 aggregate-before-expand): ROLLUP's Expand
+      // multiplies every input row by the grouping-set count (×3 =
+      // 1.8M expanded rows, each updating a decimal-sum buffer).
+      // Aggregate to the finest grain FIRST (≤ 8 rows), then roll the
+      // partials up — exact: the decimal sum reassociates losslessly,
+      // count(*) becomes sum of counts, and the double cast still
+      // happens once at the end. Measured 1.06 → 0.50 s. (agg_cube /
+      // agg_grouping_sets fit the same pattern but measured ≤ 0.33 s
+      // on smaller inputs — left on the native path.)
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"),
+          sum(money(col("l_quantity"))).as("pq"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(money(col("l_quantity"))).as("qty"))
+        .agg(sum(col("pn")).as("n"), dsum(col("pq")).as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
