@@ -181,11 +181,18 @@ object EventQueries extends QueryModule {
         .distinct()
       val cohorts = activity.groupBy(col("user_id"))
         .agg(min(col("wk")).as("cohort_week"))
+      // r13 (guide §2.4): count(*) here IS countDistinct(user_id) —
+      // `activity` is distinct on (user_id, wk), cohort_week is
+      // functionally dependent on user_id, and wk ↦ week_offset is
+      // injective per user, so a user contributes at most one row per
+      // (cohort_week, week_offset) group. Dropping the distinct
+      // removes the Expand/dedup layer from the final aggregate;
+      // provably identical results.
       activity.join(cohorts, "user_id")
         .groupBy(col("cohort_week"),
           (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
             .as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     },
     Some("""WITH activity AS (
