@@ -54,7 +54,33 @@ object SketchTune {
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"))))
+        .agg(count(lit(1)).as("n"))),
+      // exact multi-distinct: Spark's native Expand plan (×4 rows
+      // through two aggregate layers) vs one grouped pre-aggregation
+      // per distinct spec joined on the group key.
+      "cd_native" -> (() => li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey"))
+            .as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+      "cd_split" -> (() => {
+        def dcount(cols: Seq[String], as: String) = li
+          .groupBy((col("l_returnflag") +: cols.map(col)): _*)
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+        val base = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"))
+        dcount(Seq("l_partkey"), "n_parts")
+          .join(dcount(Seq("l_suppkey"), "n_supps"), "l_returnflag")
+          .join(dcount(Seq("l_partkey", "l_suppkey"), "n_part_supp"),
+            "l_returnflag")
+          .join(base, "l_returnflag")
+          .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+            col("n_part_supp"), col("n_rows"))
+          .orderBy(col("l_returnflag"))
+      }))
     (1 to 3).foreach(_ => variants.foreach(_._2().write.format("noop")
       .mode("overwrite").save()))
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
