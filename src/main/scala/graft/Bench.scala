@@ -15,17 +15,37 @@ object Bench {
     // scheduling dominates tiny shuffles); at cluster scale the same
     // rule grows into the thousands, which is the point. Clamped to
     // 4×cores here because local[] can't use more anyway.
-    val inputBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
-      .getOrElse(0L)
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).toSeq)
+      .getOrElse(Seq.empty)
+    val inputBytes = files.map(_.length).sum
+    val maxFileBytes = (files.map(_.length) :+ 0L).max
+    // Bytes-derived partition count (~64 MB/partition — the guide §2.2
+    // band); at 100 TB this is the dominant, thousands-sized term.
+    val dataParts = inputBytes / (64L << 20)
+    // Map-side parallelism of the pinned cache (Tables.pinForBench:
+    // fileBytes/1.25MB clamped to cores — the largest fact table sets
+    // it). r14: the reduce must not be NARROWER than the map when the
+    // reduce carries real work (the forced-shuffle joins, q18's
+    // orderkey aggregate) — at shuffle=1 those stages serialize into
+    // one task. Floor the shuffle width at the map parallelism;
+    // measured (PartTune, medians, interleaved single-JVM): bench set
+    // 2.93 → 1.84-1.96 s/set, join_shuffle_fact 0.46 → 0.18-0.20,
+    // q18 0.34 → 0.19. Core-count-ONLY values stay out: at 32
+    // partitions per stage the set degrades to 4.2-5.5 s/set
+    // (85 KB tasks are pure scheduling overhead), so the floor is
+    // bytes-clamped exactly like the cache rule.
+    val mapPar = math.min(cpus.toLong, math.max(1L, maxFileBytes / (1250L << 10)))
     val shufParts = math.max(1L,
-      math.min(cpus.toLong * 4, inputBytes / (64L << 20)))
+      math.min(cpus.toLong * 4, math.max(dataParts, mapPar)))
     // AQE's runtime re-planning (coalesce/skew-split) only has material
-    // to work with when a shuffle has many partitions; at a handful it
-    // just adds per-stage re-optimization latency (measured: 5.27 vs
-    // 5.57 s/set at shuffle=1). Keep it for real partition counts —
-    // at 100 TB shufParts is in the thousands and AQE is load-bearing.
-    val aqe = shufParts >= 8
+    // to work with when the DATA gives a shuffle many partitions; at a
+    // handful it just adds per-stage re-optimization latency (measured:
+    // 5.27 vs 5.57 s/set at shuffle=1; and its coalescer would fold the
+    // map-parallelism floor above straight back to one task). Keep it
+    // for real data sizes — at 100 TB dataParts is in the thousands and
+    // AQE is load-bearing.
+    val aqe = dataParts >= 8
     // Scan-split rule, same data-proportional spirit: aim for ~2 scan
     // tasks per core when the data supports it, never exceeding the
     // 128 MB cluster default (at 100 TB the default is right; below
@@ -91,10 +111,16 @@ object Bench {
     // to broadcast, so only the SHJ presence is asserted.
     if (names.contains("ch_market_share_repartition")) {
       val df = qmap("ch_market_share_repartition")(spark, sfDir)
-      if (!graft.plans.PlanChecks.hasShuffledHashJoin(df)) {
+      // r14 (ADVICE r13): identify the forced join by its keys —
+      // link_key (the aliased pmod computed key) vs s_suppkey — so the
+      // pin cannot pass with the supplier link degraded while some
+      // OTHER join happens to be shuffled-hash.
+      val plan = graft.plans.PlanChecks.executedPlan(df)
+      if (graft.plans.PlanChecks
+          .shuffledHashJoinsOn(plan, "link_key", "s_suppkey").isEmpty) {
         System.err.println("BENCH ABORT: ch_market_share_repartition " +
-          "plan degraded — expected the expression-key " +
-          "ShuffledHashJoin, got:\n" + df.queryExecution.executedPlan)
+          "plan degraded — expected the expression-key (link_key = " +
+          "s_suppkey) ShuffledHashJoin, got:\n" + plan)
         spark.stop()
         sys.exit(1)
       }

@@ -54,22 +54,48 @@ object Tables {
     pinned.put(key, df)
 
   /** Cache + materialize the star-schema tables for benchmarking.
-    * The sf0.1 parquet is one file per table, so the natural scan is ONE
-    * cache partition. Two measured negative results (local[32], sf0.1):
-    * repartitioning the cache to 32 is 2× worse (round 1), and even the
-    * micro-profile sweet spot of 8 (isolated q1 agg: 1→438 ms, 8→176 ms)
-    * makes the REAL bench set slower (parts=1 → 6.7 s/set vs parts=8 →
-    * 7.4 s/set): the queries are join/shuffle-bound, and extra input
-    * partitions only add task-scheduling overhead to every downstream
-    * stage. Natural partitioning wins; on a real cluster the splits come
-    * from the file layout instead. */
-  def pinForBench(spark: SparkSession, dir: String): Unit =
+    *
+    * Partitioning (revised r14): each sf0.1 parquet file holds ONE row
+    * group, so Spark's split rule cannot give the scan more than one
+    * real task no matter what maxPartitionBytes says — every map stage
+    * over a naturally-cached table is single-threaded (StageProfile
+    * r14: the "3-task" lineitem stages carry all 600k rows in one
+    * task). On a real cluster the cache inherits the file layout
+    * (thousands of multi-row-group splits); the single-row-group file
+    * is a small-SF artifact. Restore the parallelism the data
+    * supports by ROUND-ROBIN repartitioning each table at pin time to
+    * clamp(fileBytes / 1.25 MB, 1, defaultParallelism) — ~5 MB
+    * deserialized per partition (parquet→row expansion ~4×), i.e.
+    * 20-40 ms map tasks: big enough that per-task scheduling (~2 ms)
+    * is noise, small enough to engage the cores the data can use.
+    * Round-robin (not hash-by-key) deliberately: a key-partitioned
+    * cache would satisfy ENSURE_REQUIREMENTS and silently REMOVE the
+    * exchanges the forced-shuffle bench entries exist to time.
+    * Measured (PartTune r14, medians over interleaved passes,
+    * local[32] sf0.1): bench set 2.93→1.96 s/set at parts=8 vs
+    * natural; the r13-era "parts>1 loses" result was mean-based and
+    * confounded with shuffle=8 + ambient load — per-query medians
+    * reverse it.
+    *
+    * The r1 negative (repartition(32) 2× worse) stands for CORE-COUNT
+    *-derived values: 32 partitions of a 2.7 MB orders file is ~85 KB
+    * per task, pure scheduling overhead. The bytes rule keeps orders
+    * at 2 and dims at 1. */
+  def pinForBench(spark: SparkSession, dir: String): Unit = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { n =>
-      val df = apply(spark, dir, n).cache()
+      val bytes =
+        try new java.io.File(s"$dir/$n.parquet").length
+        catch { case _: Throwable => 0L }
+      val parts =
+        math.min(cores, math.max(1L, bytes / (1250L << 10))).toInt
+      val base = apply(spark, dir, n)
+      val df = (if (parts > 1) base.repartition(parts) else base).cache()
       df.count()
       pinned.put((dir, n), df)
     }
+  }
 
   /** Register every table as a temp view (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -46,6 +46,27 @@ object PlanChecks {
   def hasShuffledHashJoin(df: DataFrame): Boolean =
     collectAll(executedPlan(df)).exists(_.isInstanceOf[ShuffledHashJoinExec])
 
+  /** All nodes of an already-executed plan (post-AQE, subqueries
+    * included) — for assertions that must identify a SPECIFIC node
+    * rather than "some node of this class exists" (ADVICE r13: the
+    * ch_market_share_repartition pin passed if ANY join happened to be
+    * shuffled-hash). */
+  def nodesOf(plan: SparkPlan): Seq[SparkPlan] = collectAll(plan)
+
+  /** The ShuffledHashJoin nodes whose left/right join keys reference
+    * the given attribute names (or whose key expression text contains
+    * them — covers a collapsed alias). Identifies the forced
+    * expression-key join among several shuffle-capable joins. */
+  def shuffledHashJoinsOn(plan: SparkPlan, leftKey: String,
+      rightKey: String): Seq[ShuffledHashJoinExec] =
+    collectAll(plan).collect {
+      case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(k => k.references.exists(_.name == leftKey) ||
+            k.toString.contains(leftKey)) &&
+            j.rightKeys.exists(k => k.references.exists(_.name == rightKey) ||
+              k.toString.contains(rightKey)) => j
+    }
+
   /** Scan-level pushdown check: every parquet scan's pushed filters. */
   def pushedFilters(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -390,6 +390,18 @@ object UserAggregates {
       //     state on a NULL input (0 + NULL = NULL forever), so that
       //     form keeps a count(1)>count(x) NULL guard; strict skips
       //     NULLs like sum does, with initcond as the empty fallback.
+      //     Known divergence ON OVERFLOW ONLY (ADVICE r13, documented
+      //     deliberately): for a DECIMAL(p,s) stype the fold casts the
+      //     state back to DECIMAL(p,s) after EVERY step, so a running
+      //     sum that transiently exceeds p digits yields NULL and
+      //     poisons the group, while sum(x) accumulates at widened
+      //     precision and only the FINAL cast can overflow — on inputs
+      //     whose partial sums overflow but whose total fits, the fast
+      //     path returns the value where the fold returned NULL. The
+      //     fast path matches PG (numeric carries effectively unbounded
+      //     precision mid-aggregation; a PG CREATE AGGREGATE over
+      //     numeric never overflows mid-fold), so it is kept; the
+      //     corpus cannot reach either behavior (sums ≪ 10^p).
       //   `state` (keep-first) + STRICT + ORDER BY → the first
       //     non-null value by the sort keys = min_by over the
       //     (sort keys, value) tuple — the same tuple array_sort

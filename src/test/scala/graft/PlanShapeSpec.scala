@@ -63,8 +63,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "colocated fact pair joins below the computed-key exchange") {
     val df = SparkEntry.queries("ch_market_share_repartition")(
       spark, TestSpark.sf)
-    assert(PlanChecks.hasShuffledHashJoin(df),
-      "the supplier link must stay the forced repartition join")
+    val plan = PlanChecks.executedPlan(df)
+    // ADVICE r13: "some SHJ exists" could pass with the supplier link
+    // degraded while a different join happened to be shuffled-hash.
+    // Identify the node by its keys: link_key (the aliased
+    // pmod(l_partkey*l_suppkey,100) computed key) vs s_suppkey.
+    val links = PlanChecks.shuffledHashJoinsOn(plan, "link_key", "s_suppkey")
+    assert(links.nonEmpty,
+      s"the supplier link (link_key = s_suppkey) must stay the forced " +
+        s"repartition join; got plan:\n$plan")
+    // And the colocated fact pair (lineitem ⋈ orders on the
+    // distribution key) must sit BELOW that join's streamed side —
+    // i.e. inside the subtree feeding the computed-key exchange.
+    val factPair = links.flatMap(j => PlanChecks.nodesOf(j.left)).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if b.leftKeys.exists(_.references.exists(_.name == "l_orderkey")) ||
+            b.rightKeys.exists(_.references.exists(_.name == "o_orderkey")) ||
+            b.leftKeys.exists(_.references.exists(_.name == "o_orderkey")) ||
+            b.rightKeys.exists(_.references.exists(_.name == "l_orderkey")) => b
+    }
+    assert(factPair.nonEmpty,
+      s"lineitem ⋈ orders (the colocated pair) must join below the " +
+        s"computed-key exchange, not above it; got plan:\n$plan")
   }
 
   test("q21: EXISTS/NOT EXISTS plan as semi + anti joins, no subquery re-execution") {
